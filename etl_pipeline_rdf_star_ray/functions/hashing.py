@@ -1,0 +1,82 @@
+"""Deterministic, process-stable vectorized hashing.
+
+Used for: hash partitioning on ``conv_id`` (the CDC shuffle key), content
+fingerprints for exact dedup and diff, and the salted sub-partitioning of hot
+conversations. Everything here must be stable across processes and Python
+versions (no builtin ``hash`` — PYTHONHASHSEED), and vectorized (no per-row
+Python in hot stages).
+
+Strategy for string columns: dictionary-encode the Arrow column first, hash
+only the (few) unique values with blake2b, then scatter through the index
+codes — per-batch cost is O(uniques) Python + O(rows) numpy, which is ideal
+for conversation ids where uniques << rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "hash64_str",
+    "hash64_column",
+    "splitmix64",
+    "combine64",
+]
+
+_U64 = np.uint64
+
+
+def hash64_str(s: str) -> int:
+    """Stable 64-bit hash of one Python string (blake2b, first 8 bytes)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def _hash_unique_strings(values: pa.Array) -> np.ndarray:
+    out = np.empty(len(values), dtype=_U64)
+    for i, v in enumerate(values):
+        py = v.as_py()
+        out[i] = 0 if py is None else hash64_str(py)
+    return out
+
+
+def hash64_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable 64-bit hashes for a string column, vectorized via dictionary
+    encoding (hash uniques once, scatter by code)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        dict_arr = arr
+    else:
+        dict_arr = arr.dictionary_encode()
+    uniq = _hash_unique_strings(dict_arr.dictionary)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+    # null indices come back as the sentinel from to_numpy with nulls → mask
+    if dict_arr.indices.null_count:
+        # with nulls, to_numpy falls back to a float array with NaNs
+        mask = np.asarray(dict_arr.indices.is_null())
+        codes = np.where(mask, 0, codes).astype(np.int64)
+        out = uniq[codes]
+        out[mask] = 0
+        return out
+    return uniq[codes.astype(np.int64)]
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
+    """SplitMix64 finalizer — stable integer mixing (public-domain constant
+    set from the SplitMix64 PRNG, Steele et al.)."""
+    z = np.asarray(x, dtype=_U64) + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
+    """Order-dependent combination of two 64-bit hash arrays."""
+    a = np.asarray(a, dtype=_U64)
+    b = np.asarray(b, dtype=_U64) if not np.isscalar(b) else _U64(b)
+    return splitmix64(a ^ (b * _U64(0xC2B2AE3D27D4EB4F)))

@@ -1,0 +1,169 @@
+"""The CDC ingest pipeline: change log → partitioned LWW upsert → exactly-once
+Parquet lake commit, with checkpoint/resume.
+
+Ray-Data lifecycle (SURVEY.md §3.4): the change log streams through a
+stateless partition+watermark ``map_batches`` stage, hash-shuffles once on
+``partition_id`` (``groupby``), and each partition group merges with its
+current lake version and commits durably *inside the worker task* — only tiny
+manifest rows return to the driver. No stage materializes the full dataset.
+
+Replacing (not porting) the reference loop ``batch_cli.py:36-87`` +
+``batch_manager.load_batch_from_file`` (``batch_manager.py:231-283``): what
+the reference does as "run engine → write whole-store TriG → load file into a
+fresh named graph → supersede predecessor" becomes per-partition
+copy-on-write versions addressed by a commit manifest.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..schema import MANIFEST_SCHEMA
+from ..stages.merge import merge_state_and_events
+from ..stages.partition import detect_hot_convs, make_partition_stage
+from ..state import manifest as mf
+from ..state.lake import read_state, state_table  # noqa: F401  (re-export)
+from ..state.sink import commit_partition, version_file
+
+
+def _manifest_table(recs: list[mf.CommitRecord]) -> pa.Table:
+    cols = {name: [getattr(r, name) for r in recs] for name in MANIFEST_SCHEMA.names}
+    return pa.table(cols, schema=MANIFEST_SCHEMA)
+
+
+def ingest(
+    changelog: "rd.Dataset",
+    lake_dir: str,
+    *,
+    batch_id: str | None = None,
+    num_partitions: int = 64,
+    salt_buckets: int = 8,
+    hot_convs: list[str] | str = "auto",
+) -> pa.Table:
+    """Apply one micro-batch of change events to the lake table.
+
+    Returns the manifest rows of this ingest (one per touched partition).
+    Safe to re-run with the same input: the watermark filter drops all
+    already-committed events and nothing is rewritten.
+    """
+    default_meta = mf.TableMeta(
+        num_partitions=num_partitions, salt_buckets=salt_buckets
+    )
+    if hot_convs == "auto":
+        # decided once, at table creation, then pinned in _meta.json so the
+        # key→partition mapping is stable for the table's lifetime
+        import os
+
+        if not os.path.exists(os.path.join(lake_dir, mf.META_FILE)):
+            default_meta.hot_convs = detect_hot_convs(
+                changelog, num_partitions=num_partitions
+            )
+    elif hot_convs:
+        default_meta.hot_convs = sorted(hot_convs)
+    import os
+
+    os.makedirs(lake_dir, exist_ok=True)
+    meta = mf.load_or_create_meta(lake_dir, default_meta)
+    wm = mf.watermarks(lake_dir)
+    active = {p: os.path.join(lake_dir, r.file) for p, r in mf.active_versions(lake_dir).items()}
+    if batch_id is None:
+        batch_id = f"ingest-{max(wm.values(), default=-1) + 1:020d}"
+
+    stage = make_partition_stage(
+        num_partitions=meta.num_partitions,
+        salt_buckets=meta.salt_buckets,
+        hot_convs=frozenset(meta.hot_convs),
+        watermarks=wm,
+    )
+    partitioned = changelog.map_batches(stage, batch_format="pyarrow")
+
+    def merge_commit(group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        if group.num_rows == 0:
+            return _manifest_table([])
+        pid = group.column("partition_id")[0].as_py()
+        state = None
+        prior = active.get(pid)
+        if prior is not None:
+            state = pq.read_table(prior)
+        new_state = merge_state_and_events(state, group)
+        lsns = group.column("lsn")
+        rec = commit_partition(
+            new_state,
+            lake_dir=lake_dir,
+            partition_id=pid,
+            batch_id=batch_id,
+            lsn_lo=pc.min(lsns).as_py(),
+            lsn_hi=pc.max(lsns).as_py(),
+            event_count=group.num_rows,
+            wall_start=t0,
+        )
+        return _manifest_table([rec])
+
+    result = partitioned.groupby("partition_id").map_groups(
+        merge_commit, batch_format="pyarrow"
+    )
+    # manifest rows: one per touched partition — tiny, safe to materialize
+    batches = result.take_all()
+    if not batches:
+        return _manifest_table([])
+    return pa.Table.from_pylist(batches, schema=MANIFEST_SCHEMA)
+
+
+def replay(
+    changelog_factory,
+    lake_dir: str,
+    *,
+    lsn_splits: list[int],
+    **ingest_kw,
+) -> list[pa.Table]:
+    """Replay a change log as consecutive micro-batches split at the given
+    lsn boundaries. ``changelog_factory(lo, hi)`` must return the dataset for
+    the half-open lsn range ``[lo, hi)``; each micro-batch is one durable
+    ingest, so a crash resumes from the last committed watermark
+    (``resume_from_checkpoint`` = simply calling :func:`replay` again — the
+    per-partition watermark filter skips everything already committed)."""
+    out = []
+    bounds = [0, *lsn_splits]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        ds = changelog_factory(lo, hi)
+        out.append(
+            ingest(ds, lake_dir, batch_id=f"b{lo:020d}_{hi:020d}", **ingest_kw)
+        )
+    return out
+
+
+def upsert_dataset(
+    changelog: "rd.Dataset",
+    *,
+    num_partitions: int = 64,
+    salt_buckets: int = 8,
+    hot_convs: list[str] | None = None,
+) -> "rd.Dataset":
+    """Pure streaming upsert with no durable sink: change log → final table
+    state as a Dataset (used by queries and as the in-memory flagship path).
+
+    Same shuffle + vectorized LWW kernel as :func:`ingest`, minus the lake.
+    """
+    from ..stages.merge import lww_merge
+
+    hot = frozenset(hot_convs or [])
+    stage = make_partition_stage(
+        num_partitions=num_partitions,
+        salt_buckets=salt_buckets,
+        hot_convs=hot,
+    )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        return lww_merge(group).drop_columns(["op", "partition_id"])
+
+    return (
+        changelog.map_batches(stage, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

@@ -1,0 +1,144 @@
+"""Source registry: named constructors returning ``ray.data.Dataset``.
+
+Re-expresses the reference's source-plugin surface (reference:
+``sources/__init__.py:239-277`` — ``@register_source("csv")`` decorator
+registry + ``create_source(config)`` factory) on top of the native
+``ray.data.read_*`` readers. A source kind is a callable
+``(config: dict) -> ray.data.Dataset``; connectors that need drivers not
+present in this environment (postgresql/mysql/http/sparql — reference
+``sources/database/*.py``, ``sources/remote/*.py``) are registered as explicit
+stubs that raise with a clear message, keeping the registry surface complete.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+
+import ray.data as rd
+
+SourceFactory = Callable[[dict], "rd.Dataset"]
+
+_REGISTRY: dict[str, SourceFactory] = {}
+
+_ENV_PATTERN = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def interpolate_env_vars(value: str) -> str:
+    """``${VAR}`` substitution (reference: ``sources/__init__.py:30-47``)."""
+    return _ENV_PATTERN.sub(lambda m: os.environ.get(m.group(1), m.group(0)), value)
+
+
+def interpolate_dict_env_vars(obj):
+    """Recursive env interpolation over dicts/lists/strings (reference:
+    ``sources/__init__.py:50-65``)."""
+    if isinstance(obj, str):
+        return interpolate_env_vars(obj)
+    if isinstance(obj, dict):
+        return {k: interpolate_dict_env_vars(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [interpolate_dict_env_vars(v) for v in obj]
+    return obj
+
+
+def register_source(kind: str) -> Callable[[SourceFactory], SourceFactory]:
+    def deco(fn: SourceFactory) -> SourceFactory:
+        _REGISTRY[kind] = fn
+        return fn
+
+    return deco
+
+
+def source_kinds() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def create_source(config: dict) -> "rd.Dataset":
+    """Dispatch on ``config['type']`` (reference: ``create_source``,
+    ``sources/__init__.py:258-277``)."""
+    config = interpolate_dict_env_vars(dict(config))
+    kind = config.pop("type")
+    try:
+        factory = _REGISTRY[kind]
+    except KeyError:
+        raise KeyError(
+            f"unknown source type {kind!r}; registered: {source_kinds()}"
+        ) from None
+    return factory(config)
+
+
+# --- built-in readers -------------------------------------------------------
+
+
+@register_source("parquet")
+def _parquet(config: dict) -> "rd.Dataset":
+    return rd.read_parquet(
+        config["path"],
+        columns=config.get("columns"),
+        filter=config.get("filter"),
+    )
+
+
+@register_source("csv")
+def _csv(config: dict) -> "rd.Dataset":
+    from pyarrow import csv as pacsv
+
+    delimiter = config.get("delimiter", ",")
+    return rd.read_csv(
+        config["path"],
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+    )
+
+
+@register_source("tsv")
+def _tsv(config: dict) -> "rd.Dataset":
+    return _csv({**config, "delimiter": "\t"})
+
+
+@register_source("json")
+def _json(config: dict) -> "rd.Dataset":
+    return rd.read_json(config["path"])
+
+
+@register_source("items")
+def _items(config: dict) -> "rd.Dataset":
+    return rd.from_items(config["items"])
+
+
+def _unavailable(kind: str, reason: str) -> SourceFactory:
+    def factory(config: dict) -> "rd.Dataset":
+        raise NotImplementedError(
+            f"source type {kind!r} is registered but unavailable in this "
+            f"environment: {reason}. Reference parity surface only."
+        )
+
+    return factory
+
+
+# Reference connectors whose drivers/network are absent here (reference:
+# ``sources/database/postgresql.py:39-171``, ``mysql.py:31-145``,
+# ``remote/http.py:33-145``, ``remote/sparql.py:34-115``). The Ray-native
+# implementation for the database ones would be ``ray.data.read_sql`` with
+# partitioned parallel reads.
+for _kind, _reason in [
+    ("postgresql", "no network / no psycopg driver (use ray.data.read_sql)"),
+    ("mysql", "no network / no mysql driver (use ray.data.read_sql)"),
+    ("http", "no network access"),
+    ("sparql", "no network access"),
+]:
+    _REGISTRY[_kind] = _unavailable(_kind, _reason)
+
+
+@register_source("sqlite")
+def _sqlite(config: dict) -> "rd.Dataset":
+    """SQLite reader (reference: ``sources/database/sqlite.py:26-91``) via
+    ``ray.data.read_sql`` with a read-only connection factory."""
+    import sqlite3
+
+    path, query = config["path"], config["query"]
+
+    def connect():
+        return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+
+    return rd.read_sql(query, connect)

@@ -1,0 +1,144 @@
+"""Hash partitioning on ``conv_id`` with explicit salting for hot
+conversations, plus the per-partition watermark filter.
+
+This is the CDC shuffle key choice (SURVEY.md §7.4): all events for one
+conversation meet the same merge partition, except conversations known to be
+hot, which are salted into sub-partitions by ``turn_idx % salt_buckets``.
+Because the upsert key is ``(conv_id, turn_idx)`` and the salt depends only on
+``turn_idx``, a key NEVER splits across salt buckets — last-writer-wins
+correctness is preserved without a second merge pass (SURVEY.md §7.5.2).
+
+The hot-conversation set is decided once per lake table and persisted in the
+table metadata, so the key→partition mapping is stable across every later
+ingest (a requirement the reference never faces: its single in-memory store is
+one "partition", ``rdf_star_etl_yarrrml.py:131``).
+
+The watermark filter drops events already committed to their partition
+(``lsn <= watermark[pid]``) — replay idempotence and resume-from-checkpoint
+happen HERE, before the shuffle, so replayed data never moves (SURVEY.md
+§2.10; descendant of the reference's batch supersession bookkeeping,
+``batch_manager.py:387-394``).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import combine64, hash64_str
+
+PARTITION_COL = "partition_id"
+
+
+def _conv_hash_and_hot(
+    conv: pa.ChunkedArray | pa.Array, hot_set: frozenset[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (hash64, is_hot) via dictionary encoding: Python work is
+    O(unique conversations in batch), scatter is O(rows) numpy."""
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    d = conv.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    uh = np.array([0 if v is None else hash64_str(v) for v in uniq], dtype=np.uint64)
+    umask = np.array([v in hot_set for v in uniq], dtype=bool)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[codes], umask[codes]
+
+
+def partition_ids(
+    conv: pa.ChunkedArray | pa.Array,
+    turn_idx: np.ndarray,
+    *,
+    num_partitions: int,
+    salt_buckets: int,
+    hot_set: frozenset[str],
+) -> np.ndarray:
+    h, hot = _conv_hash_and_hot(conv, hot_set)
+    pid = (h % np.uint64(num_partitions)).astype(np.int32)
+    if salt_buckets > 1 and hot.any():
+        salt = (turn_idx.astype(np.uint64)) % np.uint64(salt_buckets)
+        salted = (combine64(h, salt) % np.uint64(num_partitions)).astype(np.int32)
+        pid = np.where(hot, salted, pid)
+    return pid
+
+
+def make_partition_stage(
+    *,
+    num_partitions: int,
+    salt_buckets: int,
+    hot_convs: frozenset[str] | set[str],
+    watermarks: dict[int, int] | None = None,
+):
+    """Build the ``map_batches`` function that appends ``partition_id`` and
+    applies the per-partition watermark filter. ``watermarks`` and
+    ``hot_convs`` are small driver-side lookups captured by value (Ray ships
+    them once per task, and they are tiny: P ints / a few strings)."""
+    hot = frozenset(hot_convs)
+    wm_arr = None
+    if watermarks:
+        wm_arr = np.full(num_partitions, -1, dtype=np.int64)
+        for p, w in watermarks.items():
+            wm_arr[p] = w
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(PARTITION_COL, pa.array([], pa.int32()))
+        turn = batch.column("turn_idx").to_numpy()
+        pid = partition_ids(
+            batch.column("conv_id"),
+            turn,
+            num_partitions=num_partitions,
+            salt_buckets=salt_buckets,
+            hot_set=hot,
+        )
+        out = batch.append_column(PARTITION_COL, pa.array(pid, pa.int32()))
+        if wm_arr is not None:
+            lsn = batch.column("lsn").to_numpy()
+            keep = lsn > wm_arr[pid]
+            if not keep.all():
+                out = out.filter(pa.array(keep))
+        return out
+
+    return stage
+
+
+def detect_hot_convs(
+    ds,
+    *,
+    num_partitions: int,
+    sample_rows: int = 200_000,
+    threshold: float | None = None,
+) -> list[str]:
+    """Cheap hot-key pre-pass (SURVEY.md §4.2 "skew"): sample the head of the
+    change log, count events per conversation with a per-batch ``Counter``
+    partial, and flag conversations whose sampled share would materially skew
+    a partition (share > ``threshold``, default ``0.5 / num_partitions`` —
+    half a partition's fair share concentrated in ONE conversation).
+
+    This is a bounded driver-side reduction over tiny per-batch partials —
+    not a shuffle and not a full materialization.
+    """
+    if threshold is None:
+        threshold = 0.5 / num_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("conv_id").value_counts()
+        return pa.table(
+            {
+                "conv_id": vc.field("values"),
+                "n": vc.field("counts"),
+            }
+        )
+
+    total = 0
+    counts: Counter = Counter()
+    sampled = ds.limit(sample_rows).map_batches(partial, batch_format="pyarrow")
+    for b in sampled.iter_batches(batch_format="pyarrow"):
+        for conv, n in zip(b.column("conv_id").to_pylist(), b.column("n").to_pylist()):
+            counts[conv] += n
+            total += n
+    if total == 0:
+        return []
+    return sorted(c for c, n in counts.items() if n / total > threshold)

@@ -1,0 +1,280 @@
+"""CDC upsert correctness: LWW merge, salting, exactly-once sink,
+resume-from-checkpoint, schema evolution, point-in-time — each checked
+against a single-process pandas/duckdb oracle replay (SURVEY.md §5
+carry-over)."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from etl_pipeline_rdf_star_ray.pipelines import cdc
+from etl_pipeline_rdf_star_ray.sources.synthetic import (
+    changelog_dataset,
+    changelog_table,
+)
+from etl_pipeline_rdf_star_ray.stages.merge import (
+    PartitionMerger,
+    lww_merge,
+    merge_state_and_events,
+)
+from etl_pipeline_rdf_star_ray.stages.partition import (
+    make_partition_stage,
+    partition_ids,
+)
+from etl_pipeline_rdf_star_ray.state import manifest as mf
+from etl_pipeline_rdf_star_ray.state.lake import state_table
+
+
+def oracle_replay(table: pa.Table) -> pd.DataFrame:
+    """Single-process LWW oracle via duckdb (independent of engine code)."""
+    con = duckdb.connect()
+    con.register("log", table)
+    cols = [c for c in table.column_names if c != "op"]
+    return con.sql(
+        f"""
+        SELECT {", ".join(cols)} FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+          FROM log)
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+
+
+def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame):
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def test_lww_merge_matches_oracle():
+    t = changelog_table(4000)
+    merged = lww_merge(t).drop_columns(["op"]).to_pandas()
+    assert_frames_equal(merged, oracle_replay(t))
+
+
+def test_lww_merge_out_of_order_within_batch():
+    t = changelog_table(1000)
+    perm = np.random.RandomState(0).permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm))
+    assert_frames_equal(lww_merge(shuffled).drop_columns(["op"]).to_pandas(), oracle_replay(t))
+
+
+def test_lww_delete_then_reinsert():
+    rows = [
+        {"op": "insert", "lsn": 1, "conv_id": "c", "turn_idx": 0, "role": "user",
+         "text": "v1", "tool": None, "ts": None},
+        {"op": "delete", "lsn": 2, "conv_id": "c", "turn_idx": 0, "role": None,
+         "text": None, "tool": None, "ts": None},
+        {"op": "insert", "lsn": 3, "conv_id": "c", "turn_idx": 0, "role": "user",
+         "text": "v3", "tool": None, "ts": None},
+        {"op": "delete", "lsn": 4, "conv_id": "c", "turn_idx": 1, "role": None,
+         "text": None, "tool": None, "ts": None},
+    ]
+    t = pa.Table.from_pylist(rows)
+    out = lww_merge(t)
+    assert out.num_rows == 1
+    assert out.column("text")[0].as_py() == "v3"
+
+
+def test_merge_state_and_events_schema_evolution():
+    state = pa.table(
+        {"conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()), "lsn": [1],
+         "text": ["old"]}
+    )
+    events = pa.Table.from_pylist(
+        [{"op": "update", "lsn": 5, "conv_id": "c", "turn_idx": 0,
+          "text": "new", "tool_args": "a1"},
+         {"op": "insert", "lsn": 6, "conv_id": "d", "turn_idx": 0,
+          "text": "x", "tool_args": None}]
+    )
+    out = merge_state_and_events(state, events)
+    assert "tool_args" in out.column_names
+    got = {r["conv_id"]: r for r in out.to_pylist()}
+    assert got["c"]["text"] == "new" and got["c"]["tool_args"] == "a1"
+
+
+# ---------------------------------------------------------------------------
+# partitioning / salting
+# ---------------------------------------------------------------------------
+
+
+def test_partition_ids_stable_and_key_consistent():
+    conv = pa.array(["a", "b", "a", "conv_hot"] * 10)
+    turn = np.arange(40, dtype=np.int32)
+    p1 = partition_ids(conv, turn, num_partitions=16, salt_buckets=4,
+                       hot_set=frozenset({"conv_hot"}))
+    p2 = partition_ids(conv, turn, num_partitions=16, salt_buckets=4,
+                       hot_set=frozenset({"conv_hot"}))
+    assert (p1 == p2).all()
+
+
+def test_salting_never_splits_a_key():
+    """Same (conv_id, turn_idx) must always land in the same partition even
+    for salted hot conversations (SURVEY.md §7.5.2)."""
+    conv = pa.array(["conv_hot"] * 1000)
+    turn = np.array([i % 50 for i in range(1000)], dtype=np.int32)
+    pid = partition_ids(conv, turn, num_partitions=8, salt_buckets=4,
+                        hot_set=frozenset({"conv_hot"}))
+    df = pd.DataFrame({"turn": turn, "pid": pid})
+    assert (df.groupby("turn")["pid"].nunique() == 1).all()
+
+
+def test_salting_spreads_hot_conversation():
+    conv = pa.array(["conv_hot"] * 1000)
+    turn = np.arange(1000, dtype=np.int32)
+    pid = partition_ids(conv, turn, num_partitions=8, salt_buckets=8,
+                        hot_set=frozenset({"conv_hot"}))
+    assert len(np.unique(pid)) > 1
+    # without salting the conversation serializes into one partition
+    pid0 = partition_ids(conv, turn, num_partitions=8, salt_buckets=8,
+                         hot_set=frozenset())
+    assert len(np.unique(pid0)) == 1
+
+
+def test_watermark_filter_drops_committed():
+    stage = make_partition_stage(
+        num_partitions=4, salt_buckets=1, hot_convs=frozenset(),
+        watermarks={0: 10**9, 1: 10**9, 2: 10**9, 3: 10**9},
+    )
+    out = stage(changelog_table(100))
+    assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end lake ingest
+# ---------------------------------------------------------------------------
+
+N_EVENTS = 6000
+
+
+def _mk_log(lo, hi, **kw):
+    return changelog_dataset(hi - lo, lsn_start=lo, **kw)
+
+
+def test_full_replay_matches_oracle(tmp_path):
+    lake = str(tmp_path / "lake")
+    cdc.ingest(_mk_log(0, N_EVENTS), lake, num_partitions=8)
+    got = state_table(lake).to_pandas().drop(columns=["partition_id"])
+    expect = oracle_replay(changelog_table(N_EVENTS))
+    assert_frames_equal(got, expect)
+
+
+def test_resume_halves_equals_full(tmp_path):
+    lake_a = str(tmp_path / "a")
+    lake_b = str(tmp_path / "b")
+    cdc.ingest(_mk_log(0, N_EVENTS), lake_a, num_partitions=8)
+    cdc.replay(_mk_log, lake_b, lsn_splits=[N_EVENTS // 2, N_EVENTS],
+               num_partitions=8)
+    a = state_table(lake_a).to_pandas()
+    b = state_table(lake_b).to_pandas()
+    assert_frames_equal(a.drop(columns=["partition_id"]),
+                        b.drop(columns=["partition_id"]))
+
+
+def test_replay_idempotent(tmp_path):
+    """Re-ingesting an already-committed lsn range is a no-op: no new
+    manifest records, identical state (FIXTURES.md §2 duplicate events)."""
+    lake = str(tmp_path / "lake")
+    cdc.ingest(_mk_log(0, N_EVENTS), lake, num_partitions=8, batch_id="b0")
+    before = state_table(lake).to_pandas()
+    n_rec = len(mf.load_records(lake))
+    res = cdc.ingest(_mk_log(0, N_EVENTS), lake, num_partitions=8, batch_id="b1")
+    assert res.num_rows == 0
+    assert len(mf.load_records(lake)) == n_rec
+    assert_frames_equal(before, state_table(lake).to_pandas())
+
+
+def test_commit_marker_makes_sink_idempotent(tmp_path):
+    from etl_pipeline_rdf_star_ray.state.sink import commit_partition
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(os.path.join(lake, "_manifest"))
+    t = pa.table({"conv_id": ["c"], "turn_idx": pa.array([0], pa.int32())})
+    r1 = commit_partition(t, lake_dir=lake, partition_id=0, batch_id="x",
+                          lsn_lo=0, lsn_hi=5, event_count=1, wall_start=0.0)
+    r2 = commit_partition(t, lake_dir=lake, partition_id=0, batch_id="x",
+                          lsn_lo=0, lsn_hi=5, event_count=1, wall_start=0.0)
+    assert r1.status == "active" and r2.status == "duplicate"
+    assert len(glob.glob(os.path.join(lake, "part=00000", "*.parquet"))) == 1
+    assert len(mf.load_records(lake)) == 1
+
+
+def test_point_in_time_snapshot(tmp_path):
+    lake = str(tmp_path / "lake")
+    mid = N_EVENTS // 2
+    cdc.replay(_mk_log, lake, lsn_splits=[mid, N_EVENTS], num_partitions=8)
+    got = state_table(lake, at_lsn=mid - 1).to_pandas().drop(columns=["partition_id"])
+    expect = oracle_replay(changelog_table(mid))
+    assert_frames_equal(got, expect)
+
+
+def test_schema_evolution_mid_replay(tmp_path):
+    """A late-appearing tool_args column widens the lake without rewriting
+    old partitions (SURVEY.md §7.5.4)."""
+    lake = str(tmp_path / "lake")
+    mid = N_EVENTS // 2
+    cdc.ingest(_mk_log(0, mid), lake, num_partitions=8)
+    cdc.ingest(_mk_log(mid, N_EVENTS, with_tool_args=True), lake,
+               num_partitions=8)
+    got = state_table(lake).to_pandas().drop(columns=["partition_id"])
+    full = pa.concat_tables(
+        [changelog_table(mid),
+         changelog_table(N_EVENTS - mid, lsn_start=mid, with_tool_args=True)],
+        promote_options="permissive",
+    )
+    expect = oracle_replay(full)
+    assert "tool_args" in got.columns
+    assert_frames_equal(got, expect)
+
+
+def test_hot_conv_auto_detection_pinned_in_meta(tmp_path):
+    lake = str(tmp_path / "lake")
+    cdc.ingest(_mk_log(0, 4000), lake, num_partitions=8)
+    meta = mf.load_meta(lake)
+    assert "conv_hot" in meta.hot_convs
+
+
+def test_partition_merger_actor_state_across_micro_batches():
+    """The stateful merger holds per-partition state + watermarks across
+    micro-batches and dedups replayed lsn ranges (actor-pool contract:
+    one actor consistently owns its partitions)."""
+    from etl_pipeline_rdf_star_ray.schema import concat_evolving
+
+    merger = PartitionMerger()
+    stage = make_partition_stage(num_partitions=4, salt_buckets=4,
+                                 hot_convs=frozenset({"conv_hot"}))
+    t = stage(changelog_table(3000))
+    lsn = t.column("lsn")
+    first = t.filter(pc.less(lsn, 1500))
+    second = t.filter(pc.greater_equal(lsn, 1500))
+    merger(first)
+    merger(second)
+    state_after = concat_evolving(list(merger._state.values()))
+    # replaying the first half again must not change state (watermark dedup)
+    merger(first)
+    state_replay = concat_evolving(list(merger._state.values()))
+    got = state_replay.to_pandas().drop(columns=["partition_id"])
+    assert state_after.num_rows == state_replay.num_rows
+    assert_frames_equal(got, oracle_replay(changelog_table(3000)))
+
+
+def test_upsert_dataset_matches_oracle():
+    got = cdc.upsert_dataset(
+        changelog_dataset(3000), num_partitions=8,
+        hot_convs=["conv_hot"],
+    ).to_pandas()
+    assert_frames_equal(got, oracle_replay(changelog_table(3000)))

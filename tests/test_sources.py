@@ -1,0 +1,137 @@
+import os
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from etl_pipeline_rdf_star_ray.sources import (
+    changelog as cl,
+)
+from etl_pipeline_rdf_star_ray.sources import (
+    create_source,
+    interpolate_dict_env_vars,
+    source_kinds,
+)
+from etl_pipeline_rdf_star_ray.sources.synthetic import (
+    changelog_dataset,
+    changelog_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("TOKEN", "s3cr3t")
+    out = interpolate_dict_env_vars(
+        {"auth": "Bearer ${TOKEN}", "nested": ["${TOKEN}", 1]}
+    )
+    assert out["auth"] == "Bearer s3cr3t"
+    assert out["nested"] == ["s3cr3t", 1]
+
+
+def test_registry_surface_complete():
+    kinds = source_kinds()
+    for k in ["csv", "tsv", "json", "parquet", "sqlite", "postgresql", "mysql", "http", "sparql"]:
+        assert k in kinds
+
+
+def test_parquet_source():
+    ds = create_source({"type": "parquet", "path": f"{SF}/region.parquet"})
+    assert ds.count() == 5
+
+
+def test_unavailable_source_raises():
+    with pytest.raises(NotImplementedError):
+        create_source({"type": "http", "url": "http://example.org"})
+
+
+def test_synthetic_deterministic_across_block_splits():
+    t1 = (
+        changelog_dataset(2000, override_num_blocks=2)
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    t2 = (
+        changelog_dataset(2000, override_num_blocks=7)
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    assert t1.equals(t2)
+
+
+def test_synthetic_scenarios_present():
+    t = changelog_table(5000)
+    ops = set(t.column("op").to_pylist())
+    assert ops == {"insert", "update", "delete"}
+    # hot conversation holds roughly hot_frac of events
+    convs = t.column("conv_id").to_pylist()
+    hot_n = sum(c == "conv_hot" for c in convs)
+    assert 0.05 < hot_n / len(convs) < 0.2
+    # deletes carry only the key
+    import pyarrow.compute as pc
+
+    dels = t.filter(pc.equal(t["op"], "delete"))
+    assert dels.column("text").null_count == dels.num_rows
+    assert dels.column("ts").null_count == dels.num_rows
+
+
+def test_synthetic_schema_evolution_column():
+    t = changelog_table(100, with_tool_args=True)
+    assert "tool_args" in t.column_names
+    t0 = changelog_table(100)
+    assert "tool_args" not in t0.column_names
+
+
+def test_events_changelog_matches_duckdb_cte():
+    """The Arrow derivation and the SQL CTE must be byte-equivalent — every
+    CDC oracle in __ray_entry__ depends on this."""
+    ray_t = (
+        cl.changelog_from_events(SF)
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(SF, 'events.parquet')}'"
+    )
+    sql_t = con.sql(
+        f"WITH {cl.CHANGELOG_CTE.strip()} SELECT * FROM changelog ORDER BY lsn"
+    ).df()
+    assert list(ray_t.columns) == list(sql_t.columns)
+    for col in ray_t.columns:
+        a, b = ray_t[col], sql_t[col]
+        assert a.isna().equals(b.isna()), col
+        mask = ~a.isna()
+        assert (a[mask] == b[mask]).all(), col
+
+
+def test_events_changelog_lsn_range_pushdown():
+    ds = cl.changelog_from_events(SF, lsn_lo=100, lsn_hi=200)
+    t = ds.to_pandas()
+    assert t["lsn"].min() >= 100 and t["lsn"].max() < 200
+    assert len(t) == 100
+
+
+def test_events_changelog_tool_args_mirror():
+    ray_t = (
+        cl.changelog_from_events(SF, tool_args_after=500)
+        .to_pandas()
+        .sort_values("lsn")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(SF, 'events.parquet')}'"
+    )
+    expr = cl.TOOL_ARGS_SQL.format(after=500)
+    sql_t = con.sql(
+        f"WITH {cl.CHANGELOG_CTE.strip()} "
+        f"SELECT *, {expr} AS tool_args FROM changelog ORDER BY lsn"
+    ).df()
+    a, b = ray_t["tool_args"], sql_t["tool_args"]
+    assert a.isna().equals(b.isna())
+    mask = ~a.isna()
+    assert (a[mask] == b[mask]).all()
