@@ -1,0 +1,102 @@
+"""Text export of triple records: N-Triples / N-Quads / TriG-style lines.
+
+Interop parity with the reference's serializers (SURVEY.md §2.2: TriG writer
+``rdf_star_etl_yarrrml.py:611-648``; format-by-extension dispatch
+``batch_cli.py:227-233``), re-expressed as a vectorized formatting
+``map_batches`` stage feeding ``Dataset.write_text`` — the lake stays
+Parquet; text formats are an export, not the store."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _escape_literal(arr):
+    """N-Triples literal escaping: backslash, quote, newline, CR, tab."""
+    for old, new in [
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ]:
+        arr = pc.replace_substring(arr, old, new)
+    return arr
+
+
+def _str_col(batch: pa.Table, name: str):
+    """Column as string type (all-null columns arrive as Arrow null type)."""
+    col = batch.column(name)
+    if pa.types.is_null(col.type):
+        return pa.nulls(batch.num_rows, pa.string())
+    return col
+
+
+def format_ntriples(batch: pa.Table, *, with_graph: bool = False) -> pa.Table:
+    subj = pc.binary_join_element_wise("<", batch.column("subject"), ">", "")
+    pred = pc.binary_join_element_wise("<", batch.column("predicate"), ">", "")
+    val = _str_col(batch, "object_value")
+    is_iri = pc.equal(batch.column("object_type"), "iri")
+    iri_obj = pc.binary_join_element_wise("<", val, ">", "")
+    lit = pc.binary_join_element_wise('"', _escape_literal(pc.fill_null(val, "")), '"', "")
+    dt = _str_col(batch, "object_datatype")
+    lang = _str_col(batch, "object_lang")
+    typed = pc.binary_join_element_wise(lit, "^^<", pc.fill_null(dt, ""), ">", "")
+    langed = pc.binary_join_element_wise(lit, "@", pc.fill_null(lang, ""), "")
+    lit_final = pc.if_else(
+        pc.is_valid(dt), typed, pc.if_else(pc.is_valid(lang), langed, lit)
+    )
+    obj = pc.if_else(is_iri, iri_obj, lit_final)
+    parts = [subj, pred, obj]
+    if with_graph and "graph" in batch.column_names:
+        g = _str_col(batch, "graph")
+        gq = pc.if_else(
+            pc.is_valid(g),
+            pc.binary_join_element_wise("<", pc.fill_null(g, ""), ">", ""),
+            pa.scalar(None, pa.string()),
+        )
+        line4 = pc.binary_join_element_wise(subj, pred, obj, gq, ".", " ")
+        line3 = pc.binary_join_element_wise(subj, pred, obj, ".", " ")
+        line = pc.if_else(pc.is_valid(g), line4, line3)
+    else:
+        line = pc.binary_join_element_wise(*parts, ".", " ")
+    return pa.table({"text": line})
+
+
+def export_lines(
+    triples: "rd.Dataset", *, fmt: str = "nt"
+) -> "rd.Dataset":
+    """Format triple records as text lines. ``fmt``: ``nt`` (N-Triples) or
+    ``nq`` (N-Quads, graph column as 4th term, reference format dispatch
+    ``batch_cli.py:227-233``)."""
+    if fmt not in ("nt", "nq"):
+        raise ValueError(f"unsupported export format: {fmt!r} (nt|nq)")
+    with_graph = fmt == "nq"
+    return triples.map_batches(
+        lambda b: format_ntriples(b, with_graph=with_graph),
+        batch_format="pyarrow",
+    )
+
+
+def export_to_path(triples: "rd.Dataset", path: str, *, fmt: str = "nt") -> None:
+    """Write formatted lines as sharded plain-text files (this Ray release
+    has no ``write_csv`` variant that omits headers/quoting reliably for raw
+    lines, so each task writes its shard directly — still streaming and
+    parallel, one file per block)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        lines = batch.column("text").to_pylist()
+        if lines:
+            shard = os.path.join(path, f"shard-{os.getpid()}-{id(batch):x}.{fmt}")
+            with open(shard, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n")
+        return pa.table({"n": [len(lines)]})
+
+    export_lines(triples, fmt=fmt).map_batches(
+        write_shard, batch_format="pyarrow"
+    ).count()

@@ -1,0 +1,200 @@
+"""Versioning / governance operations over the lake: diff, value history,
+status, compaction.
+
+Mirrors the reference's batch-manager operation set (SURVEY.md §2.8):
+``compare_batches`` (``batch_manager.py:432-504``), value-history /
+change-detection queries (``sparql/batch_queries.rq:482-569``), archive /
+delete lifecycle (``batch_manager.py:560-605``), and store compaction
+(``batch_manager.py:285-336``) — re-expressed over manifest-addressed Parquet
+snapshots.
+
+Scale note: :func:`diff` never shuffles — the two snapshots share the lake's
+partition assignment by construction, so each task classifies ONE partition's
+(A, B) file pair locally; parallelism is per-partition."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..schema import KEY_COLUMNS
+from ..state import manifest as mf
+
+#: payload columns compared for modified-vs-unchanged classification
+#: (identity columns and bookkeeping excluded)
+_NON_PAYLOAD = {*KEY_COLUMNS, "lsn", "partition_id"}
+
+CHANGE_ADDED = "added"
+CHANGE_REMOVED = "removed"
+CHANGE_MODIFIED = "modified"
+CHANGE_UNCHANGED = "unchanged"
+
+
+def classify_diff(a: pd.DataFrame | None, b: pd.DataFrame | None) -> pd.DataFrame:
+    """Set-algebra diff of two key-unique states (reference semantics,
+    ``batch_manager.py:432-504``): keys only in B → added, only in A →
+    removed, in both with equal payload → unchanged, else modified."""
+    key = list(KEY_COLUMNS)
+    if a is None or a.empty:
+        a = pd.DataFrame(columns=key)
+    if b is None or b.empty:
+        b = pd.DataFrame(columns=key)
+    payload = sorted(
+        (set(a.columns) | set(b.columns)) - _NON_PAYLOAD
+    )
+    for df in (a, b):
+        for c in payload:
+            if c not in df.columns:
+                df[c] = None
+    m = a[key + payload].merge(
+        b[key + payload], on=key, how="outer", indicator=True, suffixes=("_a", "_b")
+    )
+    ct = pd.Series(CHANGE_UNCHANGED, index=m.index, dtype=object)
+    ct[m["_merge"] == "right_only"] = CHANGE_ADDED
+    ct[m["_merge"] == "left_only"] = CHANGE_REMOVED
+    both = m["_merge"] == "both"
+    if both.any() and payload:
+        neq = pd.Series(False, index=m.index)
+        for c in payload:
+            ca, cb = m[f"{c}_a"], m[f"{c}_b"]
+            neq |= ~((ca == cb) | (ca.isna() & cb.isna()))
+        ct[both & neq] = CHANGE_MODIFIED
+    out = m[key].copy()
+    out["change_type"] = ct
+    return out
+
+
+def diff(lake_dir: str, lsn_a: int, lsn_b: int) -> "rd.Dataset":
+    """Distributed diff between the snapshots at two commit watermarks.
+    Returns rows ``(conv_id, turn_idx, change_type)``."""
+    va = mf.active_versions(lake_dir, at_lsn=lsn_a)
+    vb = mf.active_versions(lake_dir, at_lsn=lsn_b)
+    pids = sorted(set(va) | set(vb))
+    pairs = [
+        {
+            "partition_id": p,
+            "file_a": os.path.join(lake_dir, va[p].file) if p in va else "",
+            "file_b": os.path.join(lake_dir, vb[p].file) if p in vb else "",
+        }
+        for p in pids
+    ]
+    if not pairs:
+        return rd.from_items([]).limit(0)
+
+    def diff_partition(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, row in batch.iterrows():
+            a = pq.read_table(row["file_a"]).to_pandas() if row["file_a"] else None
+            b = pq.read_table(row["file_b"]).to_pandas() if row["file_b"] else None
+            outs.append(classify_diff(a, b))
+        return pd.concat(outs, ignore_index=True)
+
+    return rd.from_items(pairs).map_batches(
+        diff_partition, batch_format="pandas", batch_size=1
+    )
+
+
+def diff_summary(lake_dir: str, lsn_a: int, lsn_b: int) -> dict[str, int]:
+    """Counts per change type (the reference's DIFF_SUMMARY form,
+    ``sparql/batch_queries.rq:369-478``)."""
+    df = diff(lake_dir, lsn_a, lsn_b).to_pandas()
+    counts = df["change_type"].value_counts().to_dict()
+    return {
+        k: int(counts.get(k, 0))
+        for k in (CHANGE_ADDED, CHANGE_REMOVED, CHANGE_MODIFIED, CHANGE_UNCHANGED)
+    }
+
+
+def value_history(changelog: "rd.Dataset", *, num_partitions: int = 64) -> "rd.Dataset":
+    """Per-key change history over a change log: number of events, number of
+    live versions, number of actual text transitions, and the final op —
+    the reference's track-value-across-batches query
+    (``sparql/batch_queries.rq:482-530``) at row granularity.
+
+    One hash shuffle on the partition key, then a vectorized pandas
+    aggregation per partition."""
+    from ..stages.partition import make_partition_stage
+
+    stage = make_partition_stage(
+        num_partitions=num_partitions, salt_buckets=1, hot_convs=frozenset()
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        live = g[g["op"] != "delete"]
+        by = live.groupby(["conv_id", "turn_idx"], sort=False)
+        n_versions = by.size().rename("n_versions")
+        prev = by["text"].shift()
+        changed = (live["text"] != prev) | prev.isna()
+        n_changes = (
+            changed.groupby([live["conv_id"], live["turn_idx"]]).sum().rename("n_changes")
+        )
+        all_by = g.groupby(["conv_id", "turn_idx"], sort=False)
+        n_events = all_by.size().rename("n_events")
+        last_op = all_by["op"].last().rename("last_op")
+        out = (
+            pd.concat([n_events, last_op, n_versions, n_changes], axis=1)
+            .fillna({"n_versions": 0, "n_changes": 0})
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_versions"] = out["n_versions"].astype("int64")
+        out["n_changes"] = out["n_changes"].astype("int64")
+        return out
+
+    return (
+        changelog.map_batches(stage, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def compact(lake_dir: str, *, batch_id: str | None = None) -> int:
+    """Rewrite each partition's active version into a fresh single file
+    (drops superseded row versions' storage once old snapshots are no longer
+    needed) — descendant of the reference's store→store batch copy
+    (``batch_manager.py:285-336``). Returns partitions compacted."""
+    import time
+
+    from ..state.sink import commit_partition
+
+    active = mf.active_versions(lake_dir)
+    if batch_id is None:
+        top = max((r.lsn_hi for r in active.values()), default=0)
+        batch_id = f"compact-{top:020d}"
+    n = 0
+    for pid, rec in sorted(active.items()):
+        t = pq.read_table(os.path.join(lake_dir, rec.file))
+        commit_partition(
+            t,
+            lake_dir=lake_dir,
+            partition_id=pid,
+            batch_id=batch_id,
+            lsn_lo=rec.lsn_lo,
+            lsn_hi=rec.lsn_hi,
+            event_count=0,
+            wall_start=time.monotonic(),
+        )
+        n += 1
+    return n
+
+
+def status(lake_dir: str) -> dict:
+    """Lake-table status report (reference ``batch_cli.py status`` verb)."""
+    recs = mf.load_records(lake_dir)
+    active = mf.active_versions(lake_dir)
+    meta = mf.load_meta(lake_dir)
+    return {
+        "num_partitions": meta.num_partitions,
+        "salt_buckets": meta.salt_buckets,
+        "hot_convs": meta.hot_convs,
+        "commits": len(recs),
+        "active_versions": len(active),
+        "row_count": sum(r.row_count for r in active.values()),
+        "watermark_min": min((r.lsn_hi for r in active.values()), default=None),
+        "watermark_max": max((r.lsn_hi for r in active.values()), default=None),
+    }
