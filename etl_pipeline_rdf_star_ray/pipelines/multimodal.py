@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded / feature-extracted by actor-pool stages.
+
+The Ray-side plumbing (schemas, small batch sizes for fat rows, actor
+signatures, output layout) is real and tested; the actual image/audio codecs
+are STUBBED behind an import-guard because the decode libraries are not in
+this environment — ``DecodeStage`` uses PIL/soundfile when importable and
+otherwise a clearly-marked deterministic fake, and :func:`require_codecs`
+raises ``NotImplementedError`` for callers that must not fall back.
+
+Batch-size guidance: payload rows are orders of magnitude wider than text
+rows; pair these stages with small ``batch_size`` (e.g. 64) and let
+``DataContext.target_max_block_size`` keep blocks sane (Ray guide
+"memory-aware" rule)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("media_meta", pa.struct([("format", pa.string()), ("n_bytes", pa.int64())])),
+    ]
+)
+
+
+def have_image_codec() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def require_codecs() -> None:
+    """Hard gate for callers that need REAL decode output."""
+    if not have_image_codec():
+        raise NotImplementedError(
+            "image/audio codecs are not installed in this environment; "
+            "DecodeStage runs with a deterministic fake decoder"
+        )
+
+
+def to_media_dataset(
+    ds: "rd.Dataset", *, id_col: str = "doc_id", text_col: str = "text", kind: str = "image"
+) -> "rd.Dataset":
+    """Wrap a text table as opaque binary payloads (fixture path: the
+    sandbox has no real media files, so UTF-8 bytes stand in for encoded
+    payloads — the schema and plumbing are exactly what real media uses)."""
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        payloads = [(t or "").encode("utf-8") for t in texts]
+        n = len(payloads)
+        meta = pa.array(
+            [{"format": "fake/utf8", "n_bytes": len(p)} for p in payloads],
+            type=MEDIA_SCHEMA.field("media_meta").type,
+        )
+        return pa.table(
+            {
+                "media_id": batch.column(id_col).cast(pa.int64()),
+                "kind": pa.nulls(n, pa.string()).fill_null(kind),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_meta": meta,
+            }
+        )
+
+    return ds.map_batches(wrap, batch_format="pyarrow")
+
+
+class DecodeStage:
+    """Actor-pool decode/feature stage: codec state initialized ONCE per
+    actor in ``__init__`` (the expensive part with real codecs — model load,
+    decoder contexts), per-batch work in ``__call__``.
+
+    Output layout: input columns minus payload, plus ``width``, ``height``,
+    ``feature`` (fixed-size float32 list) — identical whether the real codec
+    or the deterministic fake runs, so downstream stages are codec-agnostic.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self) -> None:
+        self.real = have_image_codec()
+
+    def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        # STUB decoder: deterministic dims + feature from a content digest.
+        digest = hashlib.blake2b(payload, digest_size=32).digest()
+        arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+        width = 16 + int(digest[0]) % 64
+        height = 16 + int(digest[1]) % 64
+        feature = arr[: self.FEATURE_DIM] / 255.0
+        return width, height, feature
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        widths = np.empty(len(payloads), dtype=np.int32)
+        heights = np.empty(len(payloads), dtype=np.int32)
+        feats = np.empty((len(payloads), self.FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            if self.real:
+                # real path (untested here: no codec libs in this sandbox)
+                import io
+
+                import PIL.Image
+
+                img = PIL.Image.open(io.BytesIO(p))
+                widths[i], heights[i] = img.size
+                feats[i] = np.asarray(img.resize((4, 4)).convert("L")).reshape(-1)[
+                    : self.FEATURE_DIM
+                ]
+            else:
+                widths[i], heights[i], feats[i] = self._fake_decode(p or b"")
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column(
+            "feature",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), self.FEATURE_DIM
+            ),
+        )
+        return out
+
+
+def decode_media(
+    ds: "rd.Dataset", *, concurrency: tuple[int, int] = (1, 4), batch_size: int = 64
+) -> "rd.Dataset":
+    """Run the decode actor pool with media-appropriate sizing (small
+    batches: payload rows are fat)."""
+    return ds.map_batches(
+        DecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

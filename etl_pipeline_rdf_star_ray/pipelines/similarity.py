@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every batch does one numpy matmul; global top-k is a
+``sort().limit()`` over the (tiny) per-batch survivors. Scale path:
+random-hyperplane LSH bucketing — sign-pattern buckets assigned per batch,
+queries probe only their own bucket (approximate; recall grows with number
+of probed planes' neighborhoods)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def cosine_topk(
+    ds: "rd.Dataset",
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "rd.Dataset":
+    """Brute-force cosine top-k against one query vector. Per batch: keep
+    that batch's local top-k (numpy argpartition), then a global
+    ``sort(cosine desc, id asc).limit(k)`` over ≤ k·num_blocks survivors —
+    the full corpus is never collected anywhere.
+
+    Cosines are floored to 6 decimals (bit-identical with the DuckDB
+    ``list_cosine_similarity`` mirror)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids = batch.column(id_col).to_numpy()
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        sims = _normalize(mat) @ qv
+        sims = np.floor(sims * 1e6) / 1e6
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+        else:
+            part = np.arange(len(ids))
+        return pa.table(
+            {
+                id_col: pa.array(ids[part], pa.int64()),
+                "cosine": pa.array(sims[part], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def embedding_lsh_buckets(
+    ds: "rd.Dataset",
+    *,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> "rd.Dataset":
+    """Assign each vector its random-hyperplane sign bucket (0..2^planes-1).
+    The hyperplane matrix is drawn once from a seeded RNG inside each task —
+    identical everywhere, nothing shipped."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((mat.shape[1], num_planes))
+        signs = (mat @ planes) > 0
+        bucket = signs @ (1 << np.arange(num_planes, dtype=np.int64))
+        return batch.append_column(out_col, pa.array(bucket, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cosine_topk_lsh(
+    ds: "rd.Dataset",
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """Approximate top-k: probe only the query's LSH bucket, then brute-force
+    within it. Deterministic (seeded planes); recall < 1 by design — the
+    IVF/LSH scale path when the corpus no longer fits a broadcast."""
+    q = np.asarray(query, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((q.shape[0], num_planes))
+    qbucket = int(((q @ planes) > 0) @ (1 << np.arange(num_planes, dtype=np.int64)))
+    bucketed = embedding_lsh_buckets(
+        ds, vec_col=vec_col, num_planes=num_planes, seed=seed
+    )
+    import pyarrow.compute as pc
+
+    candidates = bucketed.map_batches(
+        lambda b: b.filter(pc.equal(b.column("bucket"), qbucket)),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)

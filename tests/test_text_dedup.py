@@ -1,0 +1,258 @@
+"""Text analysis + dedup family + similarity search, each checked against
+its DuckDB mirror where one exists (the same SQL used by __ray_entry__)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from etl_pipeline_rdf_star_ray.functions import text as tx
+from etl_pipeline_rdf_star_ray.pipelines import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def _docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _embs_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    return con
+
+
+def test_token_count_matches_sql():
+    t = pa.table({"text": ["a b  c", "  x ", "", "one", None]})
+    got = tx.token_count(t.column("text")).to_pylist()
+    assert got == [3, 1, 0, 1, None]
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = con.sql(
+        "SELECT CASE WHEN trim(text)='' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END FROM t"
+    ).fetchall()
+    assert [r[0] for r in sql] == [3, 1, 0, 1, None]
+
+
+def test_quality_features_match_sql():
+    ds = _docs_ds().map_batches(tx.quality_features, batch_format="pyarrow")
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = _con()
+    expect = con.sql(
+        """
+        SELECT doc_id,
+          CASE WHEN trim(text)='' THEN 0
+               ELSE len(string_split_regex(trim(text),'\\s+')) END::BIGINT AS n_tokens,
+          length(text)::BIGINT AS n_chars,
+          floor(length(regexp_replace(text,'\\s','','g'))::DOUBLE
+                / greatest(CASE WHEN trim(text)='' THEN 0
+                   ELSE len(string_split_regex(trim(text),'\\s+')) END, 1)
+                * 10000)/10000 AS mean_token_len,
+          floor(len(regexp_extract_all(lower(text),
+            '\\b(the|and|is|of|to|a|in|that)\\b'))::DOUBLE
+                / greatest(CASE WHEN trim(text)='' THEN 0
+                   ELSE len(string_split_regex(trim(text),'\\s+')) END, 1)
+                * 10000)/10000 AS stop_ratio
+        FROM documents ORDER BY doc_id
+        """
+    ).df()
+    assert (got["n_tokens"].values == expect["n_tokens"].values).all()
+    assert (got["n_chars"].values == expect["n_chars"].values).all()
+    assert np.array_equal(got["mean_token_len"].values, expect["mean_token_len"].values)
+    assert np.array_equal(got["stop_ratio"].values, expect["stop_ratio"].values)
+
+
+def test_langid_deterministic():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the hat is in that house",
+                "der hund und die katze ist nicht da",
+                "le chat et la maison est une belle",
+                "你好世界 漢字 漢字",
+                "zzz qqq www",
+            ]
+        }
+    )
+    out = tx.langid(t)["lang_pred"].to_pylist()
+    assert out == ["en", "de", "fr", "zh", "und"]
+
+
+def test_fingerprint_matches_duckdb_md5():
+    ds = _docs_ds().map_batches(tx.fingerprint_md5, batch_format="pyarrow")
+    got = (
+        ds.to_pandas()[["doc_id", "fingerprint"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = _con()
+    expect = con.sql(
+        "SELECT doc_id, md5(text) fingerprint FROM documents ORDER BY doc_id"
+    ).df()
+    assert (got["fingerprint"].values == expect["fingerprint"].values).all()
+
+
+def test_content_hash64_and_rolling_fingerprint_deterministic():
+    t = _docs().select(["doc_id", "text"])
+    a = tx.content_hash64(t)["h64"].to_pylist()
+    b = tx.content_hash64(t)["h64"].to_pylist()
+    assert a == b
+    r1 = tx.rolling_fingerprint(t.slice(0, 20))["winnow64"].to_pylist()
+    r2 = tx.rolling_fingerprint(t.slice(0, 20))["winnow64"].to_pylist()
+    assert r1 == r2 and len(set(r1)) > 1
+
+
+def test_dedup_exact_matches_sql():
+    got = dedup.dedup_exact(_docs_ds()).to_pandas()
+    con = _con()
+    expect = con.sql(
+        """
+        SELECT * FROM documents QUALIFY
+          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """
+    ).df()
+    assert len(got) == len(expect)
+    assert set(got["doc_id"]) == set(expect["doc_id"])
+
+
+def test_dedup_exact_removes_duplicates():
+    t = pa.table({"doc_id": [3, 1, 2, 4], "text": ["x", "x", "y", "y"]})
+    got = dedup.dedup_exact(rd.from_arrow(t)).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about ray data pipelines at scale",
+        "another unrelated document mentioning arrow and parquet files",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3, 4], "text": texts}))
+    pairs = dedup.dedup_minhash_lsh(
+        ds, config=dedup.MinHashConfig(jaccard_threshold=0.4)
+    ).to_pandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(1, 2)}
+    assert (pairs.jaccard >= 0.4).all()
+
+
+def test_minhash_signature_approximates_jaccard():
+    mh = dedup.MinHasher(dedup.MinHashConfig(num_perm=128))
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 xx yy"
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    true = dedup._true_jaccard(a, b, 3)
+    assert abs(est - true) < 0.25
+
+
+def test_simhash_near_dups():
+    # simhash with unit weights needs real-length docs: ~180 tokens with one
+    # occurrence changed lands within hamming<=3; short docs are out of scope
+    base = " ".join(f"tok{i}" for i in range(60))
+    d1 = (base + " ") * 3
+    d2 = d1.replace("tok7 ", "tok7x ", 1)
+    d3 = " ".join(f"other{i}" for i in range(60))
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "text": [d1, d2, d3]}))
+    pairs = dedup.dedup_simhash(ds).to_pandas()
+    assert (1, 2) in {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert 3 not in set(pairs.id_a) | set(pairs.id_b)
+
+
+def test_ngram_jaccard_matches_sql():
+    got = (
+        dedup.ngram_jaccard_pairs(_docs_ds(), threshold=0.5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = _con()
+    expect = con.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_distinct(array_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          FROM documents)
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               floor(len(list_intersect(a.t, b.t))::DOUBLE
+                     / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+                     * 1000000)/1000000 AS jaccard
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))::DOUBLE
+              / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+        ORDER BY id_a, id_b
+        """
+    ).df()
+    assert len(got) == len(expect)
+    if len(got):
+        assert (got["id_a"].values == expect["id_a"].values).all()
+        assert np.array_equal(got["jaccard"].values, expect["jaccard"].values)
+
+
+def test_cosine_topk_matches_sql():
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.array(embs.column("embedding")[0].as_py())
+    got = similarity.cosine_topk(_embs_ds(), q, k=5).to_pandas()
+    con = _con()
+    expect = con.sql(
+        """
+        WITH q AS (SELECT embedding e FROM embeddings ORDER BY vec_id LIMIT 1)
+        SELECT vec_id,
+               floor(list_cosine_similarity(embedding, (SELECT e FROM q))
+                     * 1000000)/1000000 AS cosine
+        FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 5
+        """
+    ).df()
+    assert got["vec_id"].tolist() == expect["vec_id"].tolist()
+    assert np.allclose(got["cosine"], expect["cosine"], atol=2e-6)
+
+
+def test_cosine_topk_lsh_probe_contains_query_vec():
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.array(embs.column("embedding")[0].as_py())
+    got = similarity.cosine_topk_lsh(_embs_ds(), q, k=5).to_pandas()
+    # the query's own vector lives in its own bucket → must surface first
+    assert got.iloc[0]["vec_id"] == 0
+    assert got.iloc[0]["cosine"] >= 0.999999 - 1e-6
+
+
+def test_multimodal_plumbing():
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    media = mm.to_media_dataset(_docs_ds())
+    decoded = mm.decode_media(media, batch_size=64).to_pandas()
+    assert len(decoded) == 500
+    assert {"media_id", "kind", "media_meta", "width", "height", "feature"} <= set(
+        decoded.columns
+    )
+    assert "payload" not in decoded.columns
+    assert decoded["width"].between(16, 80).all()
+    assert all(len(f) == mm.DecodeStage.FEATURE_DIM for f in decoded["feature"])
+    # deterministic across runs
+    again = mm.decode_media(mm.to_media_dataset(_docs_ds()), batch_size=64).to_pandas()
+    a = decoded.sort_values("media_id")["width"].tolist()
+    b = again.sort_values("media_id")["width"].tolist()
+    assert a == b
+
+
+def test_require_codecs_gate():
+    import pytest
+
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    if not mm.have_image_codec():
+        with pytest.raises(NotImplementedError):
+            mm.require_codecs()
