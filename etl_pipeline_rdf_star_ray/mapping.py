@@ -215,7 +215,9 @@ def _parse_subject(sdef) -> SubjectSpec:
                     sm.quoted_non_asserted = "quotedNonAsserted=" in fstr
                     eq = _JOIN_EQ.search(fstr)
                     if eq:
-                        sm.join_left, sm.join_right = eq.group(2), eq.group(1)
+                        # RML convention: str1 = child (this annotation map),
+                        # str2 = parent (the quoted map)
+                        sm.join_left, sm.join_right = eq.group(1), eq.group(2)
                 elif "quoted" in item or "quotedNonAsserted" in item:
                     sm.is_quoted = True
                     sm.quoted_non_asserted = "quotedNonAsserted" in item
@@ -379,8 +381,9 @@ def _stringify(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return col
     if pa.types.is_timestamp(t):
-        # ISO-8601 with microseconds; matches DuckDB strftime('%Y-%m-%dT%H:%M:%S.%f')
-        return pc.strftime(col, format="%Y-%m-%dT%H:%M:%S.%f")
+        # Arrow's %S includes the fractional seconds of the unit (always 6
+        # digits for us-precision); equals DuckDB strftime('...%S.%f')
+        return pc.strftime(col, format="%Y-%m-%dT%H:%M:%S")
     return pc.cast(col, pa.string())
 
 

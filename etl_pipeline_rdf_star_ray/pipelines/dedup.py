@@ -380,14 +380,15 @@ def embedding_neardup(
         bn = np.linalg.norm(b_mat, axis=1)
         bn[bn == 0] = 1.0
         sims = (b_mat / bn[:, None]) @ c_mat.T
-        bi, cj = np.where(sims >= threshold)
+        floored = np.floor((sims + 1e-9) * 1e4) / 1e4
+        bi, cj = np.where(floored >= threshold)
         keep = b_ids[bi] < c_ids[cj]
         return pa.table(
             {
                 "id_a": pa.array(b_ids[bi][keep], pa.int64()),
                 "id_b": pa.array(c_ids[cj][keep], pa.int64()),
                 "cosine": pa.array(
-                    np.floor(sims[bi, cj][keep] * 1e6) / 1e6, pa.float64()
+                    np.floor((sims[bi, cj][keep] + 1e-9) * 1e4) / 1e4, pa.float64()
                 ),
             }
         )

@@ -34,8 +34,9 @@ def cosine_topk(
     ``sort(cosine desc, id asc).limit(k)`` over ≤ k·num_blocks survivors —
     the full corpus is never collected anywhere.
 
-    Cosines are floored to 6 decimals (bit-identical with the DuckDB
-    ``list_cosine_similarity`` mirror)."""
+    Cosines are floored to 4 decimals — DuckDB's list_cosine_similarity
+    accumulates in float32 order and differs from numpy by ~1e-7, so 6-decimal
+    parity is unattainable; 4 keeps the comparison stable."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     qref = ray.put(qn)
@@ -45,7 +46,9 @@ def cosine_topk(
         ids = batch.column(id_col).to_numpy()
         mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
         sims = _normalize(mat) @ qv
-        sims = np.floor(sims * 1e6) / 1e6
+        # +1e-9 nudges exact grid values (e.g. self-similarity 1.0 computed as
+        # 0.999...98) onto the same side of the floor in both engines
+        sims = np.floor((sims + 1e-9) * 1e4) / 1e4
         if len(ids) > k:
             part = np.argpartition(-sims, k)[:k]
         else:

@@ -1,0 +1,662 @@
+"""Driver-facing query registry: one callable per implemented operator /
+pipeline (SURVEY.md §2), each paired with its DuckDB oracle SQL.
+
+Both sides of every pair are derived from the SAME definitions (the
+changelog CTE in ``sources/changelog.py``, the RE2 patterns in
+``functions/text.py``), so the driver's row-count + schema + value-hash
+comparison is a real correctness gate, not a coincidence. Queries without a
+SQL entry (minhash/simhash/LSH-probe/decode) are genuinely
+non-SQL-expressible and get the driver's rows-only check.
+
+Float discipline: money/aggregate sums are computed in exact int64 cents;
+derived ratios floor (not round) so both engines truncate identically;
+cosines floor to 4 decimals (DuckDB's float32 accumulation differs from
+numpy by ~1e-7)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .functions.text import (
+    LANG_PATTERNS,
+    fingerprint_md5,
+    langid,
+    quality_features,
+    token_count,
+)
+from .pipelines import analytics, cdc, dedup, multimodal, ops, similarity
+from .sources.changelog import CHANGELOG_CTE, TOOL_ARGS_SQL, changelog_from_events
+from .stages.annotate import (
+    annotate_broadcast,
+    annotation_quads,
+    build_annotation_index,
+    compile_annotation,
+)
+from .stages.lift import lift_dataset, transcripts_spec
+from .state.lake import read_state
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_RANKED = """
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT lsn, conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+"""
+
+_CDC_PREFIX = f"WITH {CHANGELOG_CTE.strip()}, {_RANKED.strip()}"
+
+#: point-in-time boundary: identical arithmetic in Python and SQL
+_T_SQL = "(SELECT CAST(floor(max(event_id) * 0.6) AS BIGINT) FROM events)"
+
+
+def _t_split(sf_dir: str) -> int:
+    max_lsn = pc.max(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).column(
+            "event_id"
+        )
+    ).as_py()
+    return int(np.floor(max_lsn * 0.6))
+
+
+def _max_lsn(sf_dir: str) -> int:
+    return pc.max(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).column(
+            "event_id"
+        )
+    ).as_py()
+
+
+def _fresh_lake(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"rdf-star-ray-lake-{tag}-")
+
+
+def _replayed_lake(sf_dir: str, tag: str, *, tool_args_after: int | None = None) -> tuple[str, int]:
+    """Replay the events-derived changelog through the durable lake in three
+    micro-batches split at T (the point-in-time boundary) — exercising the
+    full ingest → commit → resume machinery for every lake-backed query."""
+    lake = _fresh_lake(tag)
+    t = _t_split(sf_dir)
+    hi = _max_lsn(sf_dir) + 1
+    mid2 = t + 1 + (hi - t - 1) // 2
+
+    def factory(lo, h):
+        return changelog_from_events(
+            sf_dir,
+            lsn_lo=lo,
+            lsn_hi=h,
+            tool_args_after=tool_args_after,
+        )
+
+    cdc.replay(factory, lake, lsn_splits=[t + 1, mid2, hi], num_partitions=16)
+    return lake, t
+
+
+# ---------------------------------------------------------------------------
+# CDC queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_upsert_full(sf_dir: str):
+    """Streaming upsert (no sink): shuffle on salted conv_id partitions +
+    vectorized LWW merge."""
+    return cdc.upsert_dataset(
+        changelog_from_events(sf_dir), num_partitions=16, hot_convs=["conv_hot"]
+    )
+
+
+def q_cdc_upsert_lake(sf_dir: str):
+    """Durable path: 3 micro-batches through the exactly-once lake sink,
+    then a snapshot read."""
+    lake, _ = _replayed_lake(sf_dir, "lake")
+    return read_state(lake).drop_columns(["partition_id"])
+
+
+def q_cdc_point_in_time(sf_dir: str):
+    lake, t = _replayed_lake(sf_dir, "pit")
+    return read_state(lake, at_lsn=t).drop_columns(["partition_id"])
+
+
+def q_cdc_diff(sf_dir: str):
+    lake, t = _replayed_lake(sf_dir, "diff")
+    return ops.diff(lake, t, _max_lsn(sf_dir))
+
+
+def q_cdc_value_history(sf_dir: str):
+    return ops.value_history(changelog_from_events(sf_dir), num_partitions=16)
+
+
+def q_cdc_schema_evolution(sf_dir: str):
+    """tool_args appears only for lsn > T: early lake partitions widen via
+    Arrow schema unification, never rewritten."""
+    lake, _ = _replayed_lake(sf_dir, "evo", tool_args_after=_t_split(sf_dir))
+    return read_state(lake).drop_columns(["partition_id"])
+
+
+_STATE_COLS = "lsn, conv_id, turn_idx, role, text, tool, ts"
+
+ORACLE_CDC_FULL = f"{_CDC_PREFIX} SELECT {_STATE_COLS} FROM state"
+
+ORACLE_CDC_PIT = (
+    f"WITH {CHANGELOG_CTE.strip()}, "
+    f"""ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM changelog WHERE lsn <= {_T_SQL})
+SELECT {_STATE_COLS} FROM ranked WHERE rn = 1 AND op <> 'delete'"""
+)
+
+ORACLE_CDC_DIFF = (
+    f"WITH {CHANGELOG_CTE.strip()}, "
+    f"""snap AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM changelog WHERE lsn <= {_T_SQL}),
+a AS (SELECT * FROM snap WHERE rn = 1 AND op <> 'delete'),
+rankedb AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM changelog),
+b AS (SELECT * FROM rankedb WHERE rn = 1 AND op <> 'delete')
+SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+       coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+       CASE WHEN a.conv_id IS NULL THEN 'added'
+            WHEN b.conv_id IS NULL THEN 'removed'
+            WHEN a.text IS NOT DISTINCT FROM b.text
+             AND a.role IS NOT DISTINCT FROM b.role
+             AND a.tool IS NOT DISTINCT FROM b.tool
+             AND a.ts   IS NOT DISTINCT FROM b.ts
+            THEN 'unchanged' ELSE 'modified' END AS change_type
+FROM a FULL OUTER JOIN b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx"""
+)
+
+ORACLE_CDC_HISTORY = (
+    f"WITH {CHANGELOG_CTE.strip()}, "
+    """live AS (
+  SELECT conv_id, turn_idx, text, lsn,
+         lag(text) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) pt
+  FROM changelog WHERE op <> 'delete'),
+ver AS (
+  SELECT conv_id, turn_idx, count(*)::BIGINT n_versions,
+         sum(CASE WHEN pt IS NULL OR text <> pt THEN 1 ELSE 0 END)::BIGINT n_changes
+  FROM live GROUP BY 1, 2),
+ev AS (
+  SELECT conv_id, turn_idx, count(*)::BIGINT n_events, arg_max(op, lsn) last_op
+  FROM changelog GROUP BY 1, 2)
+SELECT ev.conv_id, ev.turn_idx, n_events, last_op,
+       coalesce(n_versions, 0) AS n_versions,
+       coalesce(n_changes, 0) AS n_changes
+FROM ev LEFT JOIN ver USING (conv_id, turn_idx)"""
+)
+
+# state rows are never deletes, so the op<>'delete' guard of TOOL_ARGS_SQL
+# reduces to the lsn threshold here
+ORACLE_CDC_EVOLUTION = (
+    f"{_CDC_PREFIX} SELECT {_STATE_COLS}, "
+    f"CASE WHEN lsn > {_T_SQL} THEN 'a' || CAST(lsn % 13 AS VARCHAR) "
+    "ELSE NULL END AS tool_args FROM state"
+)
+
+# ---------------------------------------------------------------------------
+# mapping lift + annotation join
+# ---------------------------------------------------------------------------
+
+
+def q_lift_triples(sf_dir: str):
+    state = cdc.upsert_dataset(
+        changelog_from_events(sf_dir), num_partitions=16, hot_convs=["conv_hot"]
+    )
+    return lift_dataset(state, transcripts_spec())
+
+
+_EX = "http://example.org/"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _lift_branch(pred: str, value_sql: str, *, otype="literal",
+                 dt="CAST(NULL AS VARCHAR)", lang="CAST(NULL AS VARCHAR)",
+                 map_name="turnTM", subject_sql=None, where="") -> str:
+    subject_sql = subject_sql or (
+        f"'{_EX}turn/' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
+    )
+    return (
+        f"SELECT {subject_sql} AS subject, '{pred}' AS predicate, "
+        f"{value_sql} AS object_value, '{otype}' AS object_type, "
+        f"{dt} AS object_datatype, {lang} AS object_lang, "
+        f"CAST(NULL AS VARCHAR) AS graph, '{map_name}' AS map_name "
+        f"FROM state {where}"
+    )
+
+
+ORACLE_LIFT = (
+    _CDC_PREFIX
+    + " "
+    + " UNION ALL ".join(
+        [
+            _lift_branch(_RDF_TYPE, f"'{_EX}Turn'", otype="iri"),
+            _lift_branch(
+                f"{_EX}role", "role", where="WHERE role IS NOT NULL AND role <> ''"
+            ),
+            _lift_branch(
+                f"{_EX}text",
+                "text",
+                dt=f"'{_XSD}string'",
+                where="WHERE text IS NOT NULL AND text <> ''",
+            ),
+            _lift_branch(
+                f"{_EX}tool", "tool", where="WHERE tool IS NOT NULL AND tool <> ''"
+            ),
+            _lift_branch(
+                f"{_EX}ts",
+                "strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')",
+                dt=f"'{_XSD}dateTime'",
+                where="WHERE ts IS NOT NULL",
+            ),
+            _lift_branch(
+                f"{_EX}conversation", f"'{_EX}conv/' || conv_id", otype="iri"
+            ),
+            _lift_branch(
+                _RDF_TYPE,
+                f"'{_EX}Conversation'",
+                otype="iri",
+                map_name="convTM",
+                subject_sql=f"'{_EX}conv/' || conv_id",
+            ),
+        ]
+    )
+)
+
+_ANNOTATION_YAML = """
+prefixes:
+  ex: "http://example.org/"
+mappings:
+  custTM:
+    sources: [['customer~parquet']]
+    subject: ex:customer/$(c_custkey)
+    predicateobjects:
+      - [ex:segment, $(c_mktsegment)]
+  nationAnnTM:
+    sources: [['nation~parquet']]
+    subject:
+      - function: join(quoted=custTM, equal(str1=$(n_nationkey), str2=$(c_nationkey)))
+    predicateobjects:
+      - [ex:nationName, $(n_name)]
+"""
+
+
+def q_annotation_join(sf_dir: str):
+    """Reference-shaped RDF-star annotation join (customer facts annotated
+    with nation metadata), flattened to annotation quads."""
+    from .mapping import parse_yarrrml
+
+    spec = parse_yarrrml(_ANNOTATION_YAML)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_nationkey"]
+    )
+    triples = lift_dataset(
+        cust, spec, ["custTM"], carry_columns=("c_nationkey",)
+    )
+    kernel = compile_annotation(spec, "nationAnnTM")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    index = build_annotation_index(nation, kernel)
+    annotated = annotate_broadcast(
+        triples, index, key_column="c_nationkey", only_map="custTM"
+    )
+    return annotation_quads(annotated)
+
+
+ORACLE_ANNOTATION = f"""
+SELECT '<< {_EX}customer/' || CAST(c.c_custkey AS VARCHAR)
+       || ' {_EX}segment ' || c.c_mktsegment || ' >>' AS subject,
+       '{_EX}nationName' AS predicate,
+       n.n_name AS object_value,
+       CAST(NULL AS VARCHAR) AS object_datatype
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+# ---------------------------------------------------------------------------
+# analytics
+# ---------------------------------------------------------------------------
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+         AS sum_base,
+       floor(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100 * 10000) / 10000 AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLE_TOP_CUSTOMERS = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_c
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       CAST(total_c AS DOUBLE) / 100 AS revenue
+FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+ORDER BY revenue DESC, c.c_custkey LIMIT 10
+"""
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+ORACLE_EVENT_TYPES = "SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1"
+
+ORACLE_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE_SESSIONS = """
+WITH w AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
+FROM w GROUP BY user_id
+"""
+
+ORACLE_LINEITEM_FILTER = """
+SELECT count(*)::BIGINT AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+ORACLE_DEDUP_EXACT = """
+SELECT * FROM documents QUALIFY
+  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_distinct(array_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.t, b.t))::DOUBLE
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+             * 1000000) / 1000000 AS jaccard
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.t, b.t))::DOUBLE
+      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+"""
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 0.000000001) * 10000) / 10000
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) + 0.000000001) * 10000) / 10000
+      >= 0.35
+"""
+
+_N_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id, {_N_TOKENS_SQL}::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  {_N_TOKENS_SQL}::BIGINT AS n_tokens,
+  CASE WHEN {_N_TOKENS_SQL} = 0 THEN 0 ELSE
+    floor(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+          / {_N_TOKENS_SQL} * 10000) / 10000 END AS mean_token_len,
+  CASE WHEN length(text) = 0 THEN 0 ELSE
+    floor(len(regexp_extract_all(text, '[A-Z]'))::DOUBLE
+          / length(text) * 10000) / 10000 END AS upper_ratio,
+  CASE WHEN length(text) = 0 THEN 0 ELSE
+    floor(len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+          / length(text) * 10000) / 10000 END AS digit_ratio,
+  CASE WHEN {_N_TOKENS_SQL} = 0 THEN 0 ELSE
+    floor(len(regexp_extract_all(lower(text), '{LANG_PATTERNS["en"]}'))::DOUBLE
+          / {_N_TOKENS_SQL} * 10000) / 10000 END AS stop_ratio,
+  floor(least({_N_TOKENS_SQL}, 200)::DOUBLE / 200
+        * (1 - CASE WHEN length(text) = 0 THEN 0 ELSE
+             floor(len(regexp_extract_all(text, '[A-Z]'))::DOUBLE
+                   / length(text) * 10000) / 10000 END)
+        * (1 - CASE WHEN length(text) = 0 THEN 0 ELSE
+             floor(len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+                   / length(text) * 10000) / 10000 END)
+        * 10000) / 10000 AS quality_score
+FROM documents
+"""
+
+_LANG_COUNTS = ", ".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lang}"
+    for lang, pat in LANG_PATTERNS.items()
+)
+
+ORACLE_LANGID = f"""
+WITH c AS (SELECT doc_id, {_LANG_COUNTS} FROM documents)
+SELECT doc_id,
+  CASE WHEN c_zh + c_de + c_fr + c_es + c_en = 0 THEN 'und'
+       WHEN c_zh >= c_de AND c_zh >= c_fr AND c_zh >= c_es AND c_zh >= c_en THEN 'zh'
+       WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_en THEN 'de'
+       WHEN c_fr >= c_es AND c_fr >= c_en THEN 'fr'
+       WHEN c_es >= c_en THEN 'es'
+       ELSE 'en' END AS lang_pred
+FROM c
+"""
+
+ORACLE_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       floor((list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) + 0.000000001) * 10000) / 10000
+         AS cosine
+FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS media_id, 'image' AS kind, strlen(text)::BIGINT AS n_bytes
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_features, batch_format="pyarrow")
+
+
+def q_text_token_count(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": token_count(batch.column("text")),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def q_text_langid(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(langid, batch_format="pyarrow").drop_columns(["text"])
+
+
+def q_text_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_md5, batch_format="pyarrow").drop_columns(
+        ["text"]
+    )
+
+
+def q_similarity_topk(sf_dir: str):
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")[0]
+        .as_py()
+    )
+    return similarity.cosine_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10
+    )
+
+
+def q_similarity_topk_lsh(sf_dir: str):
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .column("embedding")[0]
+        .as_py()
+    )
+    return similarity.cosine_topk_lsh(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10
+    )
+
+
+def q_multimodal_meta(sf_dir: str):
+    media = multimodal.to_media_dataset(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": batch.column("media_meta").combine_chunks().field("n_bytes"),
+            }
+        )
+
+    return media.map_batches(meta, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    media = multimodal.to_media_dataset(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    return multimodal.decode_media(media).drop_columns(["media_meta", "feature"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    return {
+        # CDC core
+        "cdc_upsert_full": q_cdc_upsert_full,
+        "cdc_upsert_lake": q_cdc_upsert_lake,
+        "cdc_point_in_time": q_cdc_point_in_time,
+        "cdc_diff": q_cdc_diff,
+        "cdc_value_history": q_cdc_value_history,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        # mapping
+        "lift_triples": q_lift_triples,
+        "annotation_join": q_annotation_join,
+        # analytics
+        "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
+        "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
+        "topk_orders": lambda sf: analytics.top_orders(sf),
+        "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
+        "events_hourly": lambda sf: analytics.events_hourly(sf),
+        "user_sessions": lambda sf: analytics.user_sessions(sf),
+        "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
+        # training-data ops
+        "dedup_exact": lambda sf: dedup.dedup_exact(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
+            rd.read_parquet(f"{sf}/documents.parquet"), threshold=0.5
+        ),
+        "dedup_minhash_lsh": lambda sf: dedup.dedup_minhash_lsh(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ),
+        "dedup_simhash": lambda sf: dedup.dedup_simhash(
+            rd.read_parquet(f"{sf}/documents.parquet")
+        ),
+        "dedup_embedding": lambda sf: dedup.embedding_neardup(
+            rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.35
+        ),
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_lsh": q_similarity_topk_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "cdc_upsert_full": ORACLE_CDC_FULL,
+        "cdc_upsert_lake": ORACLE_CDC_FULL,
+        "cdc_point_in_time": ORACLE_CDC_PIT,
+        "cdc_diff": ORACLE_CDC_DIFF,
+        "cdc_value_history": ORACLE_CDC_HISTORY,
+        "cdc_schema_evolution": ORACLE_CDC_EVOLUTION,
+        "lift_triples": ORACLE_LIFT,
+        "annotation_join": ORACLE_ANNOTATION,
+        "agg_pricing_summary": ORACLE_PRICING,
+        "join_top_customers": ORACLE_TOP_CUSTOMERS,
+        "topk_orders": ORACLE_TOP_ORDERS,
+        "distinct_event_types": ORACLE_EVENT_TYPES,
+        "events_hourly": ORACLE_EVENTS_HOURLY,
+        "user_sessions": ORACLE_SESSIONS,
+        "filter_lineitem_stats": ORACLE_LINEITEM_FILTER,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+        "text_token_count": ORACLE_TOKEN_COUNT,
+        "text_quality": ORACLE_QUALITY,
+        "text_langid": ORACLE_LANGID,
+        "text_fingerprint": ORACLE_FINGERPRINT,
+        "similarity_topk": ORACLE_SIM_TOPK,
+        "multimodal_meta": ORACLE_MULTIMODAL_META,
+        # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
+        # similarity_topk_lsh, multimodal_decode — stateful/hash/approx ops
+        # with no faithful SQL form
+    }
+
+
+def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship: events-derived transcript CDC changelog → 3 micro-batch
+    exactly-once lake replay → snapshot read of the final transcripts table."""
+    lake, _ = _replayed_lake(sf_dir, "entry")
+    return read_state(lake)

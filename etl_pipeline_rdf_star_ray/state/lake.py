@@ -40,7 +40,12 @@ def read_state(
             {n: [] for n in CHANGELOG_SCHEMA.names if n != "op"},
         ).cast(pa.schema([f for f in CHANGELOG_SCHEMA if f.name != "op"]))
         return rd.from_arrow(empty)
-    return rd.read_parquet(files, columns=columns)
+    ds = rd.read_parquet(files, columns=columns)
+    # the part=NNNNN directory layout is hive-parsed into a spurious "part"
+    # column by the reader; the real partition id is the stored partition_id
+    if "part" in ds.schema().names:
+        ds = ds.drop_columns(["part"])
+    return ds
 
 
 def state_table(lake_dir: str, *, at_lsn: int | None = None) -> pa.Table:

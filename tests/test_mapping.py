@@ -92,7 +92,7 @@ mappings:
     sources:
       - ['lineage.csv~csv']
     subject:
-      - function: join(quoted=person, equal(str1=$(id), str2=$(person_id)))
+      - function: join(quoted=person, equal(str1=$(person_id), str2=$(id)))
     po:
       - [ex:confidence, $(conf), xsd:decimal]
 """
@@ -124,9 +124,7 @@ def test_parse_quoted_join():
     spec = parse_yarrrml(FULL_YAML)
     q = spec.maps["annot"].subject
     assert q.is_quoted and q.quoted_ref == "person"
-    # str1 = annotation side? reference: equal(str1=$(a), str2=$(b)) joins
-    # annotation rows to cached triples; we map str2→annotation col (left),
-    # str1→quoted-map col (right)
+    # RML convention: str1 = child/annotation-side column, str2 = parent
     assert q.join_left == "person_id" and q.join_right == "id"
 
 
