@@ -15,9 +15,17 @@ for conversation ids where uniques << rows.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
+
+# polars sizes its thread pool to ALL machine cores at import; inside Ray
+# workers that oversubscribes (workers × cores threads). One thread per
+# worker is right — Ray provides the process-level parallelism. Must be set
+# before the first polars import in each worker process; this module is
+# imported before any polars use in this package.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 __all__ = [
     "hash64_str",
@@ -64,6 +72,22 @@ def hash64_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         out[mask] = 0
         return out
     return uniq[codes.astype(np.int64)]
+
+
+def xxh64_column(arr: pa.ChunkedArray | pa.Array, *, seed: int = 42) -> np.ndarray:
+    """Vectorized 64-bit string hash via polars (xxhash family): C-speed for
+    ANY key cardinality, deterministic for a fixed polars version. Lake
+    tables pin their hash implementation in ``TableMeta.key_hash`` — a table
+    created with ``xxh64`` must be read/written with the same polars major
+    version (production would vendor a fixed xxhash64); ``blake2b``
+    (:func:`hash64_column`) is the portable-forever alternative, efficient
+    when unique keys ≪ rows."""
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pl.from_arrow(arr)
+    return s.hash(seed=seed).to_numpy().astype(_U64)
 
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:

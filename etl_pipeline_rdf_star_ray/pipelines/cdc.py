@@ -44,12 +44,26 @@ def ingest(
     num_partitions: int = 64,
     salt_buckets: int = 8,
     hot_convs: list[str] | str = "auto",
+    coalesce_blocks: int | None = None,
+    method: str = "exchange",
 ) -> pa.Table:
     """Apply one micro-batch of change events to the lake table.
 
     Returns the manifest rows of this ingest (one per touched partition).
     Safe to re-run with the same input: the watermark filter drops all
     already-committed events and nothing is rewritten.
+
+    ``method``: ``"exchange"`` (default) streams batches through the merger
+    actor pool (``stages/exchange.py``) — no sort, near-linear scaling;
+    ``"shuffle"`` uses ``groupby(partition_id).map_groups`` (simpler, but
+    Ray's sort shuffle has a serial phase that caps throughput ~450k
+    events/s on this node regardless of CPUs — BASELINE.md).
+
+    ``coalesce_blocks``: shuffle cost scales with map-side block COUNT, not
+    bytes — a log read as hundreds of tiny blocks pays quadratic slice
+    fan-out in the sort shuffle. Coalescing to ~num_cpus blocks before the
+    shuffle cut wall time 5× at 2M events (BENCH notes); size blocks toward
+    ``DataContext.target_max_block_size`` at real scale instead.
     """
     default_meta = mf.TableMeta(
         num_partitions=num_partitions, salt_buckets=salt_buckets
@@ -79,8 +93,23 @@ def ingest(
         salt_buckets=meta.salt_buckets,
         hot_convs=frozenset(meta.hot_convs),
         watermarks=wm,
+        key_hash=meta.key_hash,
     )
+    if coalesce_blocks:
+        changelog = changelog.repartition(coalesce_blocks)
     partitioned = changelog.map_batches(stage, batch_format="pyarrow")
+
+    if method == "exchange":
+        from ..stages.exchange import exchange_ingest
+
+        recs = exchange_ingest(
+            partitioned,
+            lake_dir,
+            batch_id=batch_id,
+            num_partitions=meta.num_partitions,
+            active_files=active,
+        )
+        return _manifest_table([mf.CommitRecord(**r) for r in recs])
 
     def merge_commit(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()

@@ -27,24 +27,71 @@ from ..functions.text import fingerprint_md5
 # ---------------------------------------------------------------------------
 
 
-def dedup_exact(
-    ds: "rd.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+def _with_shard(key_source, num_shards: int):
+    """Build a map_batches fn appending ``shard = hash(key) % num_shards``.
+    ``key_source(batch) -> np.uint64`` array."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        h = splitmix64(key_source(batch))
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(num_shards)).astype(np.int32))
+        )
+
+    return stage
+
+
+def sharded_groups(
+    ds: "rd.Dataset",
+    key_source,
+    shard_fn,
+    *,
+    num_shards: int = 64,
 ) -> "rd.Dataset":
-    """Exact dedup: keep the lowest-id row per distinct text. Hash-partition
-    on the content fingerprint, take first per group (SQL mirror:
+    """Group-parallel processing WITHOUT per-group task overhead: rows are
+    hash-sharded on their group key (all rows of one group land in one
+    shard), one task runs per SHARD, and ``shard_fn`` does the fine-grained
+    per-group work with vectorized pandas inside.
+
+    Ray's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per group —
+    with tens of thousands of tiny groups (LSH buckets, fingerprints) the
+    per-call overhead dominates by 10×+; this pattern keeps the shuffle and
+    pushes the loop into C."""
+    return (
+        ds.map_batches(_with_shard(key_source, num_shards), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_fn, batch_format="pandas")
+    )
+
+
+def dedup_exact(
+    ds: "rd.Dataset", *, text_col: str = "text", id_col: str = "doc_id",
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Exact dedup: keep the lowest-id row per distinct text. Hash-shard on
+    the content fingerprint, vectorized first-per-fingerprint inside each
+    shard (SQL mirror:
     ``QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)=1``).
     """
+    from ..functions.hashing import xxh64_column
+
     with_fp = ds.map_batches(
         lambda b: fingerprint_md5(b, text_col=text_col), batch_format="pyarrow"
     )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(id_col, kind="mergesort")
+            .drop_duplicates("fingerprint", keep="first")
+            .drop(columns=["fingerprint", "shard"])
+        )
 
-    return (
-        with_fp.groupby("fingerprint")
-        .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["fingerprint"])
+    return sharded_groups(
+        with_fp,
+        lambda b: xxh64_column(b.column("fingerprint")),
+        per_shard,
+        num_shards=num_shards,
     )
 
 
@@ -82,6 +129,9 @@ def _word_shingles(text: str, k: int) -> np.ndarray:
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+#: byte-wise popcount lookup (vectorized Hamming distance)
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 class MinHasher:
@@ -139,6 +189,7 @@ def _band_rows(batch: pa.Table, cfg: MinHashConfig, id_col: str, text_col: str) 
         {
             id_col: batch.column(id_col).take(pa.array(take)),
             text_col: batch.column(text_col).take(pa.array(take)),
+            "minhash": batch.column("minhash").take(pa.array(take)),
             "band_id": pa.array(np.tile(np.arange(cfg.bands, dtype=np.int32), n)),
             "band_hash": pa.array(band_hashes.reshape(-1), pa.uint64()),
         }
@@ -182,29 +233,63 @@ def dedup_minhash_lsh(
         lambda b: _band_rows(b, cfg, id_col, text_col), batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        texts = g[text_col].to_numpy()
+    def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        """All buckets of one shard: C-speed bucket grouping, per-bucket
+        work only for the (rare) buckets with ≥2 docs. Inside a bucket: a
+        vectorized signature-agreement matrix pre-filters pairs, true
+        Jaccard verifies survivors (shingles computed once per doc)."""
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = _true_jaccard(texts[i], texts[j], cfg.shingle_k)
+        cut = max(0.0, cfg.jaccard_threshold - 0.2)
+        sizes = shard.groupby(["band_id", "band_hash"], sort=False)
+        for _, g in sizes:
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col).head(max_bucket)
+            ids = g[id_col].to_numpy()
+            texts = g[text_col].to_numpy()
+            sigs = np.stack(g["minhash"].to_numpy())
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.where(np.triu(eq >= cut, k=1))
+            shingles = {
+                i: _word_shingles(texts[i] or "", cfg.shingle_k)
+                for i in set(ii) | set(jj)
+            }
+            for i, j in zip(ii, jj):
+                sa, sb = shingles[i], shingles[j]
+                if len(sa) == 0 or len(sb) == 0:
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac = inter / (len(sa) + len(sb) - inter)
                 if jac >= cfg.jaccard_threshold:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
                     out_j.append(jac)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    from ..functions.hashing import combine64
+
+    pairs = sharded_groups(
+        bands,
+        lambda b: combine64(
+            b.column("band_hash").to_numpy().astype(np.uint64),
+            b.column("band_id").to_numpy().astype(np.uint64),
+        ),
+        shard_pairs,
     )
 
-    # same pair can surface from several bands → dedup on (id_a, id_b)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # the same pair can surface from several bands → global pair dedup,
+    # again sharded (not per-group tasks)
+    def dedup_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        return shard.drop_duplicates(["id_a", "id_b"]).drop(columns=["shard"])
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    return sharded_groups(
+        pairs,
+        lambda b: combine64(
+            b.column("id_a").to_numpy().astype(np.uint64),
+            b.column("id_b").to_numpy().astype(np.uint64),
+        ),
+        dedup_shard,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -275,28 +360,48 @@ def dedup_simhash(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        if len(ii) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        x = hs[ii] ^ hs[jj]
-        ham = np.array([bin(v).count("1") for v in x])
-        keep = ham <= cfg.max_hamming
+    def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, g in shard.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids)
+            ids, hs = ids[order], hs[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            x = hs[ii] ^ hs[jj]
+            # vectorized popcount via uint8 view + lookup table
+            ham = _POPCOUNT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            keep = ham <= cfg.max_hamming
+            out_a.extend(ids[ii[keep]])
+            out_b.extend(ids[jj[keep]])
+            out_h.extend(ham[keep])
         return pd.DataFrame(
-            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "hamming": ham[keep]}
+            {"id_a": out_a, "id_b": out_b, "hamming": np.array(out_h, np.int64)}
         )
 
-    pairs = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from ..functions.hashing import combine64
+
+    pairs = sharded_groups(
+        signed.map_batches(explode, batch_format="pyarrow"),
+        lambda b: combine64(
+            b.column("band_hash").to_numpy().astype(np.uint64),
+            b.column("band_id").to_numpy().astype(np.uint64),
+        ),
+        shard_pairs,
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def dedup_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        return shard.drop_duplicates(["id_a", "id_b"]).drop(columns=["shard"])
+
+    return sharded_groups(
+        pairs,
+        lambda b: combine64(
+            b.column("id_a").to_numpy().astype(np.uint64),
+            b.column("id_b").to_numpy().astype(np.uint64),
+        ),
+        dedup_shard,
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -69,48 +70,93 @@ class AnnotationKernel:
         return pa.concat_tables(parts)
 
 
+class AnnotationIndex:
+    """Broadcast-ready annotation index: one SORTED uint64 key-hash array
+    with group offsets over one flat Arrow struct array — built once on the
+    driver (all vectorized), shipped once via ``ray.put``, probed per batch
+    with ``np.searchsorted`` (pure C). This replaces the reference's
+    in-process ``{key: [triples]}`` Python index
+    (``rdf_star_etl_yarrrml.py:477-485``) with a structure whose lookup does
+    no per-row Python. 64-bit key hashing: a collision would merge two keys'
+    annotation lists — probability ~n²/2⁶⁴, negligible for any broadcastable
+    side."""
+
+    def __init__(self, key_hashes: np.ndarray, offsets: np.ndarray,
+                 values: pa.Array, n_keys: int):
+        self.key_hashes = key_hashes  # sorted uint64
+        self.offsets = offsets  # int64, len = n_keys + 1
+        self.values = values  # ANNOTATION_STRUCT array, grouped by key
+        self.n_keys = n_keys
+
+    def __len__(self) -> int:
+        return self.n_keys
+
+
+def _hash_keys(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    from ..functions.hashing import xxh64_column
+
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+    return xxh64_column(arr)
+
+
 def build_annotation_index(
     ann_table: pa.Table, kernel: AnnotationKernel
-) -> dict[str, list[dict]]:
-    """Driver-side aggregation of the (small) annotation side into
-    ``{join_key: [annotation structs]}`` for broadcast."""
+) -> AnnotationIndex:
+    """Driver-side vectorized aggregation of the (small) annotation side:
+    flatten → hash keys → sort → group boundaries. O(n log n), no Python
+    rows."""
     flat = kernel.flatten(ann_table)
-    index: dict[str, list[dict]] = {}
-    for row in flat.to_pylist():
-        index.setdefault(str(row["key"]), []).append(
-            {
-                "predicate": row["predicate"],
-                "value": row["value"],
-                "datatype": row["datatype"],
-            }
+    if flat.num_rows and flat.column("key").null_count:
+        flat = flat.filter(pc.is_valid(flat.column("key")))
+    n = flat.num_rows
+    if n == 0:
+        return AnnotationIndex(
+            np.empty(0, np.uint64), np.zeros(1, np.int64),
+            pa.array([], ANNOTATION_STRUCT), 0,
         )
-    return index
+    kh = _hash_keys(flat.column("key").combine_chunks())
+    order = np.argsort(kh, kind="stable")
+    kh = kh[order]
+    sorted_flat = flat.take(pa.array(order))
+    values = pa.StructArray.from_arrays(
+        [
+            sorted_flat.column("predicate").combine_chunks(),
+            sorted_flat.column("value").combine_chunks(),
+            sorted_flat.column("datatype").combine_chunks(),
+        ],
+        fields=list(ANNOTATION_STRUCT),
+    )
+    starts = np.concatenate([[0], np.flatnonzero(kh[1:] != kh[:-1]) + 1])
+    offsets = np.concatenate([starts, [n]]).astype(np.int64)
+    return AnnotationIndex(kh[starts], offsets, values, len(starts))
 
 
 def annotate_broadcast(
     triples: "rd.Dataset",
-    index: dict[str, list[dict]],
+    index: AnnotationIndex,
     *,
     key_column: str,
     only_map: str | None = None,
+    subject_contains: str | None = None,
 ) -> "rd.Dataset":
     """Attach the broadcast annotation index as an ``annotations`` list
     column. ``ray.put`` ships the index to the object store ONCE; every task
     reads the same copy (SURVEY.md §4.2 broadcast-join rule).
 
-    ``only_map`` restricts annotation eligibility to triples produced by one
-    triples map — the analog of the reference's subject-URI filter
-    (``rdf_star_etl_yarrrml.py:482-484``).
+    Eligibility filters: ``only_map`` restricts to triples produced by one
+    triples map; ``subject_contains`` is the reference's exact subject-URI
+    substring filter (``'/dataset/'``, ``rdf_star_etl_yarrrml.py:482-484``).
     """
     index_ref = ray.put(index)
 
     def attach(batch: pa.Table) -> pa.Table:
-        idx = ray.get(index_ref)
+        idx: AnnotationIndex = ray.get(index_ref)
         n = batch.num_rows
         keys = batch.column(key_column) if key_column in batch.column_names else None
         offsets = np.zeros(n + 1, dtype=np.int64)
         values = pa.array([], type=ANNOTATION_STRUCT)
-        if keys is not None and idx and n:
+        if keys is not None and len(idx) and n:
             eligible = np.ones(n, dtype=bool)
             if only_map is not None and "map_name" in batch.column_names:
                 eligible = (
@@ -119,31 +165,28 @@ def annotate_broadcast(
                     .to_numpy(zero_copy_only=False)
                     == only_map
                 )
-            # Python work is O(unique keys): look up each unique once, build
-            # one flat unique-items array, then scatter per row with numpy
-            d = keys.combine_chunks().dictionary_encode()
-            uniq = d.dictionary.to_pylist()
-            per_uniq = [idx.get(str(u), []) if u is not None else [] for u in uniq]
-            uniq_len = np.array([len(x) for x in per_uniq], dtype=np.int64)
-            uniq_off = np.concatenate([[0], np.cumsum(uniq_len)])[:-1]
-            uniq_flat: list[dict] = [item for items in per_uniq for item in items]
-            codes = d.indices.to_numpy(zero_copy_only=False)
-            valid = codes is not None and not np.issubdtype(codes.dtype, np.floating)
-            if not valid:  # nulls → float codes with NaN
-                mask = np.isnan(codes)
-                codes = np.where(mask, 0, codes).astype(np.int64)
-                eligible = eligible & ~mask
-            codes = codes.astype(np.int64)
-            lens_row = np.where(eligible, uniq_len[codes], 0)
-            starts_row = uniq_off[codes]
+            if subject_contains is not None:
+                eligible &= (
+                    pc.match_substring(batch.column("subject"), subject_contains)
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool)
+                )
+            keys = keys.combine_chunks()
+            if keys.null_count:
+                eligible &= ~np.asarray(keys.is_null())
+            kh = _hash_keys(keys)
+            # binary search the sorted broadcast index — pure C per batch
+            pos = np.searchsorted(idx.key_hashes, kh)
+            pos_c = np.minimum(pos, len(idx) - 1)
+            found = eligible & (idx.key_hashes[pos_c] == kh)
+            lens_row = np.where(found, idx.offsets[pos_c + 1] - idx.offsets[pos_c], 0)
+            starts_row = idx.offsets[pos_c]
             total = int(lens_row.sum())
             if total:
                 grp_start = np.repeat(np.cumsum(lens_row) - lens_row, lens_row)
-                take = np.repeat(starts_row, lens_row) + (
-                    np.arange(total) - grp_start
-                )
-                uniq_values = pa.array(uniq_flat, type=ANNOTATION_STRUCT)
-                values = uniq_values.take(pa.array(take))
+                take = np.repeat(starts_row, lens_row) + (np.arange(total) - grp_start)
+                values = idx.values.take(pa.array(take))
             offsets[1:] = np.cumsum(lens_row)
         ann = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
         return batch.append_column(

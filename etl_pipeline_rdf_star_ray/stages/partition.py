@@ -26,25 +26,16 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.hashing import combine64, hash64_str
+from ..functions.hashing import combine64, hash64_column, xxh64_column
 
+#: key-hash implementations a lake table can pin (TableMeta.key_hash):
+#: "xxh64"  — vectorized C hashing, right for high-cardinality keys;
+#: "blake2b" — portable-forever, Python per UNIQUE key (dictionary-encoded),
+#:             right when unique conversations ≪ rows per batch.
+KEY_HASH_IMPLS = ("xxh64", "blake2b")
 PARTITION_COL = "partition_id"
-
-
-def _conv_hash_and_hot(
-    conv: pa.ChunkedArray | pa.Array, hot_set: frozenset[str]
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row (hash64, is_hot) via dictionary encoding: Python work is
-    O(unique conversations in batch), scatter is O(rows) numpy."""
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    d = conv.dictionary_encode()
-    uniq = d.dictionary.to_pylist()
-    uh = np.array([0 if v is None else hash64_str(v) for v in uniq], dtype=np.uint64)
-    umask = np.array([v in hot_set for v in uniq], dtype=bool)
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return uh[codes], umask[codes]
 
 
 def partition_ids(
@@ -54,13 +45,22 @@ def partition_ids(
     num_partitions: int,
     salt_buckets: int,
     hot_set: frozenset[str],
+    key_hash: str = "xxh64",
 ) -> np.ndarray:
-    h, hot = _conv_hash_and_hot(conv, hot_set)
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    h = xxh64_column(conv) if key_hash == "xxh64" else hash64_column(conv)
     pid = (h % np.uint64(num_partitions)).astype(np.int32)
-    if salt_buckets > 1 and hot.any():
-        salt = (turn_idx.astype(np.uint64)) % np.uint64(salt_buckets)
-        salted = (combine64(h, salt) % np.uint64(num_partitions)).astype(np.int32)
-        pid = np.where(hot, salted, pid)
+    if salt_buckets > 1 and hot_set:
+        hot = (
+            pc.is_in(conv, value_set=pa.array(sorted(hot_set), pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        if hot.any():
+            salt = (turn_idx.astype(np.uint64)) % np.uint64(salt_buckets)
+            salted = (combine64(h, salt) % np.uint64(num_partitions)).astype(np.int32)
+            pid = np.where(hot, salted, pid)
     return pid
 
 
@@ -70,6 +70,7 @@ def make_partition_stage(
     salt_buckets: int,
     hot_convs: frozenset[str] | set[str],
     watermarks: dict[int, int] | None = None,
+    key_hash: str = "xxh64",
 ):
     """Build the ``map_batches`` function that appends ``partition_id`` and
     applies the per-partition watermark filter. ``watermarks`` and
@@ -92,6 +93,7 @@ def make_partition_stage(
             num_partitions=num_partitions,
             salt_buckets=salt_buckets,
             hot_set=hot,
+            key_hash=key_hash,
         )
         out = batch.append_column(PARTITION_COL, pa.array(pid, pa.int32()))
         if wm_arr is not None:

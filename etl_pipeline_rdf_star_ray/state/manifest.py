@@ -33,6 +33,7 @@ class TableMeta:
     num_partitions: int = 64
     salt_buckets: int = 8
     hot_convs: list[str] = field(default_factory=list)
+    key_hash: str = "xxh64"  # pinned key→partition hash impl (see partition.py)
     format_version: int = 1
 
 
