@@ -1,0 +1,175 @@
+"""Command-line interface — the reference's ``batch_cli.py`` verb set
+(``batch_cli.py:328-437``: run/list/diff/query/export/archive/delete/status/
+provenance) re-expressed for the lake engine.
+
+Verbs:
+  ingest    apply a change-log parquet to a lake table (one micro-batch)
+  status    lake status report (commits, watermarks, partitions)
+  list      commit records (manifest), newest first
+  diff      snapshot diff between two lsn watermarks
+  history   per-key value history of a change-log parquet
+  snapshot  export a (point-in-time) snapshot to parquet
+  export    lift a snapshot through the transcripts mapping → N-Triples/Quads
+  query     run DuckDB SQL against a snapshot (view name: state)
+  compact   rewrite each partition's active version
+
+Owns its Ray session (guarded ``ray.init``) — the driver-facing library
+entry points never init Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_pipeline_rdf_star_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    sp = sub.add_parser("ingest")
+    sp.add_argument("changelog", help="parquet path/dir of change events")
+    sp.add_argument("lake")
+    sp.add_argument("--batch-id", default=None)
+    sp.add_argument("--num-partitions", type=int, default=64)
+
+    sp = sub.add_parser("status")
+    sp.add_argument("lake")
+
+    sp = sub.add_parser("list")
+    sp.add_argument("lake")
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser("diff")
+    sp.add_argument("lake")
+    sp.add_argument("lsn_a", type=int)
+    sp.add_argument("lsn_b", type=int)
+    sp.add_argument("--summary", action="store_true")
+
+    sp = sub.add_parser("history")
+    sp.add_argument("changelog")
+
+    sp = sub.add_parser("snapshot")
+    sp.add_argument("lake")
+    sp.add_argument("out")
+    sp.add_argument("--at-lsn", type=int, default=None)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("lake")
+    sp.add_argument("out")
+    sp.add_argument("--fmt", choices=["nt", "nq"], default="nt")
+    sp.add_argument("--at-lsn", type=int, default=None)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("lake")
+    sp.add_argument("sql", help="DuckDB SQL; snapshot registered as view 'state'")
+    sp.add_argument("--at-lsn", type=int, default=None)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("lake")
+
+    args = p.parse_args(argv)
+
+    if args.verb in ("status", "list"):
+        # manifest-only verbs need no Ray session
+        from .state import manifest as mf
+
+        if args.verb == "status":
+            from .pipelines.ops import status
+
+            print(json.dumps(status(args.lake), indent=1))
+        else:
+            recs = sorted(
+                mf.load_records(args.lake), key=lambda r: (r.lsn_hi, r.partition_id),
+                reverse=True,
+            )[: args.limit]
+            for r in recs:
+                print(json.dumps(r.__dict__))
+        return 0
+
+    if args.verb == "query":
+        import duckdb
+
+        from .state.lake import snapshot_files
+
+        con = duckdb.connect()
+        files = snapshot_files(args.lake, at_lsn=args.at_lsn)
+        con.sql(
+            "CREATE VIEW state AS SELECT * FROM read_parquet("
+            + json.dumps(files)
+            + ", union_by_name=true)"
+        )
+        print(con.sql(args.sql).df().to_string())
+        return 0
+
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    if args.verb == "ingest":
+        from .pipelines.cdc import ingest
+
+        res = ingest(
+            rd.read_parquet(args.changelog),
+            args.lake,
+            batch_id=args.batch_id,
+            num_partitions=args.num_partitions,
+        )
+        print(f"committed {res.num_rows} partition versions")
+    elif args.verb == "diff":
+        from .pipelines.ops import diff, diff_summary
+
+        if args.summary:
+            print(json.dumps(diff_summary(args.lake, args.lsn_a, args.lsn_b)))
+        else:
+            for row in diff(args.lake, args.lsn_a, args.lsn_b).iter_rows():
+                print(json.dumps(row))
+    elif args.verb == "history":
+        from .pipelines.ops import value_history
+
+        for row in value_history(rd.read_parquet(args.changelog)).iter_rows():
+            print(json.dumps(row))
+    elif args.verb == "snapshot":
+        from .state.lake import read_state
+
+        read_state(args.lake, at_lsn=args.at_lsn).write_parquet(args.out)
+        print(f"snapshot written to {args.out}")
+    elif args.verb == "export":
+        from .pipelines.export import export_to_path
+        from .stages.lift import lift_dataset, transcripts_spec
+        from .state.lake import read_state
+
+        triples = lift_dataset(
+            read_state(args.lake, at_lsn=args.at_lsn), transcripts_spec()
+        )
+        export_to_path(triples, args.out, fmt=args.fmt)
+        print(f"exported to {args.out}")
+    elif args.verb == "compact":
+        from .pipelines.ops import compact
+
+        print(f"compacted {compact(args.lake)} partitions")
+
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

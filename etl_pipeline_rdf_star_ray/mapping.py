@@ -541,11 +541,39 @@ class LiftKernel:
         *,
         carry_columns: tuple[str, ...] = (),
         include_map_name: bool = True,
+        all_maps: dict[str, "TriplesMapSpec"] | None = None,
     ):
         if tm.subject.is_quoted:
             raise ValueError(f"{tm.name}: quoted maps compile via AnnotationKernel")
         if not tm.subject.template:
             raise ValueError(f"{tm.name}: subject template required")
+        if all_maps:
+            # mapping-to-mapping object references (parsed but never executed
+            # by the reference engines, ``yarrrml_parser.py:433-437`` /
+            # ``docs/YARRRML_COVERAGE_ANALYSIS.md``): for same-source refs the
+            # RML semantics reduce to instantiating the referenced map's
+            # subject template on the current row — executed here
+            resolved = []
+            for po in tm.predicate_objects:
+                if po.mapping_ref and po.mapping_ref in all_maps:
+                    ref_tpl = all_maps[po.mapping_ref].subject.template
+                    if ref_tpl:
+                        po = PredicateObjectSpec(
+                            predicate=po.predicate,
+                            value=ref_tpl,
+                            object_type=OBJ_IRI,
+                            graphs=po.graphs,
+                            inverse_predicate=po.inverse_predicate,
+                        )
+                resolved.append(po)
+            tm = TriplesMapSpec(
+                name=tm.name,
+                sources=tm.sources,
+                subject=tm.subject,
+                predicate_objects=resolved,
+                type_statements=tm.type_statements,
+                graphs=tm.graphs,
+            )
         self.name = tm.name
         self.carry = tuple(carry_columns)
         self.include_map_name = include_map_name
@@ -671,4 +699,5 @@ def compile_lift(
         spec.prefixes,
         carry_columns=carry_columns,
         include_map_name=include_map_name,
+        all_maps=spec.maps,
     )

@@ -130,6 +130,19 @@ for _kind, _reason in [
     _REGISTRY[_kind] = _unavailable(_kind, _reason)
 
 
+def resolve_source_path(path: str, search_dirs: list[str] | None = None) -> str:
+    """Resolve a relative source path across conventional data directories
+    (reference: ``_resolve_source_path`` ``rdf_star_etl_yarrrml.py:202-229``,
+    ``FileSource._resolve_path`` ``sources/__init__.py:175-195``)."""
+    if os.path.isabs(path) and os.path.exists(path):
+        return path
+    for base in search_dirs or [".", "mappings", "data", "benchmark_data", "sample_data"]:
+        cand = os.path.join(base, path)
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
 @register_source("sqlite")
 def _sqlite(config: dict) -> "rd.Dataset":
     """SQLite reader (reference: ``sources/database/sqlite.py:26-91``) via
@@ -142,3 +155,9 @@ def _sqlite(config: dict) -> "rd.Dataset":
         return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
 
     return rd.read_sql(query, connect)
+
+
+# auto-import self-registering connector modules (reference:
+# ``sources/__init__.py:279-321`` auto-imports its connector modules)
+from . import json_source as _json_source  # noqa: E402,F401
+from . import xml_source as _xml_source  # noqa: E402,F401

@@ -48,10 +48,19 @@ class AnnotationKernel:
         self.pos = [CompiledPO(po, prefixes) for po in tm.predicate_objects]
 
     def flatten(self, table: pa.Table) -> pa.Table:
-        """Annotation rows → flat (key, predicate, value, datatype) table."""
+        """Annotation rows → flat (key, predicate, value, datatype) table.
+
+        A quoted map with NO join condition matches every eligible triple —
+        the reference's cross-product fallback
+        (``rdf_star_etl_engine_dynamic.py:377-379``): modeled by the
+        constant key ``__all__`` + ``key_column=None`` on the probe side."""
         parts = []
         n = table.num_rows
-        key = table.column(self.join_left) if self.join_left else pa.nulls(n, pa.string())
+        key = (
+            table.column(self.join_left)
+            if self.join_left
+            else pa.nulls(n, pa.string()).fill_null("__all__")
+        )
         for po in self.pos:
             vals, keep = po.values(table)
             sub = pa.table(
@@ -153,7 +162,15 @@ def annotate_broadcast(
     def attach(batch: pa.Table) -> pa.Table:
         idx: AnnotationIndex = ray.get(index_ref)
         n = batch.num_rows
-        keys = batch.column(key_column) if key_column in batch.column_names else None
+        if key_column is None:
+            # cross-product fallback: every eligible row probes '__all__'
+            keys = pa.nulls(n, pa.string()).fill_null("__all__")
+        else:
+            keys = (
+                batch.column(key_column)
+                if key_column in batch.column_names
+                else None
+            )
         offsets = np.zeros(n + 1, dtype=np.int64)
         values = pa.array([], type=ANNOTATION_STRUCT)
         if keys is not None and len(idx) and n:
@@ -172,7 +189,8 @@ def annotate_broadcast(
                     .to_numpy(zero_copy_only=False)
                     .astype(bool)
                 )
-            keys = keys.combine_chunks()
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
             if keys.null_count:
                 eligible &= ~np.asarray(keys.is_null())
             kh = _hash_keys(keys)
