@@ -85,7 +85,26 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact")
     sp.add_argument("lake")
 
+    sp = sub.add_parser("archive")
+    sp.add_argument("lake")
+    sp.add_argument("batch_id")
+
+    sp = sub.add_parser("delete")
+    sp.add_argument("lake")
+    sp.add_argument("batch_id")
+    sp.add_argument("--hard", action="store_true")
+
     args = p.parse_args(argv)
+
+    if args.verb in ("archive", "delete"):
+        from .state import manifest as mf
+
+        if args.verb == "archive":
+            n = mf.archive_batch(args.lake, args.batch_id)
+        else:
+            n = mf.delete_batch(args.lake, args.batch_id, hard=args.hard)
+        print(f"{args.verb}d {n} partition versions of batch {args.batch_id}")
+        return 0
 
     if args.verb in ("status", "list"):
         # manifest-only verbs need no Ray session

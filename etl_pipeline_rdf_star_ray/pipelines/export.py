@@ -100,3 +100,47 @@ def export_to_path(triples: "rd.Dataset", path: str, *, fmt: str = "nt") -> None
     export_lines(triples, fmt=fmt).map_batches(
         write_shard, batch_format="pyarrow"
     ).count()
+
+
+DEFAULT_PREFIX_BLOCK = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://example.org/> .
+"""
+
+
+def format_trig(batch: pa.Table) -> pa.Table:
+    """TriG lines: named-graph triples wrapped in ``GRAPH <g> { ... }``
+    blocks (repeated blocks per graph are valid TriG), default-graph triples
+    bare — the reference's primary output format
+    (``rdf_star_etl_yarrrml.py:611-648``; full IRIs, prefix block emitted
+    separately as a header)."""
+    nt = format_ntriples(batch)["text"]
+    g = _str_col(batch, "graph") if "graph" in batch.column_names else pa.nulls(
+        batch.num_rows, pa.string()
+    )
+    wrapped = pc.binary_join_element_wise(
+        "GRAPH <", pc.fill_null(g, ""), "> { ", nt, " }", ""
+    )
+    return pa.table({"text": pc.if_else(pc.is_valid(g), wrapped, nt)})
+
+
+def export_trig(triples: "rd.Dataset", path: str) -> None:
+    """Sharded TriG export with one canonical prefix header (reference
+    writes one ``@prefix`` block then the body, ``:611-648``)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "00-prefixes.trig"), "w") as f:
+        f.write(DEFAULT_PREFIX_BLOCK + "\n")
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        lines = batch.column("text").to_pylist()
+        if lines:
+            shard = os.path.join(path, f"shard-{os.getpid()}-{id(batch):x}.trig")
+            with open(shard, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n")
+        return pa.table({"n": [len(lines)]})
+
+    triples.map_batches(format_trig, batch_format="pyarrow").map_batches(
+        write_shard, batch_format="pyarrow"
+    ).count()

@@ -198,3 +198,31 @@ def status(lake_dir: str) -> dict:
         "watermark_min": min((r.lsn_hi for r in active.values()), default=None),
         "watermark_max": max((r.lsn_hi for r in active.values()), default=None),
     }
+
+
+def provenance_for_subject(annotated: "rd.Dataset", subject: str) -> pd.DataFrame:
+    """Facts + their RDF-star annotations for one subject — the reference's
+    per-subject provenance lookup (``get_provenance_for_subject``
+    ``batch_manager.py:641-696``, CLI ``batch_cli.py:290-325``). Returns a
+    small driver-side frame: one row per (fact, annotation) with the fact's
+    predicate/object and the annotation predicate/value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("subject"), subject))
+
+    rows = []
+    for r in annotated.map_batches(pick, batch_format="pyarrow").take_all():
+        anns = r.get("annotations") or [None]
+        for a in anns:
+            rows.append(
+                {
+                    "subject": r["subject"],
+                    "predicate": r["predicate"],
+                    "object_value": r["object_value"],
+                    "ann_predicate": a["predicate"] if a else None,
+                    "ann_value": a["value"] if a else None,
+                }
+            )
+    return pd.DataFrame(rows)

@@ -253,3 +253,117 @@ def annotation_quads(annotated: "rd.Dataset") -> "rd.Dataset":
 
 def compile_annotation(spec: MappingSpec, tm_name: str) -> AnnotationKernel:
     return AnnotationKernel(spec.maps[tm_name], spec.prefixes)
+
+
+def annotate_shuffle(
+    triples: "rd.Dataset",
+    annotations: "rd.Dataset",
+    kernel: AnnotationKernel,
+    *,
+    key_column: str,
+    num_partitions: int = 8,
+    only_map: str | None = None,
+) -> "rd.Dataset":
+    """Large-annotation-side path: hash-partitioned ``Dataset.join`` on the
+    key (both sides shuffled once), emitting FLAT annotation quad rows — the
+    complement of :func:`annotate_broadcast` when the annotation side no
+    longer fits a broadcast (Ray guide: "both sides large" rule).
+
+    Output matches :func:`annotation_quads`: one row per (matched triple,
+    annotation PO) with the quoted-triple token as subject.
+
+    ``num_partitions`` must not exceed available CPUs by much: Ray's join
+    spawns one hash-aggregator actor per partition, and a pool larger than
+    the node stalls waiting for resources (measured: 32 partitions on a
+    4-cpu session hangs)."""
+
+    flat = annotations.map_batches(
+        lambda b: kernel.flatten(b), batch_format="pyarrow"
+    ).rename_columns(
+        {"predicate": "ann_predicate", "value": "ann_value", "datatype": "ann_datatype"}
+    )
+    left = triples
+    if only_map is not None:
+        left = left.map_batches(
+            lambda b: b.filter(pc.equal(b.column("map_name"), only_map))
+            if "map_name" in b.column_names
+            else b,
+            batch_format="pyarrow",
+        )
+
+    def keyify(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_column)
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            batch = batch.set_column(
+                batch.column_names.index(key_column), key_column,
+                pc.cast(col, pa.string()),
+            )
+        return batch
+
+    def keyify_ann(batch: pa.Table) -> pa.Table:
+        col = batch.column("key")
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            batch = batch.set_column(
+                batch.column_names.index("key"), "key", pc.cast(col, pa.string())
+            )
+        return batch
+
+    joined = left.map_batches(keyify, batch_format="pyarrow").join(
+        flat.map_batches(keyify_ann, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key_column,),
+        right_on=("key",),
+    )
+
+    def to_quads(batch: pa.Table) -> pa.Table:
+        quoted = pc.binary_join_element_wise(
+            "<< ",
+            batch.column("subject"),
+            " ",
+            batch.column("predicate"),
+            " ",
+            batch.column("object_value"),
+            " >>",
+            "",
+        )
+        return pa.table(
+            {
+                "subject": quoted,
+                "predicate": batch.column("ann_predicate"),
+                "object_value": batch.column("ann_value"),
+                "object_datatype": batch.column("ann_datatype"),
+            }
+        )
+
+    return joined.map_batches(to_quads, batch_format="pyarrow")
+
+
+def attach_static_annotations(
+    triples: "rd.Dataset", annotations: list[dict]
+) -> "rd.Dataset":
+    """Constant per-triple provenance annotations from a static source
+    config — the legacy engine's fixed 7-quad provenance block
+    (``add_provenance_annotations`` ``rdf_star_etl_engine.py:55-128``:
+    wasDerivedFrom/generatedAtTime/wasAttributedTo/source/confidence/
+    trustLevel/verificationStatus), as one constant-valued nested column
+    appended per batch (SURVEY.md §2.3)."""
+    items = [
+        {
+            "predicate": a["predicate"],
+            "value": str(a["value"]),
+            "datatype": a.get("datatype"),
+        }
+        for a in annotations
+    ]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        values = pa.array(items * n, type=ANNOTATION_STRUCT)
+        offsets = pa.array(
+            np.arange(0, (n + 1) * len(items), len(items), dtype=np.int32)
+        )
+        ann = pa.ListArray.from_arrays(offsets, values)
+        return batch.append_column("annotations", ann)
+
+    return triples.map_batches(attach, batch_format="pyarrow")

@@ -101,17 +101,103 @@ def has_commit(lake_dir: str, partition_id: int, batch_id: str) -> bool:
     return os.path.exists(_record_path(lake_dir, partition_id, batch_id))
 
 
+OVERRIDE_PREFIX = "override-"
+
+STATUS_ACTIVE = "active"
+STATUS_ARCHIVED = "archived"
+STATUS_DELETED = "deleted"
+
+
+def _load_overrides(lake_dir: str) -> dict[tuple[int, str], str]:
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    out: dict[tuple[int, str], str] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not name.startswith(OVERRIDE_PREFIX) or not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            o = json.load(f)
+        out[(o["partition_id"], o["batch_id"])] = o["status"]
+    return out
+
+
 def load_records(lake_dir: str) -> list[CommitRecord]:
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
+    overrides = _load_overrides(lake_dir)
     out = []
     for name in sorted(os.listdir(mdir)):
-        if not name.endswith(".json"):
+        if not name.endswith(".json") or name.startswith(OVERRIDE_PREFIX):
             continue
         with open(os.path.join(mdir, name)) as f:
-            out.append(CommitRecord(**json.load(f)))
+            rec = CommitRecord(**json.load(f))
+        rec.status = overrides.get((rec.partition_id, rec.batch_id), rec.status)
+        out.append(rec)
     return out
+
+
+def batch_ids(lake_dir: str) -> list[str]:
+    return sorted({r.batch_id for r in load_records(lake_dir)})
+
+
+def _set_status(lake_dir: str, batch_id: str, status: str) -> int:
+    """Write status-override records for every partition version of a batch
+    (append-only, atomic per record — the lifecycle flip is a manifest
+    append, never a mutation, SURVEY.md §2.8)."""
+    n = 0
+    for rec in load_records(lake_dir):
+        if rec.batch_id != batch_id:
+            continue
+        path = os.path.join(
+            lake_dir,
+            MANIFEST_DIR,
+            f"{OVERRIDE_PREFIX}p{rec.partition_id:05d}-{batch_id}.json",
+        )
+        _atomic_write(
+            path,
+            json.dumps(
+                {
+                    "partition_id": rec.partition_id,
+                    "batch_id": batch_id,
+                    "status": status,
+                }
+            ),
+        )
+        n += 1
+    return n
+
+
+def _guard_not_active(lake_dir: str, batch_id: str, verb: str) -> None:
+    """Reference guard: cannot archive/delete the ACTIVE batch
+    (``batch_manager.py:560-605``)."""
+    for pid, rec in active_versions(lake_dir).items():
+        if rec.batch_id == batch_id:
+            raise ValueError(
+                f"cannot {verb} batch {batch_id!r}: it is the active version "
+                f"of partition {pid}"
+            )
+
+
+def archive_batch(lake_dir: str, batch_id: str) -> int:
+    _guard_not_active(lake_dir, batch_id, "archive")
+    return _set_status(lake_dir, batch_id, STATUS_ARCHIVED)
+
+
+def delete_batch(lake_dir: str, batch_id: str, *, hard: bool = False) -> int:
+    """Soft delete marks versions DELETED (excluded from snapshots); hard
+    delete also removes the data files (mirrors soft/hard delete,
+    ``batch_manager.py:560-605``)."""
+    _guard_not_active(lake_dir, batch_id, "delete")
+    n = _set_status(lake_dir, batch_id, STATUS_DELETED)
+    if hard:
+        for rec in load_records(lake_dir):
+            if rec.batch_id == batch_id:
+                path = os.path.join(lake_dir, rec.file)
+                if os.path.exists(path):
+                    os.remove(path)
+    return n
 
 
 def active_versions(
@@ -123,6 +209,8 @@ def active_versions(
     (``batch_manager.py:506-528``)."""
     best: dict[int, CommitRecord] = {}
     for rec in load_records(lake_dir):
+        if rec.status in (STATUS_ARCHIVED, STATUS_DELETED):
+            continue
         if at_lsn is not None and rec.lsn_hi > at_lsn:
             continue
         cur = best.get(rec.partition_id)
