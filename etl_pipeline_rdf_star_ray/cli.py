@@ -74,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("export")
     sp.add_argument("lake")
     sp.add_argument("out")
-    sp.add_argument("--fmt", choices=["nt", "nq"], default="nt")
+    sp.add_argument("--fmt", choices=["nt", "nq", "trig"], default="nt")
     sp.add_argument("--at-lsn", type=int, default=None)
 
     sp = sub.add_parser("query")
@@ -99,10 +99,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb in ("archive", "delete"):
         from .state import manifest as mf
 
-        if args.verb == "archive":
-            n = mf.archive_batch(args.lake, args.batch_id)
-        else:
-            n = mf.delete_batch(args.lake, args.batch_id, hard=args.hard)
+        try:
+            if args.verb == "archive":
+                n = mf.archive_batch(args.lake, args.batch_id)
+            else:
+                n = mf.delete_batch(args.lake, args.batch_id, hard=args.hard)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         print(f"{args.verb}d {n} partition versions of batch {args.batch_id}")
         return 0
 
@@ -177,7 +181,12 @@ def main(argv: list[str] | None = None) -> int:
         triples = lift_dataset(
             read_state(args.lake, at_lsn=args.at_lsn), transcripts_spec()
         )
-        export_to_path(triples, args.out, fmt=args.fmt)
+        if args.fmt == "trig":
+            from .pipelines.export import export_trig
+
+            export_trig(triples, args.out)
+        else:
+            export_to_path(triples, args.out, fmt=args.fmt)
         print(f"exported to {args.out}")
     elif args.verb == "compact":
         from .pipelines.ops import compact

@@ -701,3 +701,16 @@ def compile_lift(
         include_map_name=include_map_name,
         all_maps=spec.maps,
     )
+
+
+def output_path_from_spec(spec: MappingSpec, default: str = "output.trig") -> str:
+    """Output path from the mapping's ``targets:`` section or a derived
+    default (reference: ``_determine_output_file``
+    ``rdf_star_etl_yarrrml.py:184-200``; targets parse
+    ``yarrrml_parser.py:117-120``)."""
+    for target in spec.targets.values():
+        if isinstance(target, dict) and target.get("access"):
+            return target["access"]
+        if isinstance(target, str):
+            return target.split("~", 1)[0]
+    return default

@@ -16,6 +16,7 @@ copy-on-write versions addressed by a commit manifest.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -71,15 +72,12 @@ def ingest(
     if hot_convs == "auto":
         # decided once, at table creation, then pinned in _meta.json so the
         # key→partition mapping is stable for the table's lifetime
-        import os
-
         if not os.path.exists(os.path.join(lake_dir, mf.META_FILE)):
             default_meta.hot_convs = detect_hot_convs(
                 changelog, num_partitions=num_partitions
             )
     elif hot_convs:
         default_meta.hot_convs = sorted(hot_convs)
-    import os
 
     os.makedirs(lake_dir, exist_ok=True)
     meta = mf.load_or_create_meta(lake_dir, default_meta)
@@ -196,3 +194,38 @@ def upsert_dataset(
         .groupby("partition_id")
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def tail_once(log_dir: str, lake_dir: str, **ingest_kw) -> pa.Table:
+    """One tailing round over a growing change-log directory: read only rows
+    past the lake's minimum committed watermark (row-group pushdown at the
+    parquet read), then ingest. The per-partition watermark filter inside
+    :func:`ingest` handles the finer-grained dedup — this pre-filter just
+    prunes storage I/O (SURVEY.md 'prune at the read')."""
+    wm = (
+        mf.watermarks(lake_dir)
+        if os.path.exists(os.path.join(lake_dir, mf.META_FILE))
+        else {}
+    )
+    min_wm = min(wm.values(), default=-1)
+    ds = rd.read_parquet(log_dir, filter=pc.field("lsn") > min_wm)
+    return ingest(ds, lake_dir, **ingest_kw)
+
+
+def tail(
+    log_dir: str,
+    lake_dir: str,
+    *,
+    rounds: int,
+    poll_interval: float = 0.0,
+    **ingest_kw,
+) -> list[pa.Table]:
+    """Bounded tailing loop (the reference's incremental-ingest loop,
+    ``batch_cli.py:36-87``, one batch per round): each round is one durable
+    exactly-once micro-batch; a crashed round resumes on the next call."""
+    out = []
+    for i in range(rounds):
+        out.append(tail_once(log_dir, lake_dir, **ingest_kw))
+        if poll_interval and i + 1 < rounds:
+            time.sleep(poll_interval)
+    return out

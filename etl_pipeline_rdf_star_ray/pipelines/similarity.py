@@ -118,3 +118,75 @@ def cosine_topk_lsh(
         batch_format="pyarrow",
     )
     return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_assign(
+    ds: "rd.Dataset",
+    *,
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    sample_size: int = 2_000,
+    iters: int = 5,
+    seed: int = 42,
+    out_col: str = "ivf_cell",
+) -> tuple["rd.Dataset", np.ndarray]:
+    """IVF coarse quantizer: k-means centroids fitted on a driver-side
+    SAMPLE (bounded), then cell assignment as one matmul per batch with the
+    centroid matrix broadcast via ``ray.put``. Returns (assigned dataset,
+    centroids)."""
+    sample = np.stack(
+        [r[vec_col] for r in ds.random_sample(1.0, seed=seed).limit(sample_size).take_all()]
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), min(num_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    cref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(out_col, pa.array(d.argmin(axis=1), pa.int32()))
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow"), cent
+
+
+def cosine_topk_ivf(
+    ds: "rd.Dataset",
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """IVF-probed approximate top-k: search only the ``nprobe`` cells
+    nearest the query — the inverted-file scale path (recall grows with
+    nprobe; nprobe = num_centroids degenerates to brute force)."""
+    import pyarrow.compute as pc
+
+    assigned, cent = ivf_assign(
+        ds, vec_col=vec_col, num_centroids=num_centroids, seed=seed
+    )
+    q = np.asarray(query, dtype=np.float64)
+    d = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = set(int(x) for x in np.argsort(d)[:nprobe])
+    candidates = assigned.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                np.isin(
+                    b.column("ivf_cell").to_numpy(zero_copy_only=False), list(probe)
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)

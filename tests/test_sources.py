@@ -135,3 +135,27 @@ def test_events_changelog_tool_args_mirror():
     assert a.isna().equals(b.isna())
     mask = ~a.isna()
     assert (a[mask] == b[mask]).all()
+
+
+def test_sqlite_source(tmp_path):
+    import sqlite3
+
+    db = tmp_path / "t.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b")])
+    con.commit()
+    con.close()
+    ds = create_source(
+        {"type": "sqlite", "path": str(db), "query": "SELECT * FROM t ORDER BY id"}
+    )
+    assert [r["name"] for r in ds.take_all()] == ["a", "b"]
+
+
+def test_output_path_from_spec():
+    from etl_pipeline_rdf_star_ray.mapping import output_path_from_spec, parse_yarrrml
+
+    spec = parse_yarrrml("targets: {out1: {access: out.trig}}\nmappings: {}")
+    assert output_path_from_spec(spec) == "out.trig"
+    spec2 = parse_yarrrml("mappings: {}")
+    assert output_path_from_spec(spec2) == "output.trig"

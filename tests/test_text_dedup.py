@@ -256,3 +256,45 @@ def test_require_codecs_gate():
     if not mm.have_image_codec():
         with pytest.raises(NotImplementedError):
             mm.require_codecs()
+
+
+def test_resize_and_frame_sample_stubs():
+    import pytest
+
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    media = mm.to_media_dataset(_docs_ds().limit(50), kind="video")
+    if not mm.have_image_codec():
+        with pytest.raises(NotImplementedError):
+            mm.ResizeStage()
+    resized = media.map_batches(
+        mm.ResizeStage, fn_constructor_kwargs={"allow_fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    assert (resized["width"] == 224).all() and (resized["height"] == 224).all()
+    frames = media.map_batches(
+        mm.FrameSampleStage, fn_constructor_kwargs={"allow_fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    assert len(frames) >= 50 and "frame_idx" in frames.columns
+    # deterministic fan-out
+    again = media.map_batches(
+        mm.FrameSampleStage, fn_constructor_kwargs={"allow_fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    assert len(frames) == len(again)
+
+
+def test_cosine_topk_ivf_contains_query():
+    import pyarrow.parquet as pq
+
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.array(embs.column("embedding")[0].as_py())
+    got = similarity.cosine_topk_ivf(_embs_ds(), q, k=5, nprobe=4).to_pandas()
+    assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["cosine"] >= 0.9999
+    # full probe degenerates to brute force
+    full = similarity.cosine_topk_ivf(
+        _embs_ds(), q, k=5, num_centroids=4, nprobe=4
+    ).to_pandas()
+    brute = similarity.cosine_topk(_embs_ds(), q, k=5).to_pandas()
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
