@@ -29,7 +29,7 @@ from ..stages.merge import merge_state_and_events
 from ..stages.partition import detect_hot_convs, make_partition_stage
 from ..state import manifest as mf
 from ..state.lake import read_state, state_table  # noqa: F401  (re-export)
-from ..state.sink import commit_partition, version_file
+from ..state.sink import commit_partition
 
 
 def _manifest_table(recs: list[mf.CommitRecord]) -> pa.Table:

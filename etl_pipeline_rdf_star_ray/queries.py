@@ -31,7 +31,7 @@ from .functions.text import (
     token_count,
 )
 from .pipelines import analytics, cdc, dedup, multimodal, ops, similarity
-from .sources.changelog import CHANGELOG_CTE, TOOL_ARGS_SQL, changelog_from_events
+from .sources.changelog import CHANGELOG_CTE, changelog_from_events
 from .stages.annotate import (
     annotate_broadcast,
     annotation_quads,

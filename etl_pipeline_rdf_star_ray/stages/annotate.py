@@ -31,7 +31,7 @@ import ray
 import ray.data as rd
 
 from ..mapping import CompiledPO, MappingSpec, TriplesMapSpec
-from ..schema import ANNOTATION_STRUCT, ANNOTATIONS_TYPE
+from ..schema import ANNOTATION_STRUCT
 
 
 class AnnotationKernel:

@@ -12,6 +12,11 @@ idempotent ``Store.add``" (``batch_manager.py:231-283``).
 Layout: one directory per hash partition (``part=NNNNN/``), one file per
 committed version — resumable output: a failed run re-runs only partitions
 without a commit marker, and never one giant file.
+
+Multi-node note: commit tasks run on workers, so ``lake_dir`` must be
+storage every node can reach (S3/NFS/shared volume) on a real cluster; the
+atomic-rename commit protocol maps to S3's put-if-absent or a rename on a
+POSIX-consistent shared fs. Single-node /tmp is what this sandbox tests.
 """
 
 from __future__ import annotations
