@@ -133,17 +133,33 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+#: per-process memo of seeded permutation coefficients — lets the signature
+#: stage run as plain TASKS (elastic, no actor-pool spin-up latency) while
+#: still deriving coefficients once per worker process
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        rng = np.random.RandomState(seed)
+        _PERM_CACHE[key] = (
+            rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64),
+            rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64),
+        )
+    return _PERM_CACHE[key]
+
+
 class MinHasher:
-    """Actor-pool signature stage: permutation coefficients are drawn once
-    per actor in ``__init__`` (seeded → identical across actors), each batch
-    is signed with one (num_perm × shingles) vectorized pass per doc."""
+    """Signature stage: seeded permutation coefficients memoized per worker
+    process (identical everywhere), each batch signed with one
+    (num_perm × shingles) vectorized pass per doc. Usable as a plain
+    map_batches function (tasks) or a callable-class actor pool."""
 
     def __init__(self, config: MinHashConfig = MinHashConfig(), text_col: str = "text"):
         self.cfg = config
         self.text_col = text_col
-        rng = np.random.RandomState(config.seed)
-        self.a = rng.randint(1, (1 << 61) - 1, size=config.num_perm).astype(np.uint64)
-        self.b = rng.randint(0, (1 << 61) - 1, size=config.num_perm).astype(np.uint64)
+        self.a, self.b = _perm_coeffs(config.num_perm, config.seed)
 
     def signature(self, text: str | None) -> np.ndarray:
         sh = _word_shingles(text or "", self.cfg.shingle_k)
@@ -222,12 +238,8 @@ def dedup_minhash_lsh(
     no rows here — cap documented, SURVEY 'no silent caps': the cap only
     triggers on degenerate all-identical corpora)."""
     cfg = config
-    signed = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"config": cfg, "text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    hasher = MinHasher(cfg, text_col)  # coefficients re-memoized per worker
+    signed = ds.map_batches(hasher, batch_format="pyarrow")
     bands = signed.map_batches(
         lambda b: _band_rows(b, cfg, id_col, text_col), batch_format="pyarrow"
     )
