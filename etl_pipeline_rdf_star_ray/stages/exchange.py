@@ -26,6 +26,11 @@ Correctness properties:
   O(events) (SURVEY.md §7.5.3).
 - **Exactly-once sink**: finalize funnels into the same marker-idempotent
   ``commit_partition`` as the shuffle path.
+- **Failure recovery**: an actor lost mid-stream loses only BUFFERED chunks
+  (nothing durable happened yet); the ingest raises and a re-run resumes
+  from the per-partition watermarks, re-streaming exactly the uncommitted
+  events. A crash between two partition commits of the same batch is the
+  normal resume case: committed partitions skip via markers + watermarks.
 """
 
 from __future__ import annotations
