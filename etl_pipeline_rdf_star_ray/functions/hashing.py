@@ -92,11 +92,14 @@ def xxh64_column(arr: pa.ChunkedArray | pa.Array, *, seed: int = 42) -> np.ndarr
 
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
     """SplitMix64 finalizer — stable integer mixing (public-domain constant
-    set from the SplitMix64 PRNG, Steele et al.)."""
-    z = np.asarray(x, dtype=_U64) + _U64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
-    return z ^ (z >> _U64(31))
+    set from the SplitMix64 PRNG, Steele et al.). uint64 wraparound is the
+    algorithm (mod-2^64 arithmetic); numpy only warns for 0-d inputs, so
+    silence locally."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=_U64) + _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
 
 
 def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
