@@ -207,7 +207,15 @@ def tail_once(log_dir: str, lake_dir: str, **ingest_kw) -> pa.Table:
         if os.path.exists(os.path.join(lake_dir, mf.META_FILE))
         else {}
     )
-    min_wm = min(wm.values(), default=-1)
+    # A partition with NO commit record yet has effective watermark -1: after
+    # a crash that committed some partitions but never a given partition's
+    # first commit, pruning at min(existing watermarks) would filter that
+    # partition's events out of the read forever. Only prune when every
+    # partition has committed at least once; the per-partition filter inside
+    # :func:`ingest` does the exact dedup either way.
+    min_wm = -1
+    if wm and len(wm) >= mf.load_meta(lake_dir).num_partitions:
+        min_wm = min(wm.values())
     ds = rd.read_parquet(log_dir, filter=pc.field("lsn") > min_wm)
     return ingest(ds, lake_dir, **ingest_kw)
 

@@ -335,7 +335,7 @@ FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
          AS sum_base,
        floor(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
@@ -384,7 +384,7 @@ FROM w GROUP BY user_id
 """
 
 ORACLE_LINEITEM_FILTER = """
-SELECT count(*)::BIGINT AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+SELECT count(*)::BIGINT AS n, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
 FROM lineitem WHERE l_returnflag = 'R'
 """
 

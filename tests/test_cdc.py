@@ -301,3 +301,41 @@ def test_tail_growing_log(tmp_path):
     got = state_table(lake).to_pandas().drop(columns=["partition_id"])
     assert_frames_equal(got, oracle_replay(changelog_table(3000)))
     assert r1 <= got.shape[0] + 200  # first round really was partial
+
+
+def test_tail_resume_after_partial_first_commit(tmp_path):
+    """ADVICE round-1 (high): a crash that committed SOME partitions before a
+    straggler partition's first-ever commit must not lose that partition's
+    events on resume — tail_once may only prune at min(watermark) when every
+    partition has committed at least once."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from etl_pipeline_rdf_star_ray.stages.partition import partition_ids
+
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = str(tmp_path / "lake")
+    t = changelog_table(2000)
+    pq.write_table(t, str(log / "000.parquet"))
+
+    pid = partition_ids(
+        t.column("conv_id"),
+        t.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False),
+        num_partitions=4, salt_buckets=1, hot_set=frozenset(),
+    )
+    victim = int(pid[0])
+    survivors = t.filter(pa.array(pid != victim))
+    assert survivors.num_rows < t.num_rows
+
+    # "crash": the first ingest commits every partition except the victim's
+    # first-ever commit (its merge task died before commit_partition)
+    cdc.ingest(rd.from_arrow(survivors), lake, num_partitions=4,
+               salt_buckets=1, hot_convs=[], batch_id="crashed")
+    assert victim not in mf.watermarks(lake)
+
+    # resume by tailing the full log: the victim partition's events all have
+    # lsn below the other partitions' watermarks, so a min-over-committed
+    # pre-filter would drop them forever
+    cdc.tail_once(str(log), lake, num_partitions=4, salt_buckets=1)
+    got = state_table(lake).to_pandas().drop(columns=["partition_id"])
+    assert_frames_equal(got, oracle_replay(t))
