@@ -90,6 +90,22 @@ def xxh64_column(arr: pa.ChunkedArray | pa.Array, *, seed: int = 42) -> np.ndarr
     return s.hash(seed=seed).to_numpy().astype(_U64)
 
 
+#: fixed probe keys whose hashes are recorded in every lake table's
+#: ``_meta.json`` at creation — ``xxh64`` is polars' ``.hash()``, which
+#: polars documents as unstable across versions, so a dependency upgrade
+#: could silently remap conv_id→partition and break LWW merge (same key in
+#: two partitions). Verifying the probe vector at table load turns that
+#: silent corruption into a hard error (round-1 ADVICE).
+PROBE_KEYS = ["", "conv-000042", "the quick brown fox", "naïve-中文-🦊"]
+
+
+def hash_probe(key_hash: str = "xxh64", *, seed: int = 42) -> list[int]:
+    """Hashes of :data:`PROBE_KEYS` under the named column-hash impl."""
+    arr = pa.array(PROBE_KEYS, pa.string())
+    h = xxh64_column(arr, seed=seed) if key_hash == "xxh64" else hash64_column(arr)
+    return [int(x) for x in h]
+
+
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
     """SplitMix64 finalizer — stable integer mixing (public-domain constant
     set from the SplitMix64 PRNG, Steele et al.). uint64 wraparound is the

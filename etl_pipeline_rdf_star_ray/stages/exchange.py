@@ -50,9 +50,20 @@ from ..state.sink import commit_partition
 
 
 def _chunk_id(pid: int, lsns: np.ndarray) -> int:
-    """Deterministic, order-independent id of one pushed sub-table."""
-    h = np.bitwise_xor.reduce(splitmix64(lsns.astype(np.uint64)))
-    return int(splitmix64(np.uint64(h) ^ np.uint64(pid) ^ np.uint64(len(lsns))))
+    """Deterministic, order-independent id of one pushed sub-table.
+
+    Combines XOR with a wrapping mod-2^64 SUM of the per-lsn hashes: XOR
+    alone cancels duplicate lsn values pairwise (a changelog from an external
+    CDC source need not have unique lsns), so two distinct same-length chunks
+    could collide and the second be dropped as a retry duplicate (round-1
+    ADVICE). The sum breaks multiset cancellation."""
+    hs = splitmix64(lsns.astype(np.uint64))
+    x = np.bitwise_xor.reduce(hs)
+    s = np.add.reduce(hs)  # uint64 wraps mod 2^64 by design
+    return int(
+        splitmix64(np.uint64(x) ^ splitmix64(np.uint64(s)))
+        ^ splitmix64(np.uint64(pid) ^ np.uint64(len(lsns)))
+    )
 
 
 class MergerActorImpl:

@@ -34,6 +34,10 @@ class TableMeta:
     salt_buckets: int = 8
     hot_convs: list[str] = field(default_factory=list)
     key_hash: str = "xxh64"  # pinned key→partition hash impl (see partition.py)
+    #: sample hash vector recorded at table creation; verified at every load
+    #: so an environment whose hash impl changed (e.g. a polars upgrade that
+    #: alters .hash()) fails loudly instead of silently remapping keys
+    hash_probe: list[int] = field(default_factory=list)
     format_version: int = 1
 
 
@@ -63,13 +67,44 @@ def _atomic_write(path: str, data: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    # make the rename itself durable: a record that survives power loss
+    # while its referenced data file did not would corrupt the manifest
+    # (ordering is data-dir fsync → record write → manifest-dir fsync)
+    try:
+        fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:  # pragma: no cover
+        pass
+
+
+def _verify_hash_probe(meta: TableMeta) -> TableMeta:
+    if meta.hash_probe:
+        from ..functions.hashing import hash_probe
+
+        now = hash_probe(meta.key_hash)
+        if now != meta.hash_probe:
+            raise RuntimeError(
+                f"lake table was created with key_hash={meta.key_hash!r} whose "
+                f"implementation has CHANGED in this environment (probe "
+                f"{meta.hash_probe} != {now}); reading it would remap keys to "
+                "wrong partitions. Pin the original dependency versions or "
+                "rewrite the table."
+            )
+    return meta
 
 
 def load_or_create_meta(lake_dir: str, default: TableMeta) -> TableMeta:
     path = os.path.join(lake_dir, META_FILE)
     if os.path.exists(path):
         with open(path) as f:
-            return TableMeta(**json.load(f))
+            return _verify_hash_probe(TableMeta(**json.load(f)))
+    if not default.hash_probe:
+        from ..functions.hashing import hash_probe
+
+        default.hash_probe = hash_probe(default.key_hash)
     os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
     _atomic_write(path, json.dumps(asdict(default), indent=1))
     return default
@@ -77,7 +112,7 @@ def load_or_create_meta(lake_dir: str, default: TableMeta) -> TableMeta:
 
 def load_meta(lake_dir: str) -> TableMeta:
     with open(os.path.join(lake_dir, META_FILE)) as f:
-        return TableMeta(**json.load(f))
+        return _verify_hash_probe(TableMeta(**json.load(f)))
 
 
 def _record_path(lake_dir: str, partition_id: int, batch_id: str) -> str:

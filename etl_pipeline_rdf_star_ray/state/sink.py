@@ -40,6 +40,24 @@ def version_file(lake_dir: str, partition_id: int, batch_id: str) -> str:
     return os.path.join(partition_dir(lake_dir, partition_id), f"{batch_id}.parquet")
 
 
+def _fsync_dir(path: str) -> None:
+    """Make a rename/create in ``path`` durable: fsync the directory entry.
+    Without this, power loss can persist the manifest record (a different
+    directory) while the data-file rename is lost, leaving an active record
+    pointing at a missing file (round-1 ADVICE). Best-effort on filesystems
+    that reject directory fsync."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # pragma: no cover
+        return
+    try:
+        os.fsync(fd)
+    except OSError:  # pragma: no cover
+        pass
+    finally:
+        os.close(fd)
+
+
 def _sha256_file(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -89,6 +107,7 @@ def commit_partition(
         os.fsync(f.fileno())
     checksum = _sha256_file(tmp)
     os.replace(tmp, final)
+    _fsync_dir(os.path.dirname(final))  # data rename durable BEFORE the record
     rec = CommitRecord(
         partition_id=partition_id,
         batch_id=batch_id,

@@ -159,3 +159,44 @@ def test_export_lines_dataset():
     )
     out = export_lines(rd.from_arrow(t), fmt="nt").take_all()
     assert out[0]["text"] == '<http://e/s> <http://e/p> "x" .'
+
+
+def test_chunk_id_distinguishes_duplicate_lsn_multisets():
+    """XOR alone cancels duplicate lsns pairwise; the combined xor+sum id
+    must distinguish same-length chunks built from non-unique lsn values
+    (round-1 ADVICE: external CDC sources need not have unique lsns)."""
+    import numpy as np
+
+    from etl_pipeline_rdf_star_ray.stages.exchange import _chunk_id
+
+    a = _chunk_id(0, np.array([7, 7, 9, 9], dtype=np.uint64))   # xor = 0
+    b = _chunk_id(0, np.array([3, 3, 5, 5], dtype=np.uint64))   # xor = 0
+    c = _chunk_id(0, np.array([7, 9, 7, 9], dtype=np.uint64))   # order-indep
+    assert a != b
+    assert a == c
+
+
+def test_hash_probe_detects_changed_hash_impl(tmp_path):
+    """A lake created under one hash implementation must refuse to load if
+    the environment's hash changed (silent key→partition remap protection)."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_pipeline_rdf_star_ray.state import manifest as mf
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    meta = mf.load_or_create_meta(lake, mf.TableMeta(num_partitions=4))
+    assert meta.hash_probe  # recorded at creation
+    assert mf.load_meta(lake).num_partitions == 4  # verifies clean
+
+    path = os.path.join(lake, mf.META_FILE)
+    with open(path) as f:
+        doc = json.load(f)
+    doc["hash_probe"] = [1, 2, 3, 4]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(RuntimeError, match="CHANGED"):
+        mf.load_meta(lake)
