@@ -8,6 +8,8 @@ Parquet; text formats are an export, not the store."""
 
 from __future__ import annotations
 
+import uuid
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -92,7 +94,10 @@ def export_to_path(triples: "rd.Dataset", path: str, *, fmt: str = "nt") -> None
     def write_shard(batch: pa.Table) -> pa.Table:
         lines = batch.column("text").to_pylist()
         if lines:
-            shard = os.path.join(path, f"shard-{os.getpid()}-{id(batch):x}.{fmt}")
+            # unique per shard: id(batch) is NOT unique (CPython reuses ids
+            # after GC, so two blocks in one worker could collide and the
+            # later shard would overwrite the earlier one)
+            shard = os.path.join(path, f"shard-{uuid.uuid4().hex}.{fmt}")
             with open(shard, "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + "\n")
         return pa.table({"n": [len(lines)]})
@@ -136,7 +141,7 @@ def export_trig(triples: "rd.Dataset", path: str) -> None:
     def write_shard(batch: pa.Table) -> pa.Table:
         lines = batch.column("text").to_pylist()
         if lines:
-            shard = os.path.join(path, f"shard-{os.getpid()}-{id(batch):x}.trig")
+            shard = os.path.join(path, f"shard-{uuid.uuid4().hex}.trig")
             with open(shard, "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + "\n")
         return pa.table({"n": [len(lines)]})

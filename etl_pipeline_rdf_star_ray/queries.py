@@ -281,6 +281,31 @@ ORACLE_LIFT = (
     )
 )
 
+def q_rdf_roundtrip(sf_dir: str):
+    """RDF text interop: lift the transcript state to triples, export as
+    N-Quads shards, re-import with the TriG/NT parser — the driver compares
+    the round-tripped records against the lift oracle, proving import is the
+    exact inverse of export (reference loads its own exports back via
+    ``batch_manager.load_batch_from_file``)."""
+    import shutil
+
+    from .pipelines.export import export_to_path
+    from .sources.rdf_text import read_rdf
+
+    out = tempfile.mkdtemp(prefix="rdf-star-ray-roundtrip-")
+    try:
+        triples = q_lift_triples(sf_dir).drop_columns(["map_name"])
+        export_to_path(triples, out, fmt="nq")
+        return read_rdf(out).drop_columns(["graph"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_RDF_ROUNDTRIP = (
+    "SELECT subject, predicate, object_value, object_type, object_datatype, "
+    f"object_lang FROM ({ORACLE_LIFT})"
+)
+
 _ANNOTATION_YAML = """
 prefixes:
   ex: "http://example.org/"
@@ -588,6 +613,7 @@ def build_queries() -> dict:
         # mapping
         "lift_triples": q_lift_triples,
         "annotation_join": q_annotation_join,
+        "rdf_roundtrip": q_rdf_roundtrip,
         # analytics
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
@@ -633,6 +659,7 @@ def build_oracles() -> dict[str, str]:
         "cdc_schema_evolution": ORACLE_CDC_EVOLUTION,
         "lift_triples": ORACLE_LIFT,
         "annotation_join": ORACLE_ANNOTATION,
+        "rdf_roundtrip": ORACLE_RDF_ROUNDTRIP,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

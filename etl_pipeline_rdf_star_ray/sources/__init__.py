@@ -106,30 +106,6 @@ def _items(config: dict) -> "rd.Dataset":
     return rd.from_items(config["items"])
 
 
-def _unavailable(kind: str, reason: str) -> SourceFactory:
-    def factory(config: dict) -> "rd.Dataset":
-        raise NotImplementedError(
-            f"source type {kind!r} is registered but unavailable in this "
-            f"environment: {reason}. Reference parity surface only."
-        )
-
-    return factory
-
-
-# Reference connectors whose drivers/network are absent here (reference:
-# ``sources/database/postgresql.py:39-171``, ``mysql.py:31-145``,
-# ``remote/http.py:33-145``, ``remote/sparql.py:34-115``). The Ray-native
-# implementation for the database ones would be ``ray.data.read_sql`` with
-# partitioned parallel reads.
-for _kind, _reason in [
-    ("postgresql", "no network / no psycopg driver (use ray.data.read_sql)"),
-    ("mysql", "no network / no mysql driver (use ray.data.read_sql)"),
-    ("http", "no network access"),
-    ("sparql", "no network access"),
-]:
-    _REGISTRY[_kind] = _unavailable(_kind, _reason)
-
-
 def resolve_source_path(path: str, search_dirs: list[str] | None = None) -> str:
     """Resolve a relative source path across conventional data directories
     (reference: ``_resolve_source_path`` ``rdf_star_etl_yarrrml.py:202-229``,
@@ -157,7 +133,18 @@ def _sqlite(config: dict) -> "rd.Dataset":
     return rd.read_sql(query, connect)
 
 
+@register_source("rdf")
+def _rdf(config: dict) -> "rd.Dataset":
+    """RDF text import (N-Triples/N-Quads/Turtle/TriG subset) → triple
+    records (``sources/rdf_text.py``; reference format-by-extension load,
+    ``batch_manager.py:231-283``)."""
+    from .rdf_text import read_rdf
+
+    return read_rdf(config["path"], fmt=config.get("format"))
+
+
 # auto-import self-registering connector modules (reference:
 # ``sources/__init__.py:279-321`` auto-imports its connector modules)
 from . import json_source as _json_source  # noqa: E402,F401
+from . import remote as _remote  # noqa: E402,F401
 from . import xml_source as _xml_source  # noqa: E402,F401

@@ -40,9 +40,17 @@ def test_parquet_source():
     assert ds.count() == 5
 
 
-def test_unavailable_source_raises():
-    with pytest.raises(NotImplementedError):
-        create_source({"type": "http", "url": "http://example.org"})
+def test_db_source_without_driver_raises_on_connect():
+    """No psycopg2 in this sandbox: the connection factory raises the
+    reference's ImportError contract when the read first connects (Ray's
+    read_sql connects during dataset construction to size the read)."""
+    with pytest.raises(Exception) as e:
+        create_source(
+            {"type": "postgresql", "access": "localhost:5432/db",
+             "credentials": {"username": "u", "password": "p"},
+             "query": "SELECT 1"}
+        ).materialize()
+    assert "psycopg2" in str(e.value)
 
 
 def test_synthetic_deterministic_across_block_splits():
