@@ -204,6 +204,213 @@ def _compact_task(
     return 1
 
 
+def resalt(lake_dir: str, add_hot_convs: list[str], *, batch_id: str | None = None) -> dict:
+    """Migrate a lake table whose skew appeared AFTER creation: add newly-hot
+    conversations to the pinned salt set and MOVE their existing state rows
+    to the salted partitions, so the key→partition mapping stays consistent
+    for every later ingest (the documented re-salt path of round-1 verdict
+    item 7 — without it a conversation that turns hot later is pinned to one
+    partition forever).
+
+    Three phases, each fanned out as Ray tasks, ordered so that a crash at
+    ANY point re-runs to convergence with no data loss:
+
+    1. SCAN (no writes): every active partition computes its rows whose
+       assignment changes under the new hot set — only rows of the added
+       conversations can move, so the moved set is O(turns of those
+       conversations), tiny relative to the lake.
+    2. APPEND: each target partition merges the moved-in rows with its
+       current state, deduped by key (a re-run that already appended is a
+       no-op; keys cannot conflict — a key lives in one partition before
+       and after).
+    3. REWRITE: each source partition drops the rows that no longer belong
+       to it (recomputed from the new assignment, so it is idempotent).
+
+    Finally ``_meta.json`` is atomically rewritten with the new hot set.
+    Between phases 2 and 3 a crashed run leaves moved rows temporarily
+    visible in BOTH partitions; re-running :func:`resalt` with the same
+    arguments completes the migration (offline-migration contract).
+
+    QUIESCENCE REQUIRED: run between micro-batches (after a successful
+    ingest) — target watermarks may advance to the moved rows' lsns, which
+    is only correct when everything at or below the global watermark is
+    already committed.
+    """
+    import uuid
+
+    import pyarrow.compute as pc
+
+    meta = mf.load_meta(lake_dir)
+    added = sorted(set(add_hot_convs) - set(meta.hot_convs))
+    if not added:
+        return {"moved_rows": 0, "sources": 0, "targets": 0}
+    new_hot = sorted(set(meta.hot_convs) | set(added))
+    active = mf.active_versions(lake_dir)
+    gmax = max((r.lsn_hi for r in active.values()), default=-1)
+    if batch_id is None:
+        # fresh suffix per invocation: a re-run must be able to re-commit
+        # partitions whose markers from a crashed run already exist
+        batch_id = f"resalt-{gmax:020d}-{uuid.uuid4().hex[:8]}"
+
+    # phase 1 — scan
+    scan = ray.get(
+        [
+            _resalt_scan_task.remote(
+                lake_dir, pid, rec.file, added,
+                meta.num_partitions, meta.salt_buckets, new_hot, meta.key_hash,
+            )
+            for pid, rec in sorted(active.items())
+        ]
+    )
+    moved_parts = [t for t in scan if t is not None and t.num_rows]
+    sources = {
+        pid for t, pid in zip(scan, sorted(active)) if t is not None and t.num_rows
+    }
+    moved_rows = sum(t.num_rows for t in moved_parts)
+    targets: dict[int, list[pa.Table]] = {}
+    for t in moved_parts:
+        pids = t.column("partition_id")
+        for pid in pc.unique(pids).to_pylist():
+            targets.setdefault(int(pid), []).append(t.filter(pc.equal(pids, pid)))
+
+    # phase 2 — append to targets (key-deduped merge with current state)
+    ray.get(
+        [
+            _resalt_append_task.remote(
+                lake_dir, pid, batch_id,
+                pa.concat_tables(parts, promote_options="permissive"),
+            )
+            for pid, parts in sorted(targets.items())
+        ]
+    )
+
+    # phase 3 — rewrite sources without the moved-out rows
+    ray.get(
+        [
+            _resalt_rewrite_task.remote(
+                lake_dir, pid, batch_id, added,
+                meta.num_partitions, meta.salt_buckets, new_hot, meta.key_hash,
+            )
+            for pid in sorted(sources)
+        ]
+    )
+
+    meta.hot_convs = new_hot
+    import dataclasses
+    import json as _json
+
+    mf._atomic_write(
+        os.path.join(lake_dir, mf.META_FILE),
+        _json.dumps(dataclasses.asdict(meta), indent=1),
+    )
+    return {"moved_rows": moved_rows, "sources": len(sources), "targets": len(targets)}
+
+
+def _resalt_assignment(t: pa.Table, added, num_partitions, salt_buckets, new_hot, key_hash):
+    """(in_added mask, new partition id) for every row of a state table."""
+    import pyarrow.compute as pc
+
+    from ..stages.partition import partition_ids
+
+    in_added = pc.is_in(
+        t.column("conv_id"), value_set=pa.array(added, pa.string())
+    ).to_numpy(zero_copy_only=False).astype(bool)
+    new_pid = partition_ids(
+        t.column("conv_id"),
+        t.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False),
+        num_partitions=num_partitions,
+        salt_buckets=salt_buckets,
+        hot_set=frozenset(new_hot),
+        key_hash=key_hash,
+    )
+    return in_added, new_pid
+
+
+@ray.remote(num_cpus=1)
+def _resalt_scan_task(
+    lake_dir: str, pid: int, rel_file: str, added,
+    num_partitions, salt_buckets, new_hot, key_hash,
+):
+    t = pq.read_table(os.path.join(lake_dir, rel_file))
+    if t.num_rows == 0:
+        return None
+    in_added, new_pid = _resalt_assignment(
+        t, added, num_partitions, salt_buckets, new_hot, key_hash
+    )
+    cur = t.column("partition_id").combine_chunks().to_numpy(zero_copy_only=False)
+    moves = in_added & (new_pid != cur)
+    if not moves.any():
+        return None
+    moved = t.filter(pa.array(moves))
+    i = moved.schema.get_field_index("partition_id")
+    return moved.set_column(i, "partition_id", pa.array(new_pid[moves], pa.int32()))
+
+
+@ray.remote(num_cpus=1)
+def _resalt_append_task(lake_dir: str, pid: int, batch_id: str, moved: pa.Table) -> int:
+    import time
+
+    import pyarrow.compute as pc
+
+    from ..schema import concat_evolving
+    from ..stages.merge import lww_merge
+    from ..state.sink import commit_partition
+
+    t0 = time.monotonic()
+    rec = mf.active_versions(lake_dir).get(pid)  # re-resolve: current state
+    parts = [moved]
+    lsn_lo = pc.min(moved.column("lsn")).as_py()
+    lsn_hi = pc.max(moved.column("lsn")).as_py()
+    if rec is not None:
+        parts.insert(0, pq.read_table(os.path.join(lake_dir, rec.file)))
+        lsn_lo = min(lsn_lo, rec.lsn_lo)
+        lsn_hi = max(lsn_hi, rec.lsn_hi)
+    # keep-last per key: dedups re-appended identical rows on a re-run
+    merged = lww_merge(concat_evolving(parts), drop_deletes=False)
+    commit_partition(
+        merged,
+        lake_dir=lake_dir,
+        partition_id=pid,
+        batch_id=batch_id + "-in",
+        lsn_lo=lsn_lo,
+        lsn_hi=lsn_hi,
+        event_count=moved.num_rows,
+        wall_start=t0,
+    )
+    return moved.num_rows
+
+
+@ray.remote(num_cpus=1)
+def _resalt_rewrite_task(
+    lake_dir: str, pid: int, batch_id: str, added,
+    num_partitions, salt_buckets, new_hot, key_hash,
+) -> int:
+    import time
+
+    from ..state.sink import commit_partition
+
+    t0 = time.monotonic()
+    rec = mf.active_versions(lake_dir).get(pid)  # re-resolve: post-append
+    t = pq.read_table(os.path.join(lake_dir, rec.file))
+    in_added, new_pid = _resalt_assignment(
+        t, added, num_partitions, salt_buckets, new_hot, key_hash
+    )
+    cur = t.column("partition_id").combine_chunks().to_numpy(zero_copy_only=False)
+    keep = ~(in_added & (new_pid != cur))
+    stay = t.filter(pa.array(keep))
+    commit_partition(
+        stay,
+        lake_dir=lake_dir,
+        partition_id=pid,
+        batch_id=batch_id + "-out",
+        lsn_lo=rec.lsn_lo,
+        lsn_hi=rec.lsn_hi,
+        event_count=0,
+        wall_start=t0,
+    )
+    return int((~keep).sum())
+
+
 def status(lake_dir: str) -> dict:
     """Lake-table status report (reference ``batch_cli.py status`` verb)."""
     recs = mf.load_records(lake_dir)

@@ -249,7 +249,9 @@ def active_versions(
         if at_lsn is not None and rec.lsn_hi > at_lsn:
             continue
         cur = best.get(rec.partition_id)
-        if cur is None or rec.lsn_hi > cur.lsn_hi:
+        # tie-break on commit time: a compaction/resalt rewrite commits the
+        # SAME lsn_hi as the version it replaces and must become active
+        if cur is None or (rec.lsn_hi, rec.committed_at) > (cur.lsn_hi, cur.committed_at):
             best[rec.partition_id] = rec
     return best
 

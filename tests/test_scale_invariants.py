@@ -105,3 +105,108 @@ def test_exchange_actor_chunk_dedup_and_order_independence(tmp_path):
     a = run(list(range(10)), compact_rows=10**9)  # in order, no compaction
     b = run(list(reversed(range(10))), compact_rows=500)  # reversed + compaction
     assert a.equals(b)
+
+
+def _late_hot_log(n=4000, hot="conv_late_hot"):
+    """Change log where the hot conversation contributes NOTHING in the
+    first half and ~60% of the second half (round-1 verdict item 7)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    convs, turns = [], []
+    for i in range(n):
+        if i >= n // 2 and rng.rand() < 0.6:
+            convs.append(hot)
+            turns.append(int(rng.randint(0, 2000)))
+        else:
+            convs.append(f"c{rng.randint(0, 100):03d}")
+            turns.append(int(rng.randint(0, 50)))
+    return pa.table(
+        {
+            "op": pa.array(["insert"] * n),
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(np.array(turns, np.int32)),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([None] * n, pa.timestamp("us")),
+        }
+    )
+
+
+def test_stratified_detection_sees_late_hot_conv():
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.stages.partition import detect_hot_convs
+
+    ds = rd.from_arrow(_late_hot_log()).repartition(16)
+    # head-limited sample_rows smaller than the first (hot-free) half: a
+    # head sample would miss the conversation entirely
+    hot = detect_hot_convs(ds, num_partitions=8, sample_rows=1500)
+    assert "conv_late_hot" in hot
+
+
+def test_resalt_migrates_late_hot_conversation(tmp_path):
+    """Lake created before the skew existed: resalt moves the hot rows to
+    salted partitions, preserves exact state, and later ingests spread."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.pipelines import cdc, ops
+    from etl_pipeline_rdf_star_ray.state import manifest as mf
+    from etl_pipeline_rdf_star_ray.state.lake import state_table
+
+    log = _late_hot_log()
+    lake = str(tmp_path / "lake")
+    cdc.ingest(rd.from_arrow(log), lake, num_partitions=8, salt_buckets=4,
+               hot_convs=[])
+
+    def hot_partitions():
+        st = state_table(lake).to_pandas()
+        return st[st["conv_id"] == "conv_late_hot"]["partition_id"].nunique()
+
+    assert hot_partitions() == 1  # pinned skew before migration
+
+    res = ops.resalt(lake, ["conv_late_hot"])
+    assert res["moved_rows"] > 0
+    assert "conv_late_hot" in mf.load_meta(lake).hot_convs
+    assert hot_partitions() > 1  # spread after migration
+
+    def oracle(t):
+        con = duckdb.connect()
+        con.register("log", t)
+        return con.sql(
+            """SELECT conv_id, turn_idx, text FROM (
+                 SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                              ORDER BY lsn DESC) rn FROM log)
+               WHERE rn = 1 AND op <> 'delete' ORDER BY conv_id, turn_idx"""
+        ).df()
+
+    got = (
+        state_table(lake).to_pandas()[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, oracle(log), check_dtype=False)
+
+    # resalt is idempotent / convergent on re-run
+    assert ops.resalt(lake, ["conv_late_hot"])["moved_rows"] == 0
+
+    # post-migration ingest routes new hot events by the NEW mapping
+    extra = _late_hot_log(n=1000)
+    extra = extra.set_column(
+        extra.schema.get_field_index("lsn"), "lsn",
+        pa.array(np.arange(4000, 5000, dtype=np.int64)),
+    )
+    cdc.ingest(rd.from_arrow(extra), lake, num_partitions=8, salt_buckets=4)
+    full = pa.concat_tables([log, extra])
+    got2 = (
+        state_table(lake).to_pandas()[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, oracle(full), check_dtype=False)
+    assert hot_partitions() > 1
