@@ -12,6 +12,10 @@ Verbs:
   export    lift a snapshot through the transcripts mapping → N-Triples/Quads
   query     run DuckDB SQL against a snapshot (view name: state)
   compact   rewrite each partition's active version
+  resalt    migrate late-appearing hot conversations into salted partitions
+  import    parse RDF text files (nt/nq/ttl/trig) into a triples parquet
+  provenance  facts + RDF-star annotations for one subject (reference
+              ``batch_cli.py:290-325``)
 
 Owns its Ray session (guarded ``ray.init``) — the driver-facing library
 entry points never init Ray.
@@ -84,6 +88,19 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("compact")
     sp.add_argument("lake")
+
+    sp = sub.add_parser("resalt")
+    sp.add_argument("lake")
+    sp.add_argument("hot_convs", nargs="+", help="conversation ids to salt")
+
+    sp = sub.add_parser("import")
+    sp.add_argument("rdf_path", help="file or dir of .nt/.nq/.ttl/.trig")
+    sp.add_argument("out", help="output parquet dir of triple records")
+
+    sp = sub.add_parser("provenance")
+    sp.add_argument("lake")
+    sp.add_argument("subject", help="fact subject IRI")
+    sp.add_argument("--at-lsn", type=int, default=None)
 
     sp = sub.add_parser("archive")
     sp.add_argument("lake")
@@ -192,6 +209,40 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.ops import compact
 
         print(f"compacted {compact(args.lake)} partitions")
+    elif args.verb == "resalt":
+        from .pipelines.ops import resalt
+
+        print(json.dumps(resalt(args.lake, args.hot_convs)))
+    elif args.verb == "import":
+        from .sources.rdf_text import read_rdf
+
+        ds = read_rdf(args.rdf_path)
+        ds.write_parquet(args.out)
+        print(f"imported RDF triples to {args.out}")
+    elif args.verb == "provenance":
+        from .pipelines.ops import provenance_for_subject
+        from .stages.annotate import attach_static_annotations
+        from .stages.lift import lift_dataset, transcripts_spec
+        from .state import manifest as mf
+        from .state.lake import read_state
+
+        recs = mf.active_versions(args.lake)
+        latest = max(recs.values(), key=lambda r: r.lsn_hi, default=None)
+        anns = [
+            {"predicate": "http://www.w3.org/ns/prov#wasDerivedFrom",
+             "value": args.lake},
+            {"predicate": "http://www.w3.org/ns/prov#generatedAtTime",
+             "value": latest.committed_at if latest else "",
+             "datatype": "http://www.w3.org/2001/XMLSchema#dateTime"},
+            {"predicate": "http://example.org/batch",
+             "value": latest.batch_id if latest else ""},
+        ]
+        triples = attach_static_annotations(
+            lift_dataset(read_state(args.lake, at_lsn=args.at_lsn), transcripts_spec()),
+            anns,
+        )
+        df = provenance_for_subject(triples, args.subject)
+        print(df.to_string())
 
     import ray
 

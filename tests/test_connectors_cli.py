@@ -216,3 +216,41 @@ def test_cli_smoke(tmp_path):
         capture_output=True, text=True, env=env, timeout=120,
     )
     assert r.returncode == 0 and "n" in r.stdout
+
+
+def test_cli_provenance_import_resalt(tmp_path):
+    """The round-2 verbs: provenance (reference ``batch_cli.py:290-325``),
+    RDF import, resalt — driven in-process against a small lake."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.cli import main
+    from etl_pipeline_rdf_star_ray.sources.synthetic import changelog_table
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(changelog_table(1500), str(log / "log.parquet"))
+    lake = str(tmp_path / "lake")
+    assert main(["--num-cpus", "2", "ingest", str(log), lake,
+                 "--num-partitions", "4"]) == 0
+
+    assert main(["resalt", lake, "conv_hot"]) == 0
+
+    nt = tmp_path / "rdf"
+    nt.mkdir()
+    (nt / "x.nt").write_text('<http://a> <http://b> "v" .\n')
+    out = str(tmp_path / "triples")
+    assert main(["import", str(nt), out]) == 0
+    assert pq.read_table(out).num_rows == 1
+
+    import duckdb
+    import json as _json
+
+    from etl_pipeline_rdf_star_ray.state.lake import snapshot_files
+
+    con = duckdb.connect()
+    row = con.sql(
+        "SELECT conv_id, turn_idx FROM read_parquet("
+        + _json.dumps(snapshot_files(lake)) + ", union_by_name=true) LIMIT 1"
+    ).fetchone()
+    subj = f"http://example.org/turn/{row[0]}_{row[1]}"
+    assert main(["provenance", lake, subj]) == 0
