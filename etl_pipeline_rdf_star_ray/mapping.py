@@ -75,6 +75,7 @@ class PredicateObjectSpec:
     graphs: list[str] = field(default_factory=list)
     function: str | None = None  # named function applied to the value column
     mapping_ref: str | None = None
+    condition: dict | None = None  # row filter (equal), EXECUTED here
 
 
 @dataclass
@@ -97,6 +98,7 @@ class TriplesMapSpec:
     predicate_objects: list[PredicateObjectSpec] = field(default_factory=list)
     type_statements: list[str] = field(default_factory=list)
     graphs: list[str] = field(default_factory=list)
+    condition: dict | None = None  # mapping-level row filter, EXECUTED here
 
 
 @dataclass
@@ -327,6 +329,9 @@ def _parse_po_long(po_def: dict) -> tuple[list[PredicateObjectSpec], list[str]]:
                     graphs=graphs,
                     function=str(fn) if fn else None,
                     mapping_ref=mapping_ref,
+                    condition=po_def.get("condition")
+                    if isinstance(po_def.get("condition"), (dict, str))
+                    else None,
                 )
             )
     return pos, types
@@ -353,6 +358,8 @@ def _parse_triples_map(name: str, mdef: dict) -> TriplesMapSpec:
             break
     g = mdef.get("graphs", [])
     tm.graphs = [g] if isinstance(g, str) else list(g)
+    if isinstance(mdef.get("condition"), dict):
+        tm.condition = mdef["condition"]
     return tm
 
 
@@ -470,6 +477,48 @@ class CompiledTemplate:
         return out
 
 
+_COND_SHORT = re.compile(r"(\w+)\s*\(\s*(.*)\s*\)\s*$")
+
+
+class CompiledCondition:
+    """An executed YARRRML ``condition:`` — the reference parses these
+    (``yarrrml_parser.py:608-612``) but never executes them; here an
+    ``equal`` condition becomes a vectorized row mask. Sides are templates
+    (``$(col)`` refs, constants, or mixes) evaluated without sanitizing;
+    null on either side fails the comparison (SQL semantics)."""
+
+    def __init__(self, cond: dict | str, prefixes: dict[str, str]):
+        fn, params = "equal", {}
+        if isinstance(cond, str):
+            m = _COND_SHORT.match(cond.strip())
+            if not m:
+                raise ValueError(f"unparseable condition {cond!r}")
+            fn = m.group(1)
+            for part in m.group(2).split(","):
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    params[k.strip()] = v.strip()
+        else:
+            fn = str(cond.get("function", "equal")).rsplit(":", 1)[-1]
+            raw = cond.get("parameters", [])
+            for p in raw:
+                if isinstance(p, dict):
+                    params[str(p.get("parameter"))] = str(p.get("value", ""))
+                elif isinstance(p, (list, tuple)) and len(p) >= 2:
+                    params[str(p[0])] = str(p[1])
+        if fn not in ("equal", "notEqual", "idlab-fn:notEqual"):
+            raise ValueError(f"unsupported condition function {fn!r} (equal/notEqual)")
+        self.negate = "notEqual" in fn
+        self.left = CompiledTemplate(params.get("str1", ""), prefixes, sanitize=False)
+        self.right = CompiledTemplate(params.get("str2", ""), prefixes, sanitize=False)
+
+    def mask(self, table: pa.Table) -> np.ndarray:
+        lhs, rhs = self.left(table), self.right(table)
+        eq = pc.fill_null(pc.equal(lhs, rhs), False)
+        m = _to_np_bool(eq)
+        return ~m if self.negate else m
+
+
 class CompiledPO:
     """One predicate-object pair compiled against a prefix dict."""
 
@@ -491,6 +540,9 @@ class CompiledPO:
         )
         is_iri = po.object_type == OBJ_IRI
         self.template = CompiledTemplate(po.value, prefixes, sanitize=is_iri)
+        self.condition = (
+            CompiledCondition(po.condition, prefixes) if po.condition else None
+        )
 
     def values(self, table: pa.Table) -> tuple[pa.Array, np.ndarray]:
         """(object_value array, keep mask). IRI-typed bare columns pass
@@ -521,6 +573,8 @@ class CompiledPO:
                 keep = _nonempty_mask(vals, n)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
+        if self.condition is not None:
+            keep = keep & self.condition.mask(table)
         return vals, keep
 
 
@@ -573,6 +627,7 @@ class LiftKernel:
                 predicate_objects=resolved,
                 type_statements=tm.type_statements,
                 graphs=tm.graphs,
+                condition=tm.condition,
             )
         self.name = tm.name
         self.carry = tuple(carry_columns)
@@ -589,6 +644,9 @@ class LiftKernel:
         )
         self.types = [expand_prefixed(t, prefixes) for t in tm.type_statements]
         self.pos = [CompiledPO(po, prefixes) for po in tm.predicate_objects]
+        self.condition = (
+            CompiledCondition(tm.condition, prefixes) if tm.condition else None
+        )
 
     def _sub_table(
         self,
@@ -626,6 +684,9 @@ class LiftKernel:
         return out if out.num_rows else None
 
     def __call__(self, table: pa.Table) -> pa.Table:
+        if self.condition is not None:
+            # mapping-level condition: filter source rows before the lift
+            table = table.filter(pa.array(self.condition.mask(table)))
         subs = [tpl(table) for tpl in self.subject_templates]
         parts: list[pa.Table] = []
         for subject in subs:

@@ -338,9 +338,24 @@ def dedup_minhash_lsh(
     ).materialize()
 
     # ---- verification: re-join texts for the surviving candidates only ----
-    pair_tbl = pa.concat_tables(
-        [ray.get(ref) for ref in unique_pairs.to_arrow_refs()]
-    )
+    # (skip the schema-less empty blocks Ray's map_groups emits for empty
+    # shuffle partitions — concat would reject them)
+    blocks = [
+        t for t in (ray.get(ref) for ref in unique_pairs.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not blocks:
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    pair_tbl = pa.concat_tables(blocks)
     need = pc.unique(
         pa.chunked_array(
             [pair_tbl.column("id_a").combine_chunks(),

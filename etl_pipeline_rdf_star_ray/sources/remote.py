@@ -195,9 +195,21 @@ def _http(config: dict) -> "rd.Dataset":
     headers.setdefault("Accept", config.get("contentType", "application/json"))
     fetcher = config.get("fetcher", default_fetcher)
     iterator = config.get("iterator", "$")
+    fmt = config.get("referenceFormulation", "")
+    delimiter = config.get("delimiter", ",")
 
     def fetch(_batch: pa.Table) -> pa.Table:
         text = fetcher(url, headers).decode("utf-8")
+        if fmt == "csv" or "csv" in headers["Accept"]:
+            # CSV response parsing (reference ``remote/http.py:137-145``)
+            import io
+
+            from pyarrow import csv as pacsv
+
+            return pacsv.read_csv(
+                io.BytesIO(text.encode("utf-8")),
+                parse_options=pacsv.ParseOptions(delimiter=delimiter),
+            )
         data = json.loads(text)
         records = [
             flatten_json(r) if isinstance(r, dict) else {"value": r}

@@ -1,36 +1,47 @@
-"""Actor-based partition exchange — the scale path for the CDC upsert.
+"""Block-exchange CDC ingest — the scale path for the upsert.
 
 Why not ``groupby(partition_id).map_groups``: measured on this node, Ray
 Data's sort-based shuffle of the change log tops out near ~450k events/s
 REGARDLESS of CPU count (a serial merge phase dominates; 8→32 CPUs gave only
-1.4× — BASELINE.md bench notes). The exchange below has no sort and no
-serial coordinator: stateless map tasks split each Arrow batch by partition
-id and push sub-tables directly to a pool of long-lived MERGER ACTORS, each
-owning a fixed set of lake partitions. This is raw Ray core by design — the
-Dataset API cannot express a streaming per-partition mutable merge state
-(the case SURVEY.md §7.3 and the brief reserve raw actors for).
+1.4× — BASELINE.md bench notes).
+
+The exchange instead streams the partitioned dataset's OWN block refs on the
+driver (``iter_internal_ref_bundles`` — metadata only, no rows touch the
+driver), fans each block out to a ``_cluster_block`` task that pid-sorts it
+(one argsort + one take, returned directly to the object store — the only
+copy the exchange ever makes), and records ``{pid: [(ref, start, len)]}``
+routing metadata driver-side. When the stream ends, one merge+commit task
+per partition consumes its slices ZERO-COPY from plasma.
+
+This is the third evolution of the exchange, each driven by a measured
+bottleneck (BASELINE.md round-2 notes):
+
+1. buffer actors holding deserialized tables with in-stream sort-compaction
+   → the compaction blocked slot-holding producers and collapsed low-CPU
+   sustained throughput ~5×;
+2. actors holding per-pid ``ray.put`` refs → fixed buffering, but the
+   router's take+put double copy and the per-(block, actor) RPC convoy
+   capped 32-CPU streaming at ~2× the 8-CPU rate;
+3. (current) no actors, no router stage, no extra copy: every byte of event
+   data is copied exactly once after decode (the cluster task's take), all
+   compute runs in CPU-slotted Ray tasks, and the driver handles only refs
+   and range metadata. On a multi-node cluster the blocks stay on their
+   producing nodes and merge tasks fetch them over Ray's object transport
+   (the normal shuffle data plane); memory is bounded by Ray's native
+   object spilling.
 
 Correctness properties:
 
-- **Retry idempotence**: every pushed sub-table carries a deterministic
-  chunk id derived from its content (order-independent hash of lsn values +
-  partition); a retried map task re-sends identical chunks and the actor
-  drops duplicates. The router ``ray.get``s its pushes, so a task only
-  succeeds after delivery (and backpressure propagates).
-- **Out-of-order arrival**: chunks reach an actor in arbitrary order; the
-  actor's incremental compaction keeps per-key argmax(lsn) WITH the winning
-  op (tombstones retained), which is associative and commutative — deletes
-  are applied against prior lake state only at finalize.
-- **Bounded memory**: an actor compacts its buffer whenever it exceeds
-  ``compact_rows``, so actor heap is O(live keys per owned partition), not
-  O(events) (SURVEY.md §7.5.3).
-- **Exactly-once sink**: finalize funnels into the same marker-idempotent
-  ``commit_partition`` as the shuffle path.
-- **Failure recovery**: an actor lost mid-stream loses only BUFFERED chunks
-  (nothing durable happened yet); the ingest raises and a re-run resumes
-  from the per-partition watermarks, re-streaming exactly the uncommitted
-  events. A crash between two partition commits of the same batch is the
-  normal resume case: committed partitions skip via markers + watermarks.
+- **Exactly-once sink**: merge tasks funnel into the same marker-idempotent
+  ``commit_partition`` as the shuffle path; re-running an ingest with the
+  same batch id skips committed partitions via markers, and the watermark
+  filter upstream drops already-committed events entirely.
+- **Out-of-order arrival**: the per-partition LWW merge is order-independent
+  (argmax lsn per key, tombstones applied against prior lake state).
+- **Failure recovery**: a lost block/cluster object before its merge task
+  consumes it fails the ingest; a re-run resumes from the per-partition
+  watermarks, re-streaming exactly the uncommitted events. A crash between
+  two partition commits of the same batch is the normal resume case.
 """
 
 from __future__ import annotations
@@ -45,12 +56,14 @@ import ray
 
 from ..functions.hashing import splitmix64
 from ..schema import concat_evolving
-from ..stages.merge import lww_merge, merge_state_and_events
+from ..stages.merge import merge_state_and_events
 from ..state.sink import commit_partition
 
 
 def _chunk_id(pid: int, lsns: np.ndarray) -> int:
-    """Deterministic, order-independent id of one pushed sub-table.
+    """Deterministic, order-independent content id of one event chunk
+    (retry-dedup key for PUSH-style transports; the block exchange itself
+    no longer needs it, but external streaming integrations do).
 
     Combines XOR with a wrapping mod-2^64 SUM of the per-lsn hashes: XOR
     alone cancels duplicate lsn values pairwise (a changelog from an external
@@ -66,76 +79,45 @@ def _chunk_id(pid: int, lsns: np.ndarray) -> int:
     )
 
 
-class MergerActorImpl:
-    """Owns a set of lake partitions; accumulates + incrementally compacts
-    their change events, then merges with prior state and commits."""
-
-    def __init__(self, lake_dir: str, batch_id: str, active_files: dict[int, str],
-                 compact_rows: int = 4_000_000):
-        self.lake_dir = lake_dir
-        self.batch_id = batch_id
-        self.active_files = active_files
-        self.compact_rows = compact_rows
-        self.chunks: list[pa.Table] = []  # mixed-pid tables, as received
-        self.chunk_rows = 0
-        self.seen: set[int] = set()
-
-    def add(self, chunk_id: int, table: pa.Table) -> int:
-        """Pure append — deliberately does NO compute: during the streaming
-        phase every core belongs to the map stage, and a busy actor would
-        both stall its (blocked, slot-holding) producers and oversubscribe
-        the node. All splitting/merging happens in finalize, where the freed
-        map slots give the actor pool full parallelism."""
-        if chunk_id in self.seen:
-            return 0  # duplicate push from a retried task
-        self.seen.add(chunk_id)
-        self.chunks.append(table)
-        self.chunk_rows += table.num_rows
-        if self.chunk_rows >= self.compact_rows:
-            self._compact()
-        return table.num_rows
-
-    def _compact(self) -> None:
-        # memory-bound guard for very large micro-batches: associative
-        # pre-merge keeping per-key argmax(lsn) WITH its op (tombstones
-        # retained), correct under any chunk arrival order
-        merged = lww_merge(concat_evolving(self.chunks), drop_deletes=False)
-        self.chunks = [merged]
-        self.chunk_rows = merged.num_rows
-
-    def finalize(self) -> list:
-        """Split the buffered stream per partition and FAN OUT the merge +
-        commit of each partition as detached Ray tasks — finalize
-        parallelism is then bounded by the cluster, not by the actor count.
-        Returns a list of ObjectRefs to manifest-record dicts."""
-        if not self.chunks:
-            return []
-        all_events = concat_evolving(self.chunks)
-        self.chunks = []
-        pids = all_events.column("partition_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        refs = []
-        for pid in np.unique(pids):
-            pid = int(pid)
-            events = all_events.filter(pa.array(pids == pid))
-            refs.append(
-                _merge_commit_task.remote(
-                    events,
-                    self.lake_dir,
-                    pid,
-                    self.batch_id,
-                    self.active_files.get(pid),
-                )
-            )
-        return refs
+@ray.remote(num_cpus=1, num_returns=2)
+def _cluster_block(block: pa.Table):
+    """Sort one block by partition id. Returns ``(ranges, table)`` as TWO
+    objects: the small ``{pid: (start, len)}`` dict goes to the driver for
+    routing; the clustered table stays in the object store untouched until
+    a merge task slices it zero-copy."""
+    if block.num_rows == 0:
+        return {}, block
+    pids = block.column("partition_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(pids, kind="stable")
+    t = block.take(pa.array(order))
+    sorted_pids = pids[order]
+    bounds = np.flatnonzero(np.diff(sorted_pids)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(sorted_pids)]])
+    ranges = {
+        int(sorted_pids[s]): (int(s), int(e - s)) for s, e in zip(starts, ends)
+    }
+    return ranges, t
 
 
 @ray.remote(num_cpus=1)
 def _merge_commit_task(
-    events: pa.Table, lake_dir: str, pid: int, batch_id: str, prior: str | None
+    chunk_slices: list,
+    lake_dir: str,
+    pid: int,
+    batch_id: str,
+    prior: str | None,
 ) -> dict:
     t0 = time.monotonic()
+    # zero-copy: plasma blocks are mmapped, slices are views; the only copy
+    # is the sort inside the LWW merge
+    parts = [
+        ray.get(ref).slice(start, length)
+        for ref, start, length in chunk_slices
+    ]
+    events = concat_evolving(parts)
     state = pq.read_table(prior) if prior is not None else None
     new_state = merge_state_and_events(state, events)
     lsns = events.column("lsn")
@@ -152,37 +134,6 @@ def _merge_commit_task(
     return rec.__dict__
 
 
-def make_router(actors: list, num_partitions: int):
-    """Stateless map stage: split the partitioned batch by ``partition_id``
-    and push each sub-table to its owning merger actor. Returns a tiny
-    counts table (the dataset consumer drives the stream)."""
-    n_actors = len(actors)
-
-    def route(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"routed": pa.array([0], pa.int64())})
-        pids = batch.column("partition_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        aids = pids % n_actors
-        refs = []
-        for a in np.unique(aids):
-            # take() materializes a COMPACT copy: a slice would serialize the
-            # whole parent string buffer (Arrow IPC keeps un-rebased offsets),
-            # amplifying shipped bytes by the number of sub-tables
-            idx = np.flatnonzero(aids == a)
-            sub = batch.take(pa.array(idx))
-            lsns = sub.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
-            cid = _chunk_id(int(a), lsns)
-            refs.append(actors[int(a)].add.remote(cid, sub))
-        # waiting for delivery makes task success == delivery (retry safety)
-        # and applies backpressure to the read stage
-        routed = sum(ray.get(refs))
-        return pa.table({"routed": pa.array([routed], pa.int64())})
-
-    return route
-
-
 def exchange_ingest(
     partitioned,  # rd.Dataset already carrying partition_id (watermark-filtered)
     lake_dir: str,
@@ -190,29 +141,26 @@ def exchange_ingest(
     batch_id: str,
     num_partitions: int,
     active_files: dict[int, str],
-    num_mergers: int | None = None,
-    merger_num_cpus: float = 0,
+    num_mergers: int | None = None,  # kept for API compat; unused
+    merger_num_cpus: float = 0,  # kept for API compat; unused
 ) -> list[dict]:
-    """Run the exchange: spawn the merger pool, stream the dataset through
-    the router, finalize all actors in parallel. Returns manifest records."""
-    if num_mergers is None:
-        avail = int(ray.available_resources().get("CPU", 8))
-        # few buffer actors (message count = blocks × actors, and actors do
-        # no compute during streaming); finalize parallelism comes from the
-        # per-partition merge TASKS they spawn, not from the actor count
-        num_mergers = max(2, min(num_partitions, avail // 4))
-    Merger = ray.remote(num_cpus=merger_num_cpus)(MergerActorImpl)
-    actors = [
-        Merger.remote(lake_dir, batch_id, active_files) for _ in range(num_mergers)
+    """Run the block exchange: stream block refs, cluster each block by pid,
+    then merge+commit every partition in parallel. Returns manifest
+    records."""
+    del num_mergers, merger_num_cpus
+    pending = []
+    for bundle in partitioned.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            pending.append(_cluster_block.remote(block_ref))
+    pid_slices: dict[int, list] = {}
+    metas = ray.get([m for m, _t in pending])
+    for (ranges), (_m, table_ref) in zip(metas, pending):
+        for pid, (start, length) in ranges.items():
+            pid_slices.setdefault(pid, []).append((table_ref, start, length))
+    refs = [
+        _merge_commit_task.remote(
+            slices, lake_dir, pid, batch_id, active_files.get(pid)
+        )
+        for pid, slices in sorted(pid_slices.items())
     ]
-    try:
-        partitioned.map_batches(
-            make_router(actors, num_partitions), batch_format="pyarrow"
-        ).count()
-        task_refs = []
-        for part in ray.get([a.finalize.remote() for a in actors]):
-            task_refs.extend(part)
-        return ray.get(task_refs)
-    finally:
-        for a in actors:
-            ray.kill(a)
+    return ray.get(refs)

@@ -225,3 +225,68 @@ def test_lift_carry_columns():
     assert "id" in out.column_names
     assert "map_name" in out.column_names
     assert out.column("map_name")[0].as_py() == "person"
+
+
+def test_condition_execution_po_and_mapping_level():
+    """YARRRML ``condition:`` filters EXECUTE here (the reference parses
+    them at ``yarrrml_parser.py:608-612`` but never runs them): equal()
+    long form on a predicate-object, shorthand string, and mapping-level."""
+    import pyarrow as pa
+
+    from etl_pipeline_rdf_star_ray.mapping import LiftKernel, parse_yarrrml
+
+    spec = parse_yarrrml(
+        """
+prefixes: {ex: "http://example.org/"}
+mappings:
+  condTM:
+    sources: [['t~parquet']]
+    subject: ex:r/$(id)
+    predicateobjects:
+      - predicates: ex:flag
+        objects: $(val)
+        condition:
+          function: equal
+          parameters:
+            - [str1, $(kind)]
+            - [str2, special]
+      - [ex:always, $(val)]
+  mapCondTM:
+    sources: [['t~parquet']]
+    condition:
+      function: equal
+      parameters:
+        - [str1, $(kind)]
+        - [str2, special]
+    subject: ex:r/$(id)
+    predicateobjects:
+      - [ex:v, $(val)]
+"""
+    )
+    t = pa.table(
+        {"id": [1, 2, 3], "kind": ["special", "plain", "special"], "val": ["a", "b", "c"]}
+    )
+    rows = LiftKernel(spec.maps["condTM"], spec.prefixes)(t).to_pylist()
+    flagged = [r for r in rows if r["predicate"].endswith("flag")]
+    always = [r for r in rows if r["predicate"].endswith("always")]
+    assert sorted(r["object_value"] for r in flagged) == ["a", "c"]
+    assert len(always) == 3  # unconditioned PO untouched
+
+    rows2 = LiftKernel(spec.maps["mapCondTM"], spec.prefixes)(t).to_pylist()
+    assert sorted(r["object_value"] for r in rows2) == ["a", "c"]
+
+
+def test_condition_shorthand_and_notequal():
+    import pyarrow as pa
+
+    from etl_pipeline_rdf_star_ray.mapping import CompiledCondition
+
+    t = pa.table({"k": ["x", "y", None]})
+    eq = CompiledCondition("equal(str1=$(k), str2=x)", {})
+    assert list(eq.mask(t)) == [True, False, False]  # null fails equality
+    ne = CompiledCondition(
+        {"function": "idlab-fn:notEqual",
+         "parameters": [{"parameter": "str1", "value": "$(k)"},
+                        {"parameter": "str2", "value": "x"}]}, {}
+    )
+    assert list(ne.mask(t)) == [False, True, True]

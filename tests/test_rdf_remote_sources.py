@@ -284,3 +284,15 @@ def test_sparql_source_with_fake_fetcher():
 def test_parse_sparql_json_empty():
     t = parse_sparql_json(json.dumps({"head": {"vars": ["x"]}, "results": {"bindings": []}}))
     assert t.num_rows == 0 and t.column_names == ["x"]
+
+
+def test_http_source_csv_response():
+    def fetcher(url, headers, body=None):
+        return b"id,name\n1,a\n2,b\n"
+
+    ds = create_source(
+        {"type": "http", "access": "https://x/api.csv",
+         "referenceFormulation": "csv", "fetcher": fetcher}
+    )
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df["name"]) == ["a", "b"]

@@ -1,13 +1,13 @@
 """Scale-behavior invariants: hot-key salting actually balances partitions,
-schema evolution across multiple late columns, and the exchange actor's
-chunk-level retry dedup + out-of-order compaction."""
+schema evolution across multiple late columns, and the block exchange's
+arrival-order independence + chunk-id retry-dedup key."""
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from etl_pipeline_rdf_star_ray.sources.synthetic import changelog_table
-from etl_pipeline_rdf_star_ray.stages.exchange import MergerActorImpl, _chunk_id
+from etl_pipeline_rdf_star_ray.stages.exchange import _chunk_id
 from etl_pipeline_rdf_star_ray.stages.merge import lww_merge
 from etl_pipeline_rdf_star_ray.stages.partition import make_partition_stage
 
@@ -74,37 +74,41 @@ def test_multi_stage_schema_evolution(tmp_path):
     assert all(x is not None for x in mid[lsns >= 1000])
 
 
-def test_exchange_actor_chunk_dedup_and_order_independence(tmp_path):
-    lake = str(tmp_path / "lake")
-    import os
+def test_exchange_block_order_independence(tmp_path):
+    """The block exchange must produce identical lake state regardless of
+    the order (and split) in which change blocks arrive — driven through
+    the public ingest path with permuted block layouts."""
+    import ray.data as rd
 
-    os.makedirs(os.path.join(lake, "_manifest"))
+    from etl_pipeline_rdf_star_ray.pipelines import cdc
+    from etl_pipeline_rdf_star_ray.state.lake import state_table
+
     t = changelog_table(3000)
-    pt = make_partition_stage(
-        num_partitions=4, salt_buckets=1, hot_convs=frozenset()
-    )(t)
-    chunks = [pt.slice(i * 300, 300) for i in range(10)]
+    perm = np.random.RandomState(3).permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm))
 
-    def run(order, compact_rows):
-        actor = MergerActorImpl(lake, f"b-{compact_rows}-{order[0]}", {},
-                                compact_rows=compact_rows)
-        for i in order:
-            c = chunks[i]
-            lsns = c.column("lsn").to_numpy()
-            cid = _chunk_id(0, lsns)
-            assert actor.add(cid, c) == 300
-            # duplicate push (task retry) is a no-op
-            assert actor.add(cid, c) == 0
-        merged = lww_merge(
-            pa.concat_tables(
-                [lww_merge(x, drop_deletes=False) for x in actor.chunks]
-            )
+    def run(tag, table, blocks):
+        lake = str(tmp_path / tag)
+        cdc.ingest(
+            rd.from_arrow(table).repartition(blocks), lake,
+            num_partitions=4, salt_buckets=1, hot_convs=[], batch_id="b",
         )
-        return merged.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        return (
+            state_table(lake)
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        )
 
-    a = run(list(range(10)), compact_rows=10**9)  # in order, no compaction
-    b = run(list(reversed(range(10))), compact_rows=500)  # reversed + compaction
+    a = run("a", t, 2)
+    b = run("b", shuffled, 7)
     assert a.equals(b)
+
+
+def test_chunk_id_is_order_independent_content_hash():
+    lsns = np.arange(100, dtype=np.uint64)
+    rng = np.random.RandomState(0)
+    assert _chunk_id(3, lsns) == _chunk_id(3, rng.permutation(lsns))
+    assert _chunk_id(3, lsns) != _chunk_id(4, lsns)
+    assert _chunk_id(3, lsns) != _chunk_id(3, lsns[:-1])
 
 
 def _late_hot_log(n=4000, hot="conv_late_hot"):
