@@ -154,7 +154,11 @@ def value_history(changelog: "rd.Dataset", *, num_partitions: int = 64) -> "rd.D
         out["n_events"] = out["n_events"].astype("int64")
         out["n_versions"] = out["n_versions"].astype("int64")
         out["n_changes"] = out["n_changes"].astype("int64")
-        return out
+        # Arrow output: pandas blocks have unhashable schemas and trip Ray's
+        # schema-dedup warnings (see dedup.sharded_groups)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     return (
         changelog.map_batches(stage, batch_format="pyarrow")
