@@ -139,6 +139,41 @@ def q_cdc_value_history(sf_dir: str):
     return ops.value_history(changelog_from_events(sf_dir), num_partitions=16)
 
 
+def q_cdc_compact(sf_dir: str):
+    """Parallel compaction preserves exact state: replay → one Ray task per
+    partition rewrites its active version → snapshot equals plain LWW."""
+    lake, _ = _replayed_lake(sf_dir, "compact")
+    ops.compact(lake)
+    return read_state(lake).drop_columns(["partition_id"])
+
+
+def q_cdc_resalt(sf_dir: str):
+    """Late hot-key migration preserves exact state: replay with NO salting,
+    then resalt the hot conversation into salted partitions — the moved rows
+    land bit-identical, so the snapshot still equals plain LWW replay."""
+    lake = _fresh_lake("resalt")
+    t = _t_split(sf_dir)
+    hi = _max_lsn(sf_dir) + 1
+
+    def factory(lo, h):
+        return changelog_from_events(sf_dir, lsn_lo=lo, lsn_hi=h)
+
+    cdc.replay(factory, lake, lsn_splits=[t + 1, hi], num_partitions=16,
+               hot_convs=[])
+    ops.resalt(lake, ["conv_hot"])
+    return read_state(lake).drop_columns(["partition_id"])
+
+
+def q_cdc_diff_summary(sf_dir: str):
+    """Distributed diff counts (never materializes the diff driver-side)."""
+    lake, t = _replayed_lake(sf_dir, "diffsum")
+    counts = ops.diff_summary(lake, t, _max_lsn(sf_dir))
+    rows = [
+        {"change_type": k, "n": v} for k, v in sorted(counts.items()) if v > 0
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     """tool_args appears only for lsn > T: early lake partitions widen via
     Arrow schema unification, never rewritten."""
@@ -201,6 +236,11 @@ SELECT ev.conv_id, ev.turn_idx, n_events, last_op,
        coalesce(n_versions, 0) AS n_versions,
        coalesce(n_changes, 0) AS n_changes
 FROM ev LEFT JOIN ver USING (conv_id, turn_idx)"""
+)
+
+ORACLE_CDC_DIFF_SUMMARY = (
+    f"SELECT change_type, count(*)::BIGINT AS n FROM ({ORACLE_CDC_DIFF}) "
+    "GROUP BY change_type"
 )
 
 # state rows are never deletes, so the op<>'delete' guard of TOOL_ARGS_SQL
@@ -610,6 +650,9 @@ def build_queries() -> dict:
         "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_compact": q_cdc_compact,
+        "cdc_resalt": q_cdc_resalt,
+        "cdc_diff_summary": q_cdc_diff_summary,
         # mapping
         "lift_triples": q_lift_triples,
         "annotation_join": q_annotation_join,
@@ -657,6 +700,9 @@ def build_oracles() -> dict[str, str]:
         "cdc_diff": ORACLE_CDC_DIFF,
         "cdc_value_history": ORACLE_CDC_HISTORY,
         "cdc_schema_evolution": ORACLE_CDC_EVOLUTION,
+        "cdc_compact": ORACLE_CDC_FULL,
+        "cdc_resalt": ORACLE_CDC_FULL,
+        "cdc_diff_summary": ORACLE_CDC_DIFF_SUMMARY,
         "lift_triples": ORACLE_LIFT,
         "annotation_join": ORACLE_ANNOTATION,
         "rdf_roundtrip": ORACLE_RDF_ROUNDTRIP,
