@@ -171,12 +171,15 @@ def upsert_dataset(
     num_partitions: int = 64,
     salt_buckets: int = 8,
     hot_convs: list[str] | None = None,
+    method: str = "exchange",
 ) -> "rd.Dataset":
     """Pure streaming upsert with no durable sink: change log → final table
     state as a Dataset (used by queries and as the in-memory flagship path).
 
-    Same shuffle + vectorized LWW kernel as :func:`ingest`, minus the lake.
-    """
+    ``method="exchange"`` (default) routes through the block exchange —
+    same scale shape as :func:`ingest`, minus the lake; ``"shuffle"`` keeps
+    the fully-lazy ``groupby().map_groups`` plan (simpler, but Ray's sort
+    shuffle has the documented serial phase — BASELINE.md)."""
     from ..stages.merge import lww_merge
 
     hot = frozenset(hot_convs or [])
@@ -185,14 +188,18 @@ def upsert_dataset(
         salt_buckets=salt_buckets,
         hot_convs=hot,
     )
+    partitioned = changelog.map_batches(stage, batch_format="pyarrow")
+
+    if method == "exchange":
+        from ..stages.exchange import exchange_upsert
+
+        return exchange_upsert(partitioned)
 
     def merge_group(group: pa.Table) -> pa.Table:
         return lww_merge(group).drop_columns(["op", "partition_id"])
 
-    return (
-        changelog.map_batches(stage, batch_format="pyarrow")
-        .groupby("partition_id")
-        .map_groups(merge_group, batch_format="pyarrow")
+    return partitioned.groupby("partition_id").map_groups(
+        merge_group, batch_format="pyarrow"
     )
 
 

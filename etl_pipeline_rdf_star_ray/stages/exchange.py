@@ -134,6 +134,47 @@ def _merge_commit_task(
     return rec.__dict__
 
 
+@ray.remote(num_cpus=1)
+def _merge_only_task(chunk_slices: list) -> pa.Table:
+    """Sinkless variant of the merge task: LWW state table for one
+    partition, returned to the object store (consumed via
+    ``ray.data.from_arrow_refs``)."""
+    from ..stages.merge import lww_merge
+
+    parts = [
+        ray.get(ref).slice(start, length)
+        for ref, start, length in chunk_slices
+    ]
+    merged = lww_merge(concat_evolving(parts))
+    return merged.drop_columns(
+        [c for c in ("op", "partition_id") if c in merged.column_names]
+    )
+
+
+def exchange_upsert(partitioned) -> "ray.data.Dataset":
+    """Sinkless block-exchange upsert: same routing as
+    :func:`exchange_ingest`, but each partition's LWW state returns as an
+    Arrow block and the result is a Dataset (``from_arrow_refs`` — blocks
+    never touch the driver)."""
+    import ray.data as rd
+
+    pending = []
+    for bundle in partitioned.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            pending.append(_cluster_block.remote(block_ref))
+    pid_slices: dict[int, list] = {}
+    metas = ray.get([m for m, _t in pending])
+    for ranges, (_m, table_ref) in zip(metas, pending):
+        for pid, (start, length) in ranges.items():
+            pid_slices.setdefault(pid, []).append((table_ref, start, length))
+    refs = [
+        _merge_only_task.remote(slices) for _, slices in sorted(pid_slices.items())
+    ]
+    if not refs:
+        return rd.from_items([]).limit(0)
+    return rd.from_arrow_refs(refs)
+
+
 def exchange_ingest(
     partitioned,  # rd.Dataset already carrying partition_id (watermark-filtered)
     lake_dir: str,
