@@ -16,6 +16,8 @@ Verbs:
   import    parse RDF text files (nt/nq/ttl/trig) into a triples parquet
   provenance  facts + RDF-star annotations for one subject (reference
               ``batch_cli.py:290-325``)
+  sparql    run a SPARQL-star subset query over a quads parquet or a lake
+            snapshot (reference serving layer ``fastapi_sparql_server.py``)
 
 Owns its Ray session (guarded ``ray.init``) — the driver-facing library
 entry points never init Ray.
@@ -102,6 +104,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("subject", help="fact subject IRI")
     sp.add_argument("--at-lsn", type=int, default=None)
 
+    sp = sub.add_parser("sparql")
+    sp.add_argument(
+        "source",
+        help="quads parquet file/dir, or a lake dir (snapshot is lifted "
+        "through the transcripts mapping first)",
+    )
+    sp.add_argument("query", help="SPARQL text, or @file to read from a file")
+    sp.add_argument("--json", action="store_true", dest="as_json",
+                    help="print SPARQL JSON results instead of a table")
+    sp.add_argument("--at-lsn", type=int, default=None)
+
     sp = sub.add_parser("archive")
     sp.add_argument("lake")
     sp.add_argument("batch_id")
@@ -157,6 +170,31 @@ def main(argv: list[str] | None = None) -> int:
             + ", union_by_name=true)"
         )
         print(con.sql(args.sql).df().to_string())
+        return 0
+
+    if args.verb == "sparql":
+        import os
+
+        from .sparql import sparql_select, sparql_select_json
+
+        qtext = args.query
+        if qtext.startswith("@"):
+            with open(qtext[1:]) as fh:
+                qtext = fh.read()
+        if os.path.exists(os.path.join(args.source, "_meta.json")):
+            _ray_up(args.num_cpus)
+            from .stages.lift import lift_dataset, transcripts_spec
+            from .state.lake import read_state
+
+            quads = lift_dataset(
+                read_state(args.source, at_lsn=args.at_lsn), transcripts_spec()
+            )
+        else:
+            quads = args.source  # parquet path — DuckDB reads with pushdown
+        if args.as_json:
+            print(json.dumps(sparql_select_json(qtext, quads), indent=1))
+        else:
+            print(sparql_select(qtext, quads).to_pandas().to_string())
         return 0
 
     _ray_up(args.num_cpus)

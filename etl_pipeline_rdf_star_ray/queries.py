@@ -395,6 +395,74 @@ FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
 """
 
 # ---------------------------------------------------------------------------
+# SPARQL surface (the reference's serving-layer idioms, executed — sparql.py)
+# ---------------------------------------------------------------------------
+
+_SPARQL_ROLES = f"""
+PREFIX ex: <{_EX}>
+SELECT ?role (COUNT(?turn) as ?n) WHERE {{ ?turn ex:role ?role . }}
+GROUP BY ?role ORDER BY ?role
+"""
+
+
+def q_sparql_roles(sf_dir: str):
+    """SPARQL aggregate over the engine's own lifted transcript quads
+    (reference Postman idiom 1.1/5.4: typed-count queries,
+    ``tests/test_postman_queries.py:106,516``)."""
+    from .sparql import sparql_select
+
+    state = cdc.upsert_dataset(
+        changelog_from_events(sf_dir), num_partitions=16, hot_convs=["conv_hot"]
+    )
+    quads = lift_dataset(state, transcripts_spec())
+    return sparql_select(_SPARQL_ROLES, quads)
+
+
+# lift drops null/empty role objects, so the count mirrors that guard
+ORACLE_SPARQL_ROLES = (
+    f"{_CDC_PREFIX} SELECT role, COUNT(*)::BIGINT AS n FROM state "
+    "WHERE role IS NOT NULL AND role <> '' GROUP BY role ORDER BY role"
+)
+
+_SPARQL_NATION = f"""
+PREFIX ex: <{_EX}>
+SELECT ?nation (COUNT(?cust) as ?n_customers) WHERE {{
+  ?cust ex:segment ?seg .
+  <<?cust ex:segment ?seg>> ex:nationName ?nation .
+}} GROUP BY ?nation ORDER BY ?nation
+"""
+
+
+def q_sparql_star_nation(sf_dir: str):
+    """SPARQL-star quoted-pattern aggregate (reference Postman idiom 2.2
+    "track data by source system", ``tests/test_postman_queries.py:215``)
+    over the broadcast-annotated customer quads."""
+    from .mapping import parse_yarrrml
+    from .sparql import sparql_select
+
+    spec = parse_yarrrml(_ANNOTATION_YAML)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+    )
+    triples = lift_dataset(cust, spec, ["custTM"], carry_columns=("c_nationkey",))
+    kernel = compile_annotation(spec, "nationAnnTM")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    index = build_annotation_index(nation, kernel)
+    annotated = annotate_broadcast(
+        triples, index, key_column="c_nationkey", only_map="custTM"
+    )
+    return sparql_select(_SPARQL_NATION, annotated)
+
+
+ORACLE_SPARQL_NATION = """
+SELECT n.n_name AS nation, COUNT(*)::BIGINT AS n_customers
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_mktsegment IS NOT NULL
+GROUP BY n.n_name ORDER BY nation
+"""
+
+# ---------------------------------------------------------------------------
 # analytics
 # ---------------------------------------------------------------------------
 
@@ -657,6 +725,9 @@ def build_queries() -> dict:
         "lift_triples": q_lift_triples,
         "annotation_join": q_annotation_join,
         "rdf_roundtrip": q_rdf_roundtrip,
+        # SPARQL serving surface
+        "sparql_roles": q_sparql_roles,
+        "sparql_star_nation": q_sparql_star_nation,
         # analytics
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
@@ -706,6 +777,8 @@ def build_oracles() -> dict[str, str]:
         "lift_triples": ORACLE_LIFT,
         "annotation_join": ORACLE_ANNOTATION,
         "rdf_roundtrip": ORACLE_RDF_ROUNDTRIP,
+        "sparql_roles": ORACLE_SPARQL_ROLES,
+        "sparql_star_nation": ORACLE_SPARQL_NATION,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

@@ -1,0 +1,983 @@
+"""Executable SPARQL-star subset over the engine's triple-record tables.
+
+The reference's daily-driver query surface is SPARQL / SPARQL-star served by
+pyoxigraph (``fastapi_sparql_server.py:114-368``, ``rdf-workbench.py:226-1385``;
+the 26 canonical queries in ``tests/test_postman_queries.py:97-774``). That
+store is single-node and in-memory; this module gives the same query idioms an
+executable counterpart over the engine's Arrow quad tables
+(:data:`~.schema.ANNOTATED_TRIPLE_SCHEMA`):
+
+- **parser** — recursive-descent SPARQL subset: PREFIX, SELECT (vars,
+  aggregate expressions with ``AS``, DISTINCT), ``FROM <g>``, basic graph
+  patterns with ``;`` / ``,`` continuations and ``a``, quoted-triple subject
+  patterns ``<< ?s p ?o >>``, FILTER (comparisons, ``&&`` ``||`` ``!``,
+  ``STR`` ``STRSTARTS`` ``CONTAINS`` ``REGEX`` ``BOUND``, typed literals),
+  ``BIND``, single-level ``OPTIONAL``, GROUP BY, ORDER BY ASC/DESC,
+  LIMIT / OFFSET — the complete feature set exercised by the reference's
+  Postman corpus.
+- **compiler** — BGP → self-join SQL over a ``quads`` relation (one alias per
+  triple pattern, shared variables become join equalities — the standard
+  SPARQL-to-SQL lowering). Quoted-triple patterns compile against an
+  ``UNNEST(annotations)`` derivation of the same table, since this engine
+  stores RDF-star annotations as a nested column on the asserted triple
+  (``stages/annotate.py``) rather than reifier rows.
+- **executor** — DuckDB runs the compiled SQL over the quad table. For a
+  ``ray.data.Dataset`` input the BGP's constant constraints are first pushed
+  down as a distributed vectorized pre-filter (:func:`prune_quads`), so at
+  scale only pattern-candidate rows ever leave the cluster; the join itself
+  runs on the pruned intermediate (documented bound — the reference's own
+  executor holds the *entire* graph in one process, so the pruned bound is
+  strictly more scalable).
+
+Value semantics: all bindings are strings (RDF terms); comparisons and
+aggregates against numeric or dateTime literals are lowered through
+``TRY_CAST`` so ``?confidence > 0.90`` and ``MAX(?updated)`` behave
+numerically / temporally when the data is, and lexicographically otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_NUMERIC_DT = {
+    XSD + s
+    for s in (
+        "integer int long short byte decimal float double "
+        "nonNegativeInteger positiveInteger unsignedInt unsignedLong"
+    ).split()
+}
+_TS_DT = {XSD + "dateTime", XSD + "date"}
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Literal:
+    value: str
+    datatype: str | None = None
+    lang: str | None = None
+
+
+@dataclass(frozen=True)
+class Quoted:
+    """Quoted-triple term ``<< s p o >>`` in subject position."""
+
+    s: object
+    p: object
+    o: object
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: object
+    p: object
+    o: object
+
+
+@dataclass(frozen=True)
+class Call:
+    name: str  # upper-cased function name
+    args: tuple
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Bind:
+    expr: object
+    var: Var
+
+
+@dataclass
+class SelectQuery:
+    prefixes: dict[str, str]
+    select: list[tuple[object, str | None]]  # (Var | expr, alias)
+    distinct: bool
+    select_star: bool
+    from_graph: str | None
+    patterns: list[TriplePattern]
+    filters: list[object]
+    binds: list[Bind]
+    optionals: list[list[TriplePattern]] = field(default_factory=list)
+    group_by: list[Var] = field(default_factory=list)
+    order_by: list[tuple[object, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<qopen><<)
+  | (?P<qclose>>>)
+  | (?P<iri><[^<>\s{}|^`\\]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<dtype>\^\^)
+  | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.-]*)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!*/+\-])
+  | (?P<punct>[{}().;,])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SparqlError(f"lex error at {i}: {src[i:i + 20]!r}")
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append(Tok(kind, m.group(), i))
+        i = m.end()
+    out.append(Tok("eof", "", len(src)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_FUNCS = {
+    "STR", "STRSTARTS", "CONTAINS", "REGEX", "BOUND",
+    "COUNT", "SUM", "AVG", "MIN", "MAX",
+}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "word" and t.text.upper() in words
+
+    def eat_word(self, word: str) -> None:
+        t = self.next()
+        if t.kind != "word" or t.text.upper() != word:
+            raise SparqlError(f"expected {word} at {t.pos}, got {t.text!r}")
+
+    def eat(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise SparqlError(f"expected {text!r} at {t.pos}, got {t.text!r}")
+
+    # -- terms --------------------------------------------------------------
+    def expand_pname(self, text: str) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def parse_term(self, *, as_predicate: bool = False):
+        t = self.peek()
+        if t.kind == "var":
+            self.next()
+            return Var(t.text[1:])
+        if t.kind == "iri":
+            self.next()
+            return Iri(t.text[1:-1])
+        if t.kind == "pname":
+            self.next()
+            return Iri(self.expand_pname(t.text))
+        if t.kind == "word" and t.text == "a":
+            self.next()
+            return Iri(RDF_TYPE)
+        if t.kind == "string":
+            self.next()
+            value = _unescape(t.text[1:-1])
+            nxt = self.peek()
+            if nxt.kind == "dtype":
+                self.next()
+                dt = self.parse_term()
+                if not isinstance(dt, Iri):
+                    raise SparqlError("datatype must be an IRI")
+                return Literal(value, datatype=dt.value)
+            if nxt.kind == "lang":
+                self.next()
+                return Literal(value, lang=nxt.text[1:])
+            return Literal(value)
+        if t.kind == "number":
+            self.next()
+            dt = XSD + ("integer" if re.fullmatch(r"[+-]?\d+", t.text) else "decimal")
+            return Literal(t.text, datatype=dt)
+        if t.kind == "qopen" and not as_predicate:
+            self.next()
+            s = self.parse_term()
+            p = self.parse_term(as_predicate=True)
+            o = self.parse_term()
+            t2 = self.next()
+            if t2.kind != "qclose":
+                raise SparqlError(f"expected >> at {t2.pos}")
+            return Quoted(s, p, o)
+        raise SparqlError(f"unexpected token {t.text!r} at {t.pos}")
+
+    # -- query --------------------------------------------------------------
+    def parse(self) -> SelectQuery:
+        while self.at_word("PREFIX"):
+            self.next()
+            t = self.next()
+            if t.kind != "pname":
+                raise SparqlError(f"bad PREFIX at {t.pos}")
+            pfx = t.text.rstrip(":").partition(":")[0]
+            iri = self.next()
+            if iri.kind != "iri":
+                raise SparqlError(f"bad PREFIX IRI at {iri.pos}")
+            self.prefixes[pfx] = iri.text[1:-1]
+
+        self.eat_word("SELECT")
+        distinct = False
+        if self.at_word("DISTINCT"):
+            self.next()
+            distinct = True
+
+        select: list[tuple[object, str | None]] = []
+        select_star = False
+        if self.peek().text == "*":
+            self.next()
+            select_star = True
+        else:
+            while True:
+                t = self.peek()
+                if t.kind == "var":
+                    self.next()
+                    select.append((Var(t.text[1:]), None))
+                elif t.text == "(":
+                    self.next()
+                    expr = self.parse_expr()
+                    self.eat_word("AS")
+                    v = self.next()
+                    if v.kind != "var":
+                        raise SparqlError(f"expected ?var after AS at {v.pos}")
+                    self.eat(")")
+                    select.append((expr, v.text[1:]))
+                else:
+                    break
+            if not select:
+                raise SparqlError("empty SELECT list")
+
+        from_graph = None
+        if self.at_word("FROM"):
+            self.next()
+            g = self.parse_term()
+            if not isinstance(g, Iri):
+                raise SparqlError("FROM requires an IRI")
+            from_graph = g.value
+
+        if self.at_word("WHERE"):
+            self.next()
+        q = SelectQuery(
+            prefixes=self.prefixes, select=select, distinct=distinct,
+            select_star=select_star, from_graph=from_graph,
+            patterns=[], filters=[], binds=[],
+        )
+        self.parse_group(q)
+
+        if self.at_word("GROUP"):
+            self.next()
+            self.eat_word("BY")
+            while self.peek().kind == "var":
+                q.group_by.append(Var(self.next().text[1:]))
+        if self.at_word("ORDER"):
+            self.next()
+            self.eat_word("BY")
+            while True:
+                t = self.peek()
+                if self.at_word("ASC", "DESC"):
+                    desc = t.text.upper() == "DESC"
+                    self.next()
+                    self.eat("(")
+                    expr = self.parse_expr()
+                    self.eat(")")
+                    q.order_by.append((expr, desc))
+                elif t.kind == "var":
+                    self.next()
+                    q.order_by.append((Var(t.text[1:]), False))
+                elif t.text == "(":
+                    self.next()
+                    expr = self.parse_expr()
+                    self.eat(")")
+                    q.order_by.append((expr, False))
+                else:
+                    break
+        if self.at_word("LIMIT"):
+            self.next()
+            q.limit = int(self.next().text)
+        if self.at_word("OFFSET"):
+            self.next()
+            q.offset = int(self.next().text)
+        if self.peek().kind != "eof":
+            t = self.peek()
+            raise SparqlError(f"unexpected trailing {t.text!r} at {t.pos}")
+        return q
+
+    def parse_group(self, q: SelectQuery) -> None:
+        self.eat("{")
+        while True:
+            t = self.peek()
+            if t.text == "}":
+                self.next()
+                return
+            if self.at_word("FILTER"):
+                self.next()
+                self.eat("(")
+                q.filters.append(self.parse_expr())
+                self.eat(")")
+            elif self.at_word("BIND"):
+                self.next()
+                self.eat("(")
+                expr = self.parse_expr()
+                self.eat_word("AS")
+                v = self.next()
+                if v.kind != "var":
+                    raise SparqlError(f"expected ?var after AS at {v.pos}")
+                self.eat(")")
+                q.binds.append(Bind(expr, Var(v.text[1:])))
+            elif self.at_word("OPTIONAL"):
+                self.next()
+                self.eat("{")
+                pats: list[TriplePattern] = []
+                while self.peek().text != "}":
+                    pats.extend(self.parse_triples_block())
+                    if self.peek().text == ".":
+                        self.next()
+                self.next()
+                q.optionals.append(pats)
+            elif self.at_word("UNION"):
+                raise SparqlError("UNION is not supported in this subset")
+            else:
+                q.patterns.extend(self.parse_triples_block())
+            if self.peek().text == ".":
+                self.next()
+
+    def parse_triples_block(self) -> list[TriplePattern]:
+        subject = self.parse_term()
+        out: list[TriplePattern] = []
+        while True:
+            pred = self.parse_term(as_predicate=True)
+            while True:
+                obj = self.parse_term()
+                out.append(TriplePattern(subject, pred, obj))
+                if self.peek().text == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek().text == ";":
+                self.next()
+                if self.peek().text in {".", "}"}:  # dangling ;
+                    break
+                continue
+            break
+        return out
+
+    # -- expressions --------------------------------------------------------
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek().text == "||":
+            self.next()
+            left = BinOp("||", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.peek().text == "&&":
+            self.next()
+            left = BinOp("&&", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self):
+        left = self.parse_primary()
+        t = self.peek()
+        if t.text in {"=", "!=", "<", ">", "<=", ">="}:
+            self.next()
+            return BinOp(t.text, left, self.parse_primary())
+        return left
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.text == "!":
+            self.next()
+            return Call("NOT", (self.parse_primary(),))
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat(")")
+            return e
+        if t.kind == "word" and t.text.upper() in _FUNCS:
+            name = t.text.upper()
+            self.next()
+            self.eat("(")
+            distinct = False
+            if self.at_word("DISTINCT"):
+                self.next()
+                distinct = True
+            args: list[object] = []
+            if self.peek().text == "*":
+                self.next()
+                args.append("*")
+            else:
+                args.append(self.parse_expr())
+                while self.peek().text == ",":
+                    self.next()
+                    args.append(self.parse_expr())
+            self.eat(")")
+            return Call(name, tuple(args), distinct=distinct)
+        return self.parse_term()
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\\\", "\x00").replace("\\n", "\n").replace("\\t", "\t")
+        .replace("\\r", "\r").replace('\\"', '"').replace("\x00", "\\")
+    )
+
+
+def parse_sparql(src: str) -> SelectQuery:
+    return _Parser(src).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler: SelectQuery -> SQL over a `quads` relation
+# ---------------------------------------------------------------------------
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+
+_ANN_CTE = (
+    "SELECT subject, predicate, object_value, object_type, graph, "
+    "ann.predicate AS ann_predicate, ann.value AS ann_value, "
+    "ann.datatype AS ann_datatype "
+    "FROM (SELECT *, unnest(annotations) AS ann FROM quads)"
+)
+
+
+def _sq(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'"
+
+
+def _ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _expr_vars(e) -> set[str]:
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, BinOp):
+        return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, Call):
+        out: set[str] = set()
+        for a in e.args:
+            if a != "*":
+                out |= _expr_vars(a)
+        return out
+    return set()
+
+
+class _Compiler:
+    def __init__(self, q: SelectQuery):
+        self.q = q
+        self.aliases: list[tuple[str, str]] = []  # (relation, alias)
+        self.conds: list[str] = []
+        self.bind: dict[str, str] = {}  # var name -> SQL expr
+        self.kind: dict[str, str] = {}  # var name -> iri|literal|object|unknown
+        self.term_cols: dict[str, str] = {}  # object-position var -> alias
+        self.uses_ann = False
+
+    # -- pattern lowering ---------------------------------------------------
+    def add_pattern(self, pat: TriplePattern) -> None:
+        a = f"q{len(self.aliases)}"
+        if isinstance(pat.s, Quoted):
+            self.uses_ann = True
+            self.aliases.append(("qann", a))
+            self._bind_term(pat.s.s, f"{a}.subject", "iri")
+            self._bind_term(pat.s.p, f"{a}.predicate", "iri")
+            self._bind_term(pat.s.o, f"{a}.object_value", "literal")
+            self._bind_term(pat.p, f"{a}.ann_predicate", "iri")
+            self._bind_term(pat.o, f"{a}.ann_value", "literal")
+        else:
+            self.aliases.append(("quads", a))
+            self._bind_term(pat.s, f"{a}.subject", "iri")
+            self._bind_term(pat.p, f"{a}.predicate", "iri")
+            self._bind_term(pat.o, f"{a}.object_value", "object", term_alias=a)
+        if self.q.from_graph is not None:
+            self.conds.append(f"{a}.graph = {_sq(self.q.from_graph)}")
+
+    def _bind_term(self, term, col: str, kind: str, *, term_alias=None) -> None:
+        if isinstance(term, Var):
+            if term.name in self.bind:
+                self.conds.append(f"{col} = {self.bind[term.name]}")
+            else:
+                self.bind[term.name] = col
+                self.kind[term.name] = kind
+                if kind == "object" and term_alias is not None:
+                    self.term_cols[term.name] = term_alias
+        elif isinstance(term, (Iri, Literal)):
+            self.conds.append(f"{col} = {_sq(term.value)}")
+        else:
+            raise SparqlError(
+                "quoted triples are only supported in subject position"
+            )
+
+    # -- expression lowering ------------------------------------------------
+    def expr_sql(self, e, *, numeric_hint: bool = False) -> str:
+        if isinstance(e, Var):
+            if e.name not in self.bind:
+                raise SparqlError(f"unbound variable ?{e.name}")
+            sql = self.bind[e.name]
+            return f"TRY_CAST({sql} AS DOUBLE)" if numeric_hint else sql
+        if isinstance(e, Iri):
+            return _sq(e.value)
+        if isinstance(e, Literal):
+            if e.datatype in _NUMERIC_DT:
+                return e.value  # bare SQL number
+            if e.datatype in _TS_DT:
+                return f"TRY_CAST({_sq(e.value)} AS TIMESTAMPTZ)"
+            return _sq(e.value)
+        if isinstance(e, BinOp):
+            if e.op in {"&&", "||"}:
+                op = "AND" if e.op == "&&" else "OR"
+                return f"({self.expr_sql(e.left)} {op} {self.expr_sql(e.right)})"
+            num = _lit_in(e, _NUMERIC_DT)
+            ts = _lit_in(e, _TS_DT)
+            lhs = self.expr_sql(e.left, numeric_hint=num)
+            rhs = self.expr_sql(e.right, numeric_hint=num)
+            if ts:
+                lhs = lhs if _is_ts_lit(e.left) else f"TRY_CAST({lhs} AS TIMESTAMPTZ)"
+                rhs = rhs if _is_ts_lit(e.right) else f"TRY_CAST({rhs} AS TIMESTAMPTZ)"
+            op = "<>" if e.op == "!=" else e.op
+            return f"({lhs} {op} {rhs})"
+        if isinstance(e, Call):
+            if e.name == "NOT":
+                return f"(NOT {self.expr_sql(e.args[0])})"
+            if e.name == "STR":
+                return self.expr_sql(e.args[0])
+            if e.name == "STRSTARTS":
+                return (
+                    f"starts_with({self.expr_sql(e.args[0])}, "
+                    f"{self.expr_sql(e.args[1])})"
+                )
+            if e.name == "CONTAINS":
+                return (
+                    f"(position({self.expr_sql(e.args[1])} IN "
+                    f"{self.expr_sql(e.args[0])}) > 0)"
+                )
+            if e.name == "REGEX":
+                flags = f", {self.expr_sql(e.args[2])}" if len(e.args) > 2 else ""
+                return (
+                    f"regexp_matches({self.expr_sql(e.args[0])}, "
+                    f"{self.expr_sql(e.args[1])}{flags})"
+                )
+            if e.name == "BOUND":
+                return f"({self.expr_sql(e.args[0])} IS NOT NULL)"
+            if e.name in _AGG_FUNCS:
+                return self.agg_sql(e)
+            raise SparqlError(f"unsupported function {e.name}")
+        raise SparqlError(f"unsupported expression {e!r}")
+
+    def agg_sql(self, e: Call) -> str:
+        if e.name == "COUNT":
+            inner = "*" if e.args[0] == "*" else self.expr_sql(e.args[0])
+            d = "DISTINCT " if e.distinct else ""
+            return f"COUNT({d}{inner})"
+        arg = self.expr_sql(e.args[0])
+        d = "DISTINCT " if e.distinct else ""
+        if e.name in {"SUM", "AVG"}:
+            return f"{e.name}({d}TRY_CAST({arg} AS DOUBLE))"
+        # MIN/MAX: numeric order when the column is fully numeric (arg_min /
+        # arg_max keep the original lexical form), else lexicographic
+        # (ISO-8601 dateTimes order correctly as strings). DISTINCT is a
+        # no-op for MIN/MAX.
+        fn = "arg_min" if e.name == "MIN" else "arg_max"
+        return (
+            f"CASE WHEN COUNT({arg}) = COUNT(TRY_CAST({arg} AS DOUBLE)) "
+            f"THEN {fn}({arg}, TRY_CAST({arg} AS DOUBLE)) "
+            f"ELSE {e.name}({arg}) END"
+        )
+
+    # -- full query ---------------------------------------------------------
+    def compile(self, *, term_info: bool = False) -> tuple[str, dict[str, str]]:
+        q = self.q
+        if not q.patterns and not q.optionals:
+            raise SparqlError("empty WHERE block")
+
+        # Constant BINDs (no variable deps) establish bindings BEFORE the
+        # patterns — the reference corpus uses BIND(<iri> AS ?x) as the
+        # opening statement of the group (test_postman_queries.py:247).
+        deferred: list[Bind] = []
+        for b in q.binds:
+            if _expr_vars(b.expr):
+                deferred.append(b)
+                continue
+            self._apply_bind(b)
+
+        for pat in q.patterns:
+            self.add_pattern(pat)
+        for b in deferred:
+            self._apply_bind(b)
+
+        # OPTIONAL groups -> LEFT JOIN subselects on shared variables
+        left_joins: list[str] = []
+        for gi, group in enumerate(q.optionals):
+            sub = _Compiler(
+                SelectQuery(
+                    prefixes=q.prefixes, select=[], distinct=False,
+                    select_star=False, from_graph=q.from_graph,
+                    patterns=[], filters=[], binds=[],
+                )
+            )
+            for pat in group:
+                sub.add_pattern(pat)
+            shared = [v for v in sub.bind if v in self.bind]
+            if not shared:
+                raise SparqlError("OPTIONAL shares no variable with the group")
+            new = [v for v in sub.bind if v not in self.bind]
+            self.uses_ann = self.uses_ann or sub.uses_ann
+            cols = ", ".join(f"{sub.bind[v]} AS v_{v}" for v in (*shared, *new))
+            src = " CROSS JOIN ".join(f"{rel} {al}" for rel, al in sub.aliases)
+            where = " WHERE " + " AND ".join(sub.conds) if sub.conds else ""
+            oa = f"opt{gi}"
+            on = " AND ".join(f"{oa}.v_{v} = {self.bind[v]}" for v in shared)
+            left_joins.append(
+                f"LEFT JOIN (SELECT {cols} FROM {src}{where}) {oa} ON {on}"
+            )
+            for v in new:
+                self.bind[v] = f"{oa}.v_{v}"
+                self.kind[v] = sub.kind.get(v, "unknown")
+
+        for f in q.filters:
+            self.conds.append(self.expr_sql(f))
+
+        # SELECT list
+        has_agg = bool(q.group_by) or any(
+            isinstance(e, Call) and e.name in _AGG_FUNCS for e, _ in q.select
+        )
+        if q.select_star:
+            items: list[tuple[object, str | None]] = [
+                (Var(n), None) for n in self.bind
+            ]
+        else:
+            items = q.select
+        sel_items: list[str] = []
+        out_kinds: dict[str, str] = {}
+        for expr, alias in items:
+            if isinstance(expr, Var):
+                name = alias or expr.name
+                sel_items.append(f"{self.expr_sql(expr)} AS {_ident(name)}")
+                out_kinds[name] = self.kind.get(expr.name, "unknown")
+                if term_info and not has_agg and expr.name in self.term_cols:
+                    a = self.term_cols[expr.name]
+                    for suffix, col in (
+                        ("__type", "object_type"),
+                        ("__datatype", "object_datatype"),
+                        ("__lang", "object_lang"),
+                    ):
+                        sel_items.append(
+                            f"{a}.{col} AS {_ident(name + suffix)}"
+                        )
+            else:
+                if alias is None:
+                    raise SparqlError("expression SELECT items need AS ?alias")
+                sel_items.append(f"{self.expr_sql(expr)} AS {_ident(alias)}")
+                out_kinds[alias] = "literal"
+
+        src = " CROSS JOIN ".join(f"{rel} {al}" for rel, al in self.aliases)
+        sql = "SELECT "
+        if q.distinct:
+            sql += "DISTINCT "
+        sql += ", ".join(sel_items) + f" FROM {src}"
+        for lj in left_joins:
+            sql += " " + lj
+        if self.conds:
+            sql += " WHERE " + " AND ".join(self.conds)
+        if has_agg:
+            group_exprs = [self.expr_sql(v) for v in q.group_by]
+            for expr, _alias in items:  # plain vars must be grouped
+                if isinstance(expr, Var):
+                    e = self.expr_sql(expr)
+                    if e not in group_exprs:
+                        group_exprs.append(e)
+            if group_exprs:
+                sql += " GROUP BY " + ", ".join(group_exprs)
+        if q.order_by:
+            parts = []
+            for expr, desc in q.order_by:
+                d = " DESC" if desc else ""
+                parts.extend(
+                    f"{k}{d} NULLS LAST" for k in self._order_keys(expr, items)
+                )
+            sql += " ORDER BY " + ", ".join(parts)
+        if q.limit is not None:
+            sql += f" LIMIT {q.limit}"
+        if q.offset is not None:
+            sql += f" OFFSET {q.offset}"
+
+        if self.uses_ann:
+            sql = f"WITH qann AS ({_ANN_CTE}) {sql}"
+        return sql, out_kinds
+
+    def _apply_bind(self, b: Bind) -> None:
+        if b.var.name in self.bind:
+            raise SparqlError(f"BIND rebinds ?{b.var.name}")
+        self.bind[b.var.name] = self.expr_sql(b.expr)
+        self.kind[b.var.name] = "iri" if isinstance(b.expr, Iri) else "unknown"
+
+    def _order_keys(self, expr, items) -> list[str]:
+        # An aggregate alias is already typed — order by the alias itself.
+        if isinstance(expr, Var):
+            for e, alias in items:
+                if alias == expr.name and not isinstance(e, Var):
+                    return [_ident(alias)]
+            sql = self.expr_sql(expr)
+            # hybrid: numeric order when castable, lexicographic otherwise
+            return [f"TRY_CAST({sql} AS DOUBLE)", sql]
+        if isinstance(expr, Call) and expr.name in _AGG_FUNCS:
+            return [self.agg_sql(expr)]
+        sql = self.expr_sql(expr)
+        return [f"TRY_CAST({sql} AS DOUBLE)", sql]
+
+
+def _lit_in(e: BinOp, dts: set[str]) -> bool:
+    return any(
+        isinstance(x, Literal) and x.datatype in dts for x in (e.left, e.right)
+    )
+
+
+def _is_ts_lit(e) -> bool:
+    return isinstance(e, Literal) and e.datatype in _TS_DT
+
+
+def compile_sparql(src: str, *, term_info: bool = False) -> tuple[str, dict[str, str]]:
+    """SPARQL text → (DuckDB SQL over a ``quads`` relation, var→kind map)."""
+    return _Compiler(parse_sparql(src)).compile(term_info=term_info)
+
+
+# ---------------------------------------------------------------------------
+# Distributed pattern pre-filter (the Ray scale path)
+# ---------------------------------------------------------------------------
+
+
+def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
+    """Per-pattern constant constraints as ``(column, value)`` conjunctions.
+
+    A quad row can only participate in the join if it matches at least one
+    pattern's constants — the union of these masks is a sound row filter
+    (annotation rows ride the same physical row as their asserted triple, so
+    inner-triple constants constrain quoted patterns too). Any pattern with
+    no constant terms makes pruning unsound-to-skip → returns None."""
+    masks: list[list[tuple[str, str]]] = []
+    for pat in q.patterns + [p for g in q.optionals for p in g]:
+        terms = (
+            (("subject", pat.s.s), ("predicate", pat.s.p),
+             ("object_value", pat.s.o))
+            if isinstance(pat.s, Quoted)
+            else (("subject", pat.s), ("predicate", pat.p),
+                  ("object_value", pat.o))
+        )
+        conj = [
+            (col, t.value) for col, t in terms if isinstance(t, (Iri, Literal))
+        ]
+        if not conj:
+            return None
+        masks.append(conj)
+    return masks
+
+
+def prune_quads(ds, query: str | SelectQuery):
+    """Distributed pre-filter: keep only rows that can satisfy at least one
+    triple pattern's constant constraints (vectorized ``map_batches`` — runs
+    on the cluster, so at scale only candidate rows reach the join)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    q = parse_sparql(query) if isinstance(query, str) else query
+    masks = pattern_masks(q)
+    if masks is None:
+        return ds
+
+    def keep(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, dtype=bool)
+        for conj in masks:
+            m = np.ones(batch.num_rows, dtype=bool)
+            for col, val in conj:
+                eq = pc.fill_null(pc.equal(batch.column(col), pa.scalar(val)), False)
+                m &= eq.to_numpy(zero_copy_only=False)
+            acc |= m
+        return batch.filter(pa.array(acc))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+
+_OPT_COLS = (
+    ("object_type", "VARCHAR"),
+    ("object_datatype", "VARCHAR"),
+    ("object_lang", "VARCHAR"),
+    ("graph", "VARCHAR"),
+    ("annotations", "STRUCT(predicate VARCHAR, value VARCHAR, datatype VARCHAR)[]"),
+)
+
+
+def _exec(query: str, quads, *, term_info: bool) -> tuple[pa.Table, dict[str, str]]:
+    import duckdb
+
+    parsed = parse_sparql(query)
+    sql, kinds = _Compiler(parsed).compile(term_info=term_info)
+    con = duckdb.connect()
+    try:
+        if isinstance(quads, pa.Table):
+            con.register("quads", _with_optional_columns(quads))
+        elif isinstance(quads, str):
+            path = (
+                quads
+                if quads.endswith(".parquet")
+                else quads.rstrip("/") + "/*.parquet"
+            )
+            con.sql(
+                f"CREATE VIEW quads_raw AS SELECT * FROM read_parquet({_sq(path)})"
+            )
+            have = {r[0] for r in con.sql("DESCRIBE quads_raw").fetchall()}
+            extra = [
+                f"CAST(NULL AS {typ}) AS {name}"
+                for name, typ in _OPT_COLS
+                if name not in have
+            ]
+            sel = "*" + (", " + ", ".join(extra) if extra else "")
+            con.sql(f"CREATE VIEW quads AS SELECT {sel} FROM quads_raw")
+        else:  # ray.data.Dataset
+            import ray
+
+            blocks = ray.get(prune_quads(quads, parsed).to_arrow_refs())
+            blocks = [b for b in blocks if b.num_rows]
+            table = (
+                pa.concat_tables(blocks, promote_options="permissive")
+                if blocks
+                else None
+            )
+            if table is None:
+                from .schema import ANNOTATED_TRIPLE_SCHEMA
+
+                table = ANNOTATED_TRIPLE_SCHEMA.empty_table()
+            con.register("quads", _with_optional_columns(table))
+        return con.sql(sql).arrow(), kinds
+    finally:
+        con.close()
+
+
+def sparql_select(query: str, quads) -> pa.Table:
+    """Run a SPARQL subset query over a quad table.
+
+    ``quads`` may be a ``pyarrow.Table``, a parquet path / directory (DuckDB
+    reads it with projection + filter pushdown), or a ``ray.data.Dataset``
+    (pattern constants are pushed down as a distributed pre-filter first —
+    see module docstring)."""
+    table, _ = _exec(query, quads, term_info=False)
+    return table
+
+
+def sparql_select_json(query: str, quads) -> dict:
+    """Run a query and shape the result as the standard SPARQL JSON results
+    document (the reference's response shape,
+    ``fastapi_sparql_server.py:220-265``)."""
+    table, kinds = _exec(query, quads, term_info=True)
+    return to_sparql_json(table, kinds)
+
+
+def _with_optional_columns(table: pa.Table) -> pa.Table:
+    """Ensure optional columns exist so compiled SQL always resolves."""
+    from .schema import ANNOTATIONS_TYPE
+
+    names = set(table.column_names)
+    if "annotations" not in names:
+        table = table.append_column(
+            "annotations", pa.nulls(table.num_rows, ANNOTATIONS_TYPE)
+        )
+    for name in ("graph", "object_type", "object_datatype", "object_lang"):
+        if name not in names:
+            table = table.append_column(
+                name, pa.nulls(table.num_rows, pa.string())
+            )
+    return table
+
+
+def to_sparql_json(table: pa.Table, kinds: dict[str, str] | None = None) -> dict:
+    """Shape a result table as the SPARQL 1.1 JSON results document."""
+    kinds = kinds or {}
+    base = [c for c in table.column_names if "__" not in c]
+    bindings = []
+    for row in table.to_pylist():
+        b = {}
+        for var in base:
+            val = row.get(var)
+            if val is None:
+                continue
+            kind = kinds.get(var, "unknown")
+            if kind == "iri" or row.get(f"{var}__type") == "iri":
+                b[var] = {"type": "uri", "value": str(val)}
+            else:
+                term = {"type": "literal", "value": str(val)}
+                if row.get(f"{var}__datatype"):
+                    term["datatype"] = row[f"{var}__datatype"]
+                elif row.get(f"{var}__lang"):
+                    term["xml:lang"] = row[f"{var}__lang"]
+                b[var] = term
+        bindings.append(b)
+    return {"head": {"vars": base}, "results": {"bindings": bindings}}

@@ -1,0 +1,381 @@
+"""SPARQL-star subset engine tests.
+
+The query corpus mirrors the reference's 26 canonical Postman queries
+(``tests/test_postman_queries.py:97-774``) over a deterministic DCAT-ish
+quad fixture, with expected results asserted exactly (the reference only
+smoke-checks that bindings come back)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from etl_pipeline_rdf_star_ray.schema import ANNOTATIONS_TYPE
+from etl_pipeline_rdf_star_ray.sparql import (
+    SparqlError,
+    compile_sparql,
+    parse_sparql,
+    pattern_masks,
+    prune_quads,
+    sparql_select,
+    sparql_select_json,
+)
+
+EX = "http://example.org/"
+DCAT = "http://www.w3.org/ns/dcat#"
+DCT = "http://purl.org/dc/terms/"
+PROV = "http://www.w3.org/ns/prov#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+XSD_D = "http://www.w3.org/2001/XMLSchema#double"
+
+_SCHEMA = pa.schema(
+    [
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object_value", pa.string()),
+        ("object_type", pa.string()),
+        ("object_datatype", pa.string()),
+        ("object_lang", pa.string()),
+        ("graph", pa.string()),
+        ("annotations", ANNOTATIONS_TYPE),
+    ]
+)
+
+
+def _quads() -> pa.Table:
+    rows = []
+
+    def t(s, p, o, ot="iri", dt=None, g=None, ann=None):
+        rows.append(
+            {
+                "subject": s, "predicate": p, "object_value": o,
+                "object_type": ot, "object_datatype": dt, "object_lang": None,
+                "graph": g, "annotations": ann or [],
+            }
+        )
+
+    for i in range(6):
+        ds = f"{EX}dataset/DS-{i:06d}"
+        t(ds, RDF_TYPE, DCAT + "Dataset", g=EX + "g/base")
+        t(ds, DCT + "title", f"Dataset {i}", "literal", g=EX + "g/base")
+        t(
+            ds, DCT + "issued", f"2025-02-{10 + i:02d}T00:00:00Z", "literal",
+            XSD_DT, g=EX + "g/base",
+        )
+        theme = EX + ("themes/A" if i % 2 == 0 else "themes/B")
+        src = EX + ("src/crm" if i < 4 else "src/erp")
+        t(
+            ds, DCAT + "theme", theme, g=EX + "g/base",
+            ann=[
+                {
+                    "predicate": EX + "confidence",
+                    "value": f"{0.70 + 0.05 * i:.2f}",
+                    "datatype": XSD_D,
+                },
+                {"predicate": PROV + "wasDerivedFrom", "value": src,
+                 "datatype": None},
+            ],
+        )
+    t(DCAT + "Dataset", RDFS + "label", "Dataset", "literal", g=EX + "g/base")
+    # a second graph with one extra dataset — FROM <g> must exclude it
+    t(EX + "dataset/DS-EXTRA", RDF_TYPE, DCAT + "Dataset", g=EX + "g/other")
+    return pa.Table.from_pylist(rows, schema=_SCHEMA)
+
+
+QUADS = _quads()
+
+PREFIXES = f"""
+PREFIX ex: <{EX}>
+PREFIX dcat: <{DCAT}>
+PREFIX dct: <{DCT}>
+PREFIX prov: <{PROV}>
+PREFIX rdfs: <{RDFS}>
+"""
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_shortcuts_and_quoted():
+    q = parse_sparql(
+        PREFIXES
+        + """SELECT ?d ?t WHERE {
+          ?d a dcat:Dataset ; dct:title ?t .
+          <<?d dcat:theme ?th>> ex:confidence ?c ; prov:wasDerivedFrom ?s .
+        }"""
+    )
+    assert len(q.patterns) == 4  # a + title + two annotation patterns
+    assert q.patterns[0].p.value == RDF_TYPE
+    quoted = q.patterns[2].s
+    assert quoted.p.value == DCAT + "theme"
+
+
+def test_parse_rejects_union():
+    with pytest.raises(SparqlError, match="UNION"):
+        parse_sparql("SELECT ?s WHERE { ?x ?y ?z . UNION { ?o ?p ?s } }")
+
+
+def test_parse_undeclared_prefix():
+    with pytest.raises(SparqlError, match="undeclared prefix"):
+        parse_sparql("SELECT ?s WHERE { ?s dcat:theme ?o }")
+
+
+def test_compile_unbound_var():
+    with pytest.raises(SparqlError, match="unbound"):
+        compile_sparql("SELECT ?s WHERE { ?a ?b ?c } ORDER BY ?nope")
+
+
+# ---------------------------------------------------------------------------
+# executor — Postman corpus idioms with exact expected results
+# ---------------------------------------------------------------------------
+
+
+def test_count_all_datasets():  # Postman 1.1
+    out = sparql_select(
+        PREFIXES
+        + "SELECT (COUNT(?d) as ?count) WHERE { ?d a dcat:Dataset . }",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"count": 7}]
+
+
+def test_list_first_n_ordered():  # Postman 1.2
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?d ?title ?issued WHERE {
+             ?d a dcat:Dataset ; dct:title ?title ; dct:issued ?issued .
+           } ORDER BY ?d LIMIT 3""",
+        QUADS,
+    )
+    assert [r["title"] for r in out.to_pylist()] == [
+        "Dataset 0", "Dataset 1", "Dataset 2",
+    ]
+
+
+def test_quoted_confidence_filter():  # Postman 2.1
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?d ?title ?conf ?src WHERE {
+             ?d dcat:theme ?theme ; dct:title ?title .
+             <<?d dcat:theme ?theme>> ex:confidence ?conf ;
+                                      prov:wasDerivedFrom ?src .
+             FILTER(?conf > 0.80)
+           } ORDER BY DESC(?conf)""",
+        QUADS,
+    )
+    rows = out.to_pylist()
+    assert [r["conf"] for r in rows] == ["0.95", "0.90", "0.85"]
+    assert rows[0]["src"] == EX + "src/erp"
+
+
+def test_group_by_source_count_distinct():  # Postman 2.2
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?src (COUNT(DISTINCT ?d) as ?n) WHERE {
+             ?d dcat:theme ?theme .
+             <<?d dcat:theme ?theme>> prov:wasDerivedFrom ?src .
+           } GROUP BY ?src ORDER BY DESC(?n)""",
+        QUADS,
+    )
+    assert out.to_pylist() == [
+        {"src": EX + "src/crm", "n": 4},
+        {"src": EX + "src/erp", "n": 2},
+    ]
+
+
+def test_bind_and_predicate_filter():  # Postman 2.3
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?p ?v WHERE {
+             BIND(<http://example.org/dataset/DS-000001> as ?d)
+             ?d ?p ?v .
+             FILTER(?p != <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>)
+           } ORDER BY ?p""",
+        QUADS,
+    )
+    assert [r["p"] for r in out.to_pylist()] == [
+        DCT + "issued", DCT + "title", DCAT + "theme",
+    ]
+
+
+def test_aggregate_panel():  # Postman 3.x: COUNT/AVG/MIN/MAX per source
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?src (COUNT(?d) as ?n) (AVG(?c) as ?avgC)
+                  (MIN(?c) as ?minC) (MAX(?c) as ?maxC) WHERE {
+             ?d dcat:theme ?t .
+             <<?d dcat:theme ?t>> ex:confidence ?c ;
+                                  prov:wasDerivedFrom ?src .
+           } GROUP BY ?src ORDER BY ?src""",
+        QUADS,
+    )
+    rows = out.to_pylist()
+    assert rows[0]["src"] == EX + "src/crm"
+    assert rows[0]["n"] == 4
+    assert abs(rows[0]["avgC"] - 0.775) < 1e-9
+    assert rows[0]["minC"] == "0.70" and rows[0]["maxC"] == "0.85"
+
+
+def test_datetime_filter():  # Postman 4.x recency
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?d WHERE {
+             ?d dct:issued ?ts .
+             FILTER(?ts >= "2025-02-13T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)
+           } ORDER BY ?d""",
+        QUADS,
+    )
+    assert out.num_rows == 3
+
+
+def test_max_datetime_aggregate():  # Postman 4.3: MAX over dateTime strings
+    out = sparql_select(
+        PREFIXES
+        + """SELECT (MAX(?ts) as ?latest) WHERE { ?d dct:issued ?ts . }""",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"latest": "2025-02-15T00:00:00Z"}]
+
+
+def test_optional_label():  # Postman 5.1 ontology introspection
+    out = sparql_select(
+        PREFIXES
+        + """SELECT DISTINCT ?class ?label WHERE {
+             ?x a ?class .
+             OPTIONAL { ?class rdfs:label ?label }
+           }""",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"class": DCAT + "Dataset", "label": "Dataset"}]
+
+
+def test_strstarts_disjunction():  # Postman 5.4 instance counts
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?type (COUNT(?i) as ?n) WHERE {
+             ?i a ?type .
+             FILTER(STRSTARTS(STR(?type), "http://www.w3.org/ns/dcat#")
+                 || STRSTARTS(STR(?type), "http://www.w3.org/ns/prov#"))
+           } GROUP BY ?type""",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"type": DCAT + "Dataset", "n": 7}]
+
+
+def test_var_to_var_str_comparison():  # Postman 6.2 source overlap dedup
+    out = sparql_select(
+        PREFIXES
+        + """SELECT DISTINCT ?s1 ?s2 WHERE {
+             <<?d1 dcat:theme ?t1>> prov:wasDerivedFrom ?s1 .
+             <<?d2 dcat:theme ?t2>> prov:wasDerivedFrom ?s2 .
+             FILTER(STR(?s1) < STR(?s2))
+           }""",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"s1": EX + "src/crm", "s2": EX + "src/erp"}]
+
+
+def test_from_graph_scopes_patterns():
+    out = sparql_select(
+        PREFIXES
+        + f"SELECT (COUNT(?d) as ?n) FROM <{EX}g/base> "
+        + "WHERE { ?d a dcat:Dataset . }",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"n": 6}]  # DS-EXTRA lives in g/other
+
+
+def test_sparql_json_shapes_terms():
+    doc = sparql_select_json(
+        PREFIXES
+        + """SELECT ?d ?title WHERE { ?d dct:title ?title . }
+             ORDER BY ?d LIMIT 1""",
+        QUADS,
+    )
+    assert doc["head"]["vars"] == ["d", "title"]
+    b = doc["results"]["bindings"][0]
+    assert b["d"]["type"] == "uri"
+    assert b["title"] == {"type": "literal", "value": "Dataset 0"}
+    json.dumps(doc)  # serializable
+
+
+# ---------------------------------------------------------------------------
+# distributed path
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_masks_and_prune(ray_session):
+    import ray.data as rd
+
+    q = parse_sparql(
+        PREFIXES + "SELECT ?d WHERE { ?d a dcat:Dataset ; dct:title ?t . }"
+    )
+    masks = pattern_masks(q)
+    assert masks == [
+        [("predicate", RDF_TYPE), ("object_value", DCAT + "Dataset")],
+        [("predicate", DCT + "title")],
+    ]
+    ds = rd.from_arrow(QUADS)
+    pruned = pa.concat_tables(
+        [b for b in __import__("ray").get(prune_quads(ds, q).to_arrow_refs())]
+    )
+    preds = set(pruned.column("predicate").to_pylist())
+    assert preds == {RDF_TYPE, DCT + "title"}
+
+
+def test_select_over_dataset_matches_table(ray_session):
+    import ray.data as rd
+
+    query = (
+        PREFIXES
+        + """SELECT ?src (COUNT(DISTINCT ?d) as ?n) WHERE {
+             ?d dcat:theme ?theme .
+             <<?d dcat:theme ?theme>> prov:wasDerivedFrom ?src .
+           } GROUP BY ?src ORDER BY DESC(?n)"""
+    )
+    via_table = sparql_select(query, QUADS)
+    via_ds = sparql_select(query, rd.from_arrow(QUADS))
+    assert via_table.to_pylist() == via_ds.to_pylist()
+
+
+def test_select_over_parquet_path(tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(QUADS, tmp_path / "quads.parquet")
+    out = sparql_select(
+        PREFIXES + "SELECT (COUNT(?d) as ?n) WHERE { ?d a dcat:Dataset . }",
+        str(tmp_path),
+    )
+    assert out.to_pylist() == [{"n": 7}]
+
+
+def test_lifted_transcripts_queryable(ray_session):
+    sf_dir = "/root/testdata/sf0.001"
+    """End-to-end: CDC state → lift → SPARQL over the engine's own quads."""
+    from etl_pipeline_rdf_star_ray.pipelines import cdc
+    from etl_pipeline_rdf_star_ray.queries import changelog_from_events
+    from etl_pipeline_rdf_star_ray.stages.lift import (
+        lift_dataset,
+        transcripts_spec,
+    )
+
+    state = cdc.upsert_dataset(
+        changelog_from_events(sf_dir), num_partitions=8,
+        hot_convs=["conv_hot"],
+    )
+    quads = lift_dataset(state, transcripts_spec())
+    out = sparql_select(
+        """PREFIX ex: <http://example.org/>
+           SELECT ?role (COUNT(?turn) as ?n) WHERE {
+             ?turn ex:role ?role .
+           } GROUP BY ?role ORDER BY DESC(?n) (?role)""",
+        quads,
+    )
+    rows = out.to_pylist()
+    assert rows and all(r["n"] > 0 for r in rows)
+    total = sum(r["n"] for r in rows)
+    assert total == state.count()
