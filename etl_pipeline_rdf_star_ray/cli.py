@@ -18,6 +18,8 @@ Verbs:
               ``batch_cli.py:290-325``)
   sparql    run a SPARQL-star subset query over a quads parquet or a lake
             snapshot (reference serving layer ``fastapi_sparql_server.py``)
+  serve     HTTP SPARQL endpoint over a quads parquet or lake snapshot
+            (stdlib re-expression of ``fastapi_sparql_server.py``)
 
 Owns its Ray session (guarded ``ray.init``) — the driver-facing library
 entry points never init Ray.
@@ -115,6 +117,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="print SPARQL JSON results instead of a table")
     sp.add_argument("--at-lsn", type=int, default=None)
 
+    sp = sub.add_parser("serve")
+    sp.add_argument(
+        "source",
+        help="quads parquet file/dir, or a lake dir (snapshot lifted first)",
+    )
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=7878)
+    sp.add_argument("--at-lsn", type=int, default=None)
+
     sp = sub.add_parser("archive")
     sp.add_argument("lake")
     sp.add_argument("batch_id")
@@ -172,15 +183,9 @@ def main(argv: list[str] | None = None) -> int:
         print(con.sql(args.sql).df().to_string())
         return 0
 
-    if args.verb == "sparql":
+    if args.verb in ("sparql", "serve"):
         import os
 
-        from .sparql import sparql_select, sparql_select_json
-
-        qtext = args.query
-        if qtext.startswith("@"):
-            with open(qtext[1:]) as fh:
-                qtext = fh.read()
         if os.path.exists(os.path.join(args.source, "_meta.json")):
             _ray_up(args.num_cpus)
             from .stages.lift import lift_dataset, transcripts_spec
@@ -191,10 +196,50 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             quads = args.source  # parquet path — DuckDB reads with pushdown
-        if args.as_json:
-            print(json.dumps(sparql_select_json(qtext, quads), indent=1))
+
+        if args.verb == "sparql":
+            from .sparql import sparql_select, sparql_select_json
+
+            qtext = args.query
+            if qtext.startswith("@"):
+                with open(qtext[1:]) as fh:
+                    qtext = fh.read()
+            if args.as_json:
+                print(json.dumps(sparql_select_json(qtext, quads), indent=1))
+            else:
+                print(sparql_select(qtext, quads).to_pandas().to_string())
+            return 0
+
+        # serve: materialize the snapshot once, then serve forever
+        import pyarrow.parquet as pq_mod
+
+        from .server import make_server
+
+        if isinstance(quads, str):
+            path = (
+                quads if quads.endswith(".parquet") else quads.rstrip("/")
+            )
+            table = (
+                pq_mod.read_table(path)
+                if path.endswith(".parquet")
+                else pq_mod.ParquetDataset(path).read()
+            )
         else:
-            print(sparql_select(qtext, quads).to_pandas().to_string())
+            import ray
+
+            blocks = [b for b in ray.get(quads.to_arrow_refs()) if b.num_rows]
+            import pyarrow as pa_mod
+
+            table = pa_mod.concat_tables(blocks, promote_options="permissive")
+        srv = make_server(table, args.host, args.port)
+        print(
+            f"serving {table.num_rows} quads on "
+            f"http://{args.host}:{srv.server_address[1]}/sparql"
+        )
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
         return 0
 
     _ray_up(args.num_cpus)

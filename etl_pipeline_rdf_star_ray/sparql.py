@@ -500,7 +500,8 @@ def parse_sparql(src: str) -> SelectQuery:
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 
 _ANN_CTE = (
-    "SELECT subject, predicate, object_value, object_type, graph, "
+    "SELECT subject, predicate, object_value, object_type, object_datatype, "
+    "object_lang, graph, "
     "ann.predicate AS ann_predicate, ann.value AS ann_value, "
     "ann.datatype AS ann_datatype "
     "FROM (SELECT *, unnest(annotations) AS ann FROM quads)"
@@ -547,9 +548,11 @@ class _Compiler:
             self.aliases.append(("qann", a))
             self._bind_term(pat.s.s, f"{a}.subject", "iri")
             self._bind_term(pat.s.p, f"{a}.predicate", "iri")
-            self._bind_term(pat.s.o, f"{a}.object_value", "literal")
+            self._bind_term(pat.s.o, f"{a}.object_value", "object", term_alias=a)
             self._bind_term(pat.p, f"{a}.ann_predicate", "iri")
-            self._bind_term(pat.o, f"{a}.ann_value", "literal")
+            # annotation values are stored as bare strings (no iri/literal
+            # marker — ANNOTATION_STRUCT) → term kind resolved by value shape
+            self._bind_term(pat.o, f"{a}.ann_value", "annvalue")
         else:
             self.aliases.append(("quads", a))
             self._bind_term(pat.s, f"{a}.subject", "iri")
@@ -958,8 +961,16 @@ def _with_optional_columns(table: pa.Table) -> pa.Table:
     return table
 
 
+_IRI_SHAPE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 def to_sparql_json(table: pa.Table, kinds: dict[str, str] | None = None) -> dict:
-    """Shape a result table as the SPARQL 1.1 JSON results document."""
+    """Shape a result table as the SPARQL 1.1 JSON results document.
+
+    Term typing: subject/predicate bindings are uris; object bindings use
+    the carried ``object_type`` term-info column; annotation-value bindings
+    (stored markerless, :data:`~.schema.ANNOTATION_STRUCT`) fall back to
+    value shape (``scheme://`` ⇒ uri)."""
     kinds = kinds or {}
     base = [c for c in table.column_names if "__" not in c]
     bindings = []
@@ -970,7 +981,15 @@ def to_sparql_json(table: pa.Table, kinds: dict[str, str] | None = None) -> dict
             if val is None:
                 continue
             kind = kinds.get(var, "unknown")
-            if kind == "iri" or row.get(f"{var}__type") == "iri":
+            if (
+                kind == "iri"
+                or row.get(f"{var}__type") == "iri"
+                or (
+                    kind == "annvalue"
+                    and f"{var}__type" not in row
+                    and _IRI_SHAPE.match(str(val))
+                )
+            ):
                 b[var] = {"type": "uri", "value": str(val)}
             else:
                 term = {"type": "literal", "value": str(val)}

@@ -1,0 +1,97 @@
+"""HTTP serving layer tests — mirrors the reference's endpoint contract
+(``fastapi_sparql_server.py``: /sparql GET+POST in three body encodings,
+/stats, /health, HTML home) over loopback."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from etl_pipeline_rdf_star_ray.server import serve_background
+from test_sparql import DCAT, PREFIXES, QUADS
+
+COUNT_Q = PREFIXES + "SELECT (COUNT(?d) as ?n) WHERE { ?d a dcat:Dataset . }"
+
+
+@pytest.fixture(scope="module")
+def endpoint():
+    srv, port = serve_background(QUADS)
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _post(url: str, body: bytes, ctype: str):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, r.read()
+
+
+def test_get_sparql(endpoint):
+    status, ctype, body = _get(
+        endpoint + "/sparql?" + urllib.parse.urlencode({"query": COUNT_Q})
+    )
+    assert status == 200
+    assert ctype == "application/sparql-results+json"
+    doc = json.loads(body)
+    assert doc["results"]["bindings"][0]["n"]["value"] == "7"
+
+
+def test_post_sparql_json_form_raw(endpoint):
+    for body, ctype in [
+        (json.dumps({"query": COUNT_Q}).encode(), "application/json"),
+        (
+            urllib.parse.urlencode({"query": COUNT_Q}).encode(),
+            "application/x-www-form-urlencoded",
+        ),
+        (COUNT_Q.encode(), "application/sparql-query"),
+    ]:
+        status, out = _post(endpoint + "/sparql", body, ctype)
+        assert status == 200
+        assert (
+            json.loads(out)["results"]["bindings"][0]["n"]["value"] == "7"
+        ), ctype
+
+
+def test_bad_query_is_400(endpoint):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(
+            endpoint
+            + "/sparql?"
+            + urllib.parse.urlencode({"query": "SELECT ?s WHERE { BROKEN"})
+        )
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
+def test_stats_health_home(endpoint):
+    status, _, body = _get(endpoint + "/stats")
+    stats = json.loads(body)
+    assert status == 200 and stats["total_quads"] == QUADS.num_rows
+    status, _, body = _get(endpoint + "/health")
+    assert status == 200 and json.loads(body)["status"] == "healthy"
+    status, ctype, body = _get(endpoint + "/")
+    assert status == 200 and ctype == "text/html"
+    assert b"SPARQL-star endpoint" in body
+
+
+def test_quoted_pattern_over_http(endpoint):
+    q = (
+        PREFIXES
+        + """SELECT ?src (COUNT(DISTINCT ?d) as ?n) WHERE {
+             ?d dcat:theme ?t .
+             <<?d dcat:theme ?t>> prov:wasDerivedFrom ?src .
+           } GROUP BY ?src ORDER BY DESC(?n)"""
+    )
+    _, out = _post(endpoint + "/sparql", q.encode(), "application/sparql-query")
+    bindings = json.loads(out)["results"]["bindings"]
+    assert bindings[0]["src"]["type"] == "uri"
+    assert bindings[0]["n"]["value"] == "4"
