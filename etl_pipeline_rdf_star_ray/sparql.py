@@ -10,11 +10,14 @@ executable counterpart over the engine's Arrow quad tables
 - **parser** — recursive-descent SPARQL subset: PREFIX, SELECT (vars,
   aggregate expressions with ``AS``, DISTINCT), ``FROM <g>``, basic graph
   patterns with ``;`` / ``,`` continuations and ``a``, quoted-triple subject
-  patterns ``<< ?s p ?o >>``, FILTER (comparisons, ``&&`` ``||`` ``!``,
-  ``STR`` ``STRSTARTS`` ``CONTAINS`` ``REGEX`` ``BOUND``, typed literals),
-  ``BIND``, single-level ``OPTIONAL``, GROUP BY, ORDER BY ASC/DESC,
-  LIMIT / OFFSET — the complete feature set exercised by the reference's
-  Postman corpus.
+  patterns ``<< ?s p ?o >>``, ``GRAPH <g>/?g { … }`` blocks, group
+  ``UNION`` chains, FILTER (comparisons, arithmetic ``+ - * /``, ``&&``
+  ``||`` ``!``, ``STR`` ``STRSTARTS`` ``CONTAINS`` ``REGEX`` ``BOUND``
+  ``IF`` ``NOW`` ``FLOOR``, ``EXISTS`` / ``NOT EXISTS { … }``, typed
+  literals), ``BIND``, single-level ``OPTIONAL``, GROUP BY, ORDER BY
+  ASC/DESC, LIMIT / OFFSET — the complete feature set exercised by the
+  reference's Postman corpus and the SELECT queries of
+  ``sparql/batch_queries.rq``.
 - **compiler** — BGP → self-join SQL over a ``quads`` relation (one alias per
   triple pattern, shared variables become join equalities — the standard
   SPARQL-to-SQL lowering). Quoted-triple patterns compile against an
@@ -90,6 +93,7 @@ class TriplePattern:
     s: object
     p: object
     o: object
+    graph: object = None  # None | Iri | Var — a GRAPH-block scope
 
 
 @dataclass(frozen=True)
@@ -112,6 +116,21 @@ class Bind:
     var: Var
 
 
+@dataclass(frozen=True)
+class Exists:
+    """``EXISTS { … }`` / ``NOT EXISTS { … }`` in a FILTER or BIND expr."""
+
+    group: "SelectQuery"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Union:
+    """``{ … } UNION { … } [UNION { … }]`` — branches are pattern groups."""
+
+    branches: tuple
+
+
 @dataclass
 class SelectQuery:
     prefixes: dict[str, str]
@@ -123,6 +142,7 @@ class SelectQuery:
     filters: list[object]
     binds: list[Bind]
     optionals: list[list[TriplePattern]] = field(default_factory=list)
+    unions: list[Union] = field(default_factory=list)
     group_by: list[Var] = field(default_factory=list)
     order_by: list[tuple[object, bool]] = field(default_factory=list)
     limit: int | None = None
@@ -183,7 +203,7 @@ def tokenize(src: str) -> list[Tok]:
 # ---------------------------------------------------------------------------
 
 _FUNCS = {
-    "STR", "STRSTARTS", "CONTAINS", "REGEX", "BOUND",
+    "STR", "STRSTARTS", "CONTAINS", "REGEX", "BOUND", "IF", "NOW", "FLOOR",
     "COUNT", "SUM", "AVG", "MIN", "MAX",
 }
 
@@ -365,6 +385,13 @@ class _Parser:
             raise SparqlError(f"unexpected trailing {t.text!r} at {t.pos}")
         return q
 
+    def _fresh_group(self) -> SelectQuery:
+        return SelectQuery(
+            prefixes=self.prefixes, select=[], distinct=False,
+            select_star=False, from_graph=None, patterns=[], filters=[],
+            binds=[],
+        )
+
     def parse_group(self, q: SelectQuery) -> None:
         self.eat("{")
         while True:
@@ -374,9 +401,12 @@ class _Parser:
                 return
             if self.at_word("FILTER"):
                 self.next()
-                self.eat("(")
-                q.filters.append(self.parse_expr())
-                self.eat(")")
+                if self.at_word("NOT", "EXISTS"):
+                    q.filters.append(self.parse_exists())
+                else:
+                    self.eat("(")
+                    q.filters.append(self.parse_expr())
+                    self.eat(")")
             elif self.at_word("BIND"):
                 self.next()
                 self.eat("(")
@@ -397,12 +427,58 @@ class _Parser:
                         self.next()
                 self.next()
                 q.optionals.append(pats)
+            elif self.at_word("GRAPH"):
+                self.next()
+                q.patterns.extend(self.parse_graph_block())
+            elif t.text == "{":
+                # braced subgroup: either an inline group or a UNION chain
+                branches = [self._fresh_group()]
+                self.parse_group(branches[0])
+                while self.at_word("UNION"):
+                    self.next()
+                    g = self._fresh_group()
+                    self.parse_group(g)
+                    branches.append(g)
+                if len(branches) == 1:
+                    g = branches[0]
+                    q.patterns.extend(g.patterns)
+                    q.filters.extend(g.filters)
+                    q.binds.extend(g.binds)
+                    q.optionals.extend(g.optionals)
+                    q.unions.extend(g.unions)
+                else:
+                    q.unions.append(Union(tuple(branches)))
             elif self.at_word("UNION"):
-                raise SparqlError("UNION is not supported in this subset")
+                raise SparqlError("UNION without a preceding { group }")
             else:
                 q.patterns.extend(self.parse_triples_block())
             if self.peek().text == ".":
                 self.next()
+
+    def parse_graph_block(self) -> list[TriplePattern]:
+        g = self.parse_term()
+        if not isinstance(g, (Iri, Var)):
+            raise SparqlError("GRAPH needs an IRI or ?var")
+        self.eat("{")
+        pats: list[TriplePattern] = []
+        while self.peek().text != "}":
+            pats.extend(self.parse_triples_block())
+            if self.peek().text == ".":
+                self.next()
+        self.next()
+        return [
+            TriplePattern(p.s, p.p, p.o, graph=g) for p in pats
+        ]
+
+    def parse_exists(self) -> Exists:
+        negated = False
+        if self.at_word("NOT"):
+            self.next()
+            negated = True
+        self.eat_word("EXISTS")
+        g = self._fresh_group()
+        self.parse_group(g)
+        return Exists(g, negated)
 
     def parse_triples_block(self) -> list[TriplePattern]:
         subject = self.parse_term()
@@ -443,11 +519,25 @@ class _Parser:
         return left
 
     def parse_cmp(self):
-        left = self.parse_primary()
+        left = self.parse_add()
         t = self.peek()
         if t.text in {"=", "!=", "<", ">", "<=", ">="}:
             self.next()
-            return BinOp(t.text, left, self.parse_primary())
+            return BinOp(t.text, left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek().text in {"+", "-"}:
+            op = self.next().text
+            left = BinOp(op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_primary()
+        while self.peek().text in {"*", "/"}:
+            op = self.next().text
+            left = BinOp(op, left, self.parse_primary())
         return left
 
     def parse_primary(self):
@@ -455,6 +545,8 @@ class _Parser:
         if t.text == "!":
             self.next()
             return Call("NOT", (self.parse_primary(),))
+        if self.at_word("NOT", "EXISTS"):
+            return self.parse_exists()
         if t.text == "(":
             self.next()
             e = self.parse_expr()
@@ -469,7 +561,9 @@ class _Parser:
                 self.next()
                 distinct = True
             args: list[object] = []
-            if self.peek().text == "*":
+            if self.peek().text == ")":
+                pass  # zero-arg call, e.g. NOW()
+            elif self.peek().text == "*":
                 self.next()
                 args.append("*")
             else:
@@ -527,22 +621,40 @@ def _expr_vars(e) -> set[str]:
             if a != "*":
                 out |= _expr_vars(a)
         return out
+    if isinstance(e, Exists):
+        # correlates with any same-named outer variable → never constant
+        out = set()
+        for pat in _all_patterns(e.group):
+            for t in (pat.s, pat.p, pat.o, pat.graph):
+                if isinstance(t, Var):
+                    out.add(t.name)
+                elif isinstance(t, Quoted):
+                    out |= {
+                        x.name for x in (t.s, t.p, t.o) if isinstance(x, Var)
+                    }
+        return out
     return set()
 
 
 class _Compiler:
-    def __init__(self, q: SelectQuery):
+    def __init__(self, q: SelectQuery, counter=None):
+        import itertools
+
         self.q = q
+        # shared across nested compilers (EXISTS / UNION / OPTIONAL
+        # subqueries) so correlated aliases never shadow outer ones
+        self.counter = counter if counter is not None else itertools.count()
         self.aliases: list[tuple[str, str]] = []  # (relation, alias)
         self.conds: list[str] = []
         self.bind: dict[str, str] = {}  # var name -> SQL expr
         self.kind: dict[str, str] = {}  # var name -> iri|literal|object|unknown
         self.term_cols: dict[str, str] = {}  # object-position var -> alias
+        self.union_from: list[str] = []  # UNION derived tables
         self.uses_ann = False
 
     # -- pattern lowering ---------------------------------------------------
     def add_pattern(self, pat: TriplePattern) -> None:
-        a = f"q{len(self.aliases)}"
+        a = f"q{next(self.counter)}"
         if isinstance(pat.s, Quoted):
             self.uses_ann = True
             self.aliases.append(("qann", a))
@@ -558,7 +670,9 @@ class _Compiler:
             self._bind_term(pat.s, f"{a}.subject", "iri")
             self._bind_term(pat.p, f"{a}.predicate", "iri")
             self._bind_term(pat.o, f"{a}.object_value", "object", term_alias=a)
-        if self.q.from_graph is not None:
+        if pat.graph is not None:  # explicit GRAPH block overrides FROM
+            self._bind_term(pat.graph, f"{a}.graph", "iri")
+        elif self.q.from_graph is not None:
             self.conds.append(f"{a}.graph = {_sq(self.q.from_graph)}")
 
     def _bind_term(self, term, col: str, kind: str, *, term_alias=None) -> None:
@@ -596,15 +710,21 @@ class _Compiler:
             if e.op in {"&&", "||"}:
                 op = "AND" if e.op == "&&" else "OR"
                 return f"({self.expr_sql(e.left)} {op} {self.expr_sql(e.right)})"
+            if e.op in {"+", "-", "*", "/"}:  # numeric arithmetic
+                lhs = self.expr_sql(e.left, numeric_hint=True)
+                rhs = self.expr_sql(e.right, numeric_hint=True)
+                return f"({lhs} {e.op} {rhs})"
             num = _lit_in(e, _NUMERIC_DT)
-            ts = _lit_in(e, _TS_DT)
+            ts = _lit_in(e, _TS_DT) or _is_ts_expr(e.left) or _is_ts_expr(e.right)
             lhs = self.expr_sql(e.left, numeric_hint=num)
             rhs = self.expr_sql(e.right, numeric_hint=num)
             if ts:
-                lhs = lhs if _is_ts_lit(e.left) else f"TRY_CAST({lhs} AS TIMESTAMPTZ)"
-                rhs = rhs if _is_ts_lit(e.right) else f"TRY_CAST({rhs} AS TIMESTAMPTZ)"
+                lhs = lhs if _is_ts_expr(e.left) else f"TRY_CAST({lhs} AS TIMESTAMPTZ)"
+                rhs = rhs if _is_ts_expr(e.right) else f"TRY_CAST({rhs} AS TIMESTAMPTZ)"
             op = "<>" if e.op == "!=" else e.op
             return f"({lhs} {op} {rhs})"
+        if isinstance(e, Exists):
+            return self.exists_sql(e)
         if isinstance(e, Call):
             if e.name == "NOT":
                 return f"(NOT {self.expr_sql(e.args[0])})"
@@ -628,10 +748,38 @@ class _Compiler:
                 )
             if e.name == "BOUND":
                 return f"({self.expr_sql(e.args[0])} IS NOT NULL)"
+            if e.name == "IF":
+                c, t, f = (self.expr_sql(a) for a in e.args)
+                return f"(CASE WHEN {c} THEN {t} ELSE {f} END)"
+            if e.name == "NOW":
+                return "now()"
+            if e.name == "FLOOR":
+                return f"floor({self.expr_sql(e.args[0], numeric_hint=True)})"
             if e.name in _AGG_FUNCS:
                 return self.agg_sql(e)
             raise SparqlError(f"unsupported function {e.name}")
         raise SparqlError(f"unsupported expression {e!r}")
+
+    def exists_sql(self, e: Exists) -> str:
+        """Correlated (NOT) EXISTS subquery on the variables shared with the
+        enclosing scope (the reference's batch-diff idiom,
+        ``sparql/batch_queries.rq:406-448``)."""
+        sub = _Compiler(e.group, self.counter)
+        sub.q.from_graph = self.q.from_graph
+        for pat in e.group.patterns:
+            sub.add_pattern(pat)
+        if not sub.aliases:
+            raise SparqlError("EXISTS needs at least one triple pattern")
+        for v, outer in self.bind.items():
+            if v in sub.bind:
+                sub.conds.append(f"{sub.bind[v]} = {outer}")
+        for f in e.group.filters:
+            sub.conds.append(sub.expr_sql(f))
+        self.uses_ann = self.uses_ann or sub.uses_ann
+        src = " CROSS JOIN ".join(f"{rel} {al}" for rel, al in sub.aliases)
+        where = " WHERE " + " AND ".join(sub.conds) if sub.conds else ""
+        neg = "NOT " if e.negated else ""
+        return f"{neg}EXISTS (SELECT 1 FROM {src}{where})"
 
     def agg_sql(self, e: Call) -> str:
         if e.name == "COUNT":
@@ -653,10 +801,61 @@ class _Compiler:
             f"ELSE {e.name}({arg}) END"
         )
 
+    # -- groups / unions ----------------------------------------------------
+    def _compile_group(self, g: SelectQuery) -> "_Compiler":
+        """Standalone compilation of a pattern group (a UNION branch)."""
+        sub = _Compiler(g, self.counter)
+        deferred = []
+        for b in g.binds:
+            (deferred.append(b) if _expr_vars(b.expr) else sub._apply_bind(b))
+        for pat in g.patterns:
+            sub.add_pattern(pat)
+        for b in deferred:
+            sub._apply_bind(b)
+        for f in g.filters:
+            sub.conds.append(sub.expr_sql(f))
+        self.uses_ann = self.uses_ann or sub.uses_ann
+        return sub
+
+    def _add_union(self, u: Union, idx: int) -> None:
+        """Lower a UNION chain to a UNION ALL derived table projecting the
+        ordered union of branch variables (missing → NULL), joined to the
+        enclosing group on any already-bound variables."""
+        subs = [self._compile_group(g) for g in u.branches]
+        all_vars: list[str] = []
+        for sub in subs:
+            for v in sub.bind:
+                if v not in all_vars:
+                    all_vars.append(v)
+        selects = []
+        for sub in subs:
+            cols = ", ".join(
+                f"{sub.bind[v]} AS v_{v}"
+                if v in sub.bind
+                else f"CAST(NULL AS VARCHAR) AS v_{v}"
+                for v in all_vars
+            )
+            src = " CROSS JOIN ".join(f"{rel} {al}" for rel, al in sub.aliases)
+            frm = f" FROM {src}" if sub.aliases else ""
+            where = " WHERE " + " AND ".join(sub.conds) if sub.conds else ""
+            selects.append(f"SELECT {cols}{frm}{where}")
+        ua = f"u{idx}"
+        self.union_from.append(f"({' UNION ALL '.join(selects)}) {ua}")
+        for v in all_vars:
+            col = f"{ua}.v_{v}"
+            if v in self.bind:
+                self.conds.append(f"{col} = {self.bind[v]}")
+            else:
+                self.bind[v] = col
+                for sub in subs:
+                    if v in sub.kind:
+                        self.kind[v] = sub.kind[v]
+                        break
+
     # -- full query ---------------------------------------------------------
     def compile(self, *, term_info: bool = False) -> tuple[str, dict[str, str]]:
         q = self.q
-        if not q.patterns and not q.optionals:
+        if not q.patterns and not q.optionals and not q.unions:
             raise SparqlError("empty WHERE block")
 
         # Constant BINDs (no variable deps) establish bindings BEFORE the
@@ -671,8 +870,8 @@ class _Compiler:
 
         for pat in q.patterns:
             self.add_pattern(pat)
-        for b in deferred:
-            self._apply_bind(b)
+        for i, u in enumerate(q.unions):
+            self._add_union(u, i)
 
         # OPTIONAL groups -> LEFT JOIN subselects on shared variables
         left_joins: list[str] = []
@@ -682,7 +881,8 @@ class _Compiler:
                     prefixes=q.prefixes, select=[], distinct=False,
                     select_star=False, from_graph=q.from_graph,
                     patterns=[], filters=[], binds=[],
-                )
+                ),
+                self.counter,
             )
             for pat in group:
                 sub.add_pattern(pat)
@@ -702,6 +902,11 @@ class _Compiler:
             for v in new:
                 self.bind[v] = f"{oa}.v_{v}"
                 self.kind[v] = sub.kind.get(v, "unknown")
+
+        # expression BINDs may reference OPTIONAL vars (BOUND(?x) idiom,
+        # batch_queries.rq:561) — applied after all bindings exist
+        for b in deferred:
+            self._apply_bind(b)
 
         for f in q.filters:
             self.conds.append(self.expr_sql(f))
@@ -739,7 +944,10 @@ class _Compiler:
                 sel_items.append(f"{self.expr_sql(expr)} AS {_ident(alias)}")
                 out_kinds[alias] = "literal"
 
-        src = " CROSS JOIN ".join(f"{rel} {al}" for rel, al in self.aliases)
+        from_items = [
+            f"{rel} {al}" for rel, al in self.aliases
+        ] + self.union_from
+        src = " CROSS JOIN ".join(from_items)
         sql = "SELECT "
         if q.distinct:
             sql += "DISTINCT "
@@ -801,8 +1009,11 @@ def _lit_in(e: BinOp, dts: set[str]) -> bool:
     )
 
 
-def _is_ts_lit(e) -> bool:
-    return isinstance(e, Literal) and e.datatype in _TS_DT
+def _is_ts_expr(e) -> bool:
+    """Already-TIMESTAMPTZ operands: typed dateTime literals and NOW()."""
+    return (isinstance(e, Literal) and e.datatype in _TS_DT) or (
+        isinstance(e, Call) and e.name == "NOW"
+    )
 
 
 def compile_sparql(src: str, *, term_info: bool = False) -> tuple[str, dict[str, str]]:
@@ -815,6 +1026,35 @@ def compile_sparql(src: str, *, term_info: bool = False) -> tuple[str, dict[str,
 # ---------------------------------------------------------------------------
 
 
+def _all_patterns(q: SelectQuery) -> list[TriplePattern]:
+    """Every triple pattern the query can touch: the main BGP, OPTIONAL
+    groups, UNION branches (recursively) and (NOT) EXISTS groups inside
+    filter expressions — pruning must keep candidate rows for all of them."""
+    out = list(q.patterns)
+    for g in q.optionals:
+        out.extend(g)
+    for u in q.unions:
+        for branch in u.branches:
+            out.extend(_all_patterns(branch))
+
+    def walk(e) -> None:
+        if isinstance(e, Exists):
+            out.extend(_all_patterns(e.group))
+        elif isinstance(e, BinOp):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Call):
+            for a in e.args:
+                if a != "*":
+                    walk(a)
+
+    for f in q.filters:
+        walk(f)
+    for b in q.binds:
+        walk(b.expr)
+    return out
+
+
 def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
     """Per-pattern constant constraints as ``(column, value)`` conjunctions.
 
@@ -824,7 +1064,7 @@ def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
     inner-triple constants constrain quoted patterns too). Any pattern with
     no constant terms makes pruning unsound-to-skip → returns None."""
     masks: list[list[tuple[str, str]]] = []
-    for pat in q.patterns + [p for g in q.optionals for p in g]:
+    for pat in _all_patterns(q):
         terms = (
             (("subject", pat.s.s), ("predicate", pat.s.p),
              ("object_value", pat.s.o))
@@ -835,6 +1075,8 @@ def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
         conj = [
             (col, t.value) for col, t in terms if isinstance(t, (Iri, Literal))
         ]
+        if isinstance(pat.graph, Iri):
+            conj.append(("graph", pat.graph.value))
         if not conj:
             return None
         masks.append(conj)

@@ -304,6 +304,127 @@ def test_sparql_json_shapes_terms():
 
 
 # ---------------------------------------------------------------------------
+# batch_queries.rq idioms: GRAPH, UNION, NOT EXISTS, IF/NOW/FLOOR, arithmetic
+# ---------------------------------------------------------------------------
+
+OLD_G, NEW_G = EX + "batch/1", EX + "batch/2"
+
+
+def _two_graph_quads() -> pa.Table:
+    rows = []
+
+    def t(s, o, g):
+        rows.append(
+            {
+                "subject": s, "predicate": EX + "p", "object_value": o,
+                "object_type": "literal", "object_datatype": None,
+                "object_lang": None, "graph": g, "annotations": [],
+            }
+        )
+
+    t(EX + "a", "v1", OLD_G)
+    t(EX + "a", "v1", NEW_G)  # unchanged
+    t(EX + "b", "v2", OLD_G)  # removed
+    t(EX + "c", "v3", NEW_G)  # added
+    return pa.Table.from_pylist(rows, schema=_SCHEMA)
+
+
+# the reference's batch-diff query text, verbatim modulo its $-placeholders
+# (sparql/batch_queries.rq:406-425)
+REFERENCE_DIFF_RQ = """
+SELECT ?changeType ?subject ?predicate ?object
+WHERE {
+    {
+        GRAPH $NEW_BATCH_URI { ?subject ?predicate ?object }
+        FILTER NOT EXISTS { GRAPH $OLD_BATCH_URI { ?subject ?predicate ?object } }
+        BIND("added" AS ?changeType)
+    }
+    UNION
+    {
+        GRAPH $OLD_BATCH_URI { ?subject ?predicate ?object }
+        FILTER NOT EXISTS { GRAPH $NEW_BATCH_URI { ?subject ?predicate ?object } }
+        BIND("removed" AS ?changeType)
+    }
+}
+ORDER BY ?changeType ?subject ?predicate
+LIMIT $LIMIT
+""".replace("$NEW_BATCH_URI", f"<{NEW_G}>").replace(
+    "$OLD_BATCH_URI", f"<{OLD_G}>"
+).replace("$LIMIT", "100")
+
+
+def test_reference_batch_diff_runs_verbatim():
+    out = sparql_select(REFERENCE_DIFF_RQ, _two_graph_quads())
+    assert out.to_pylist() == [
+        {"changeType": "added", "subject": EX + "c",
+         "predicate": EX + "p", "object": "v3"},
+        {"changeType": "removed", "subject": EX + "b",
+         "predicate": EX + "p", "object": "v2"},
+    ]
+
+
+def test_sum_if_change_counts():  # batch_queries.rq:434-436
+    q = f"""SELECT (SUM(IF(?changeType = "added", 1, 0)) AS ?addedCount)
+            (SUM(IF(?changeType = "removed", 1, 0)) AS ?removedCount) WHERE {{
+        {{ GRAPH <{NEW_G}> {{ ?s ?p ?o }}
+           FILTER NOT EXISTS {{ GRAPH <{OLD_G}> {{ ?s ?p ?o }} }}
+           BIND("added" AS ?changeType) }}
+        UNION
+        {{ GRAPH <{OLD_G}> {{ ?s ?p ?o }}
+           FILTER NOT EXISTS {{ GRAPH <{NEW_G}> {{ ?s ?p ?o }} }}
+           BIND("removed" AS ?changeType) }} }}"""
+    assert sparql_select(q, _two_graph_quads()).to_pylist() == [
+        {"addedCount": 1.0, "removedCount": 1.0}
+    ]
+
+
+def test_graph_variable_binding():
+    q = ("SELECT ?g (COUNT(?s) as ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+         "GROUP BY ?g ORDER BY ?g")
+    assert sparql_select(q, _two_graph_quads()).to_pylist() == [
+        {"g": OLD_G, "n": 2},
+        {"g": NEW_G, "n": 2},
+    ]
+
+
+def test_exists_in_bind_if():  # batch_queries.rq:561 shape
+    q = f"""SELECT ?s ?state WHERE {{
+        GRAPH <{NEW_G}> {{ ?s ?p ?o }}
+        BIND(IF(EXISTS {{ GRAPH <{OLD_G}> {{ ?s ?p ?o }} }},
+                "unchanged", "added") AS ?state)
+    }} ORDER BY ?s"""
+    assert sparql_select(q, _two_graph_quads()).to_pylist() == [
+        {"s": EX + "a", "state": "unchanged"},
+        {"s": EX + "c", "state": "added"},
+    ]
+
+
+def test_now_and_floor_arithmetic():
+    q = """SELECT (COUNT(?s) as ?n) WHERE { ?s ?p ?o .
+        FILTER(NOW() > "2020-01-01T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)
+        FILTER(FLOOR((10 - 4) / 2) = 3) }"""
+    assert sparql_select(q, _two_graph_quads()).to_pylist() == [{"n": 4}]
+
+
+def test_union_prune_keeps_all_branch_patterns(ray_session):
+    """Pruning over a query whose patterns live in UNION branches and NOT
+    EXISTS groups must keep candidate rows for every one of them."""
+    import ray
+    import ray.data as rd
+
+    q = parse_sparql(REFERENCE_DIFF_RQ)
+    masks = pattern_masks(q)
+    assert masks is not None and len(masks) == 4  # 2 branches + 2 NOT EXISTS
+    quads = _two_graph_quads()
+    pruned = pa.concat_tables(
+        ray.get(prune_quads(rd.from_arrow(quads), q).to_arrow_refs())
+    )
+    assert pruned.num_rows == quads.num_rows  # graph constants match all rows
+    via_ds = sparql_select(REFERENCE_DIFF_RQ, rd.from_arrow(quads))
+    assert via_ds.to_pylist() == sparql_select(REFERENCE_DIFF_RQ, quads).to_pylist()
+
+
+# ---------------------------------------------------------------------------
 # distributed path
 # ---------------------------------------------------------------------------
 
