@@ -93,7 +93,9 @@ class DecodeStage:
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         # STUB decoder: deterministic dims + feature from a content digest.
-        digest = hashlib.blake2b(payload, digest_size=32).digest()
+        # sha256 (not blake2b) so the driver oracle can recompute dims in
+        # DuckDB: 16 + first/second digest byte % 64.
+        digest = hashlib.sha256(payload).digest()
         arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
         width = 16 + int(digest[0]) % 64
         height = 16 + int(digest[1]) % 64

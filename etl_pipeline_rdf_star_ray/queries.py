@@ -623,6 +623,15 @@ SELECT doc_id AS media_id, 'image' AS kind, strlen(text)::BIGINT AS n_bytes
 FROM documents
 """
 
+# mirrors DecodeStage._fake_decode: sha256(payload), dims from the first
+# two digest bytes (pipelines/multimodal.py)
+ORACLE_MULTIMODAL_DECODE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+       16 + (CAST(concat('0x', substring(sha256(COALESCE(text, '')), 1, 2)) AS INTEGER) % 64) AS width,
+       16 + (CAST(concat('0x', substring(sha256(COALESCE(text, '')), 3, 2)) AS INTEGER) % 64) AS height
+FROM documents
+"""
+
 
 def q_text_quality(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -795,9 +804,10 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": ORACLE_FINGERPRINT,
         "similarity_topk": ORACLE_SIM_TOPK,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
-        # similarity_topk_lsh, multimodal_decode — stateful/hash/approx ops
-        # with no faithful SQL form
+        # similarity_topk_lsh — approx ops with no faithful SQL form
+        # (property-oracled in pytest instead, see COVERAGE.md)
     }
 
 
