@@ -188,6 +188,13 @@ def run_bench() -> dict:
     )
     queries["similarity_topk"] = sec
 
+    # SPARQL-star serving surface: quoted-pattern aggregate over the
+    # broadcast-annotated customer quads (parse → SQL compile → DuckDB)
+    from etl_pipeline_rdf_star_ray.queries import q_sparql_star_nation
+
+    sec, _ = timed(lambda: q_sparql_star_nation(SF_DIR).num_rows)
+    queries["sparql_star_nation"] = sec
+
     st = ops.status(lake)
     ray.shutdown()
 
