@@ -1186,6 +1186,20 @@ def sparql_select_json(query: str, quads) -> dict:
     return to_sparql_json(table, kinds)
 
 
+def sparql_over_lake(
+    lake_dir: str, query: str, *, at_lsn: int | None = None, json: bool = False
+):
+    """Point-in-time SPARQL over a CDC lake: snapshot → transcripts lift →
+    query — the reference's ``FROM <batch graph>`` time-travel idiom
+    (``rdf-workbench.py`` graph injection; here the manifest pins the
+    snapshot instead, ``state/lake.py``)."""
+    from .stages.lift import lift_dataset, transcripts_spec
+    from .state.lake import read_state
+
+    quads = lift_dataset(read_state(lake_dir, at_lsn=at_lsn), transcripts_spec())
+    return sparql_select_json(query, quads) if json else sparql_select(query, quads)
+
+
 def _with_optional_columns(table: pa.Table) -> pa.Table:
     """Ensure optional columns exist so compiled SQL always resolves."""
     from .schema import ANNOTATIONS_TYPE

@@ -474,6 +474,26 @@ def test_select_over_parquet_path(tmp_path):
     assert out.to_pylist() == [{"n": 7}]
 
 
+def test_sparql_over_lake_point_in_time(ray_session, tmp_path):
+    """Time-travel SPARQL: at_lsn pins the snapshot, counts differ."""
+    from etl_pipeline_rdf_star_ray.pipelines import cdc
+    from etl_pipeline_rdf_star_ray.sources.synthetic import changelog_dataset
+    from etl_pipeline_rdf_star_ray.sparql import sparql_over_lake
+
+    lake = str(tmp_path / "lake")
+    cdc.replay(
+        lambda lo, hi: changelog_dataset(hi - lo, lsn_start=lo),
+        lake, lsn_splits=[4000, 8000], num_partitions=4,
+    )
+    q = ("PREFIX ex: <http://example.org/> "
+         "SELECT (COUNT(?t) as ?n) WHERE { ?t a ex:Turn . }")
+    full = sparql_over_lake(lake, q).to_pylist()[0]["n"]
+    early = sparql_over_lake(lake, q, at_lsn=3999).to_pylist()[0]["n"]
+    assert 0 < early < full
+    doc = sparql_over_lake(lake, q, json=True)
+    assert doc["results"]["bindings"][0]["n"]["value"] == str(full)
+
+
 def test_lifted_transcripts_queryable(ray_session):
     sf_dir = "/root/testdata/sf0.001"
     """End-to-end: CDC state → lift → SPARQL over the engine's own quads."""

@@ -1,0 +1,195 @@
+"""Property test: the SPARQL BGP→SQL compiler against a naive reference
+evaluator.
+
+Hypothesis generates small quad tables and random basic graph patterns
+(2–3 triple patterns, random variable sharing and constant placement); the
+compiled-SQL result must equal the textbook nested-loop evaluation of the
+same BGP (multiset of solution mappings). This is the same
+engine-vs-independent-model discipline the mapping layer uses
+(``test_property.py``)."""
+
+import itertools
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_rdf_star_ray.schema import ANNOTATIONS_TYPE
+from etl_pipeline_rdf_star_ray.sparql import (
+    Iri,
+    Literal,
+    TriplePattern,
+    Var,
+    parse_sparql,
+    sparql_select,
+)
+
+_SUBJECTS = [f"http://x/s{i}" for i in range(4)]
+_PREDICATES = [f"http://x/p{i}" for i in range(3)]
+_OBJECTS = ["a", "b", "http://x/s0", "http://x/s1"]
+
+_SCHEMA = pa.schema(
+    [
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object_value", pa.string()),
+        ("object_type", pa.string()),
+        ("object_datatype", pa.string()),
+        ("object_lang", pa.string()),
+        ("graph", pa.string()),
+        ("annotations", ANNOTATIONS_TYPE),
+    ]
+)
+
+
+def _quads_table(triples: list[tuple[str, str, str]]) -> pa.Table:
+    rows = [
+        {
+            "subject": s, "predicate": p, "object_value": o,
+            "object_type": "literal", "object_datatype": None,
+            "object_lang": None, "graph": None, "annotations": [],
+        }
+        for s, p, o in triples
+    ]
+    return pa.Table.from_pylist(rows, schema=_SCHEMA)
+
+
+def _naive_eval(
+    triples: list[tuple[str, str, str]], patterns: list[TriplePattern]
+) -> list[dict]:
+    """Textbook BGP semantics: nested loops over the data, accumulating
+    compatible solution mappings."""
+    solutions = [{}]
+    for pat in patterns:
+        nxt = []
+        for binding in solutions:
+            for s, p, o in triples:
+                cand = dict(binding)
+                ok = True
+                for term, value in ((pat.s, s), (pat.p, p), (pat.o, o)):
+                    if isinstance(term, Var):
+                        if cand.get(term.name, value) != value:
+                            ok = False
+                            break
+                        cand[term.name] = value
+                    elif term.value != value:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(cand)
+        solutions = nxt
+    return solutions
+
+
+_term = st.one_of(
+    st.sampled_from([Var("a"), Var("b"), Var("c")]),
+    st.sampled_from([Iri(s) for s in _SUBJECTS[:2]]),
+)
+_pred_term = st.one_of(
+    st.sampled_from([Var("p1"), Var("p2")]),
+    st.sampled_from([Iri(p) for p in _PREDICATES]),
+)
+_obj_term = st.one_of(
+    st.sampled_from([Var("a"), Var("b"), Var("v")]),
+    st.sampled_from([Literal(o) for o in _OBJECTS[:2]]),
+)
+
+_pattern = st.builds(TriplePattern, _term, _pred_term, _obj_term)
+
+_triples = st.lists(
+    st.tuples(
+        st.sampled_from(_SUBJECTS),
+        st.sampled_from(_PREDICATES),
+        st.sampled_from(_OBJECTS),
+    ),
+    min_size=0,
+    max_size=12,
+    unique=True,
+)
+
+
+def _to_sparql(patterns: list[TriplePattern]) -> tuple[str, list[str]]:
+    def term(t):
+        if isinstance(t, Var):
+            return f"?{t.name}"
+        if isinstance(t, Iri):
+            return f"<{t.value}>"
+        return f'"{t.value}"'
+
+    var_names = sorted(
+        {
+            t.name
+            for p in patterns
+            for t in (p.s, p.p, p.o)
+            if isinstance(t, Var)
+        }
+    )
+    body = " . ".join(f"{term(p.s)} {term(p.p)} {term(p.o)}" for p in patterns)
+    sel = " ".join(f"?{v}" for v in var_names) or "?unused"
+    return f"SELECT {sel} WHERE {{ {body} }}", var_names
+
+
+@settings(max_examples=120, deadline=None)
+@given(triples=_triples, patterns=st.lists(_pattern, min_size=1, max_size=3))
+def test_bgp_compiler_matches_naive_evaluator(triples, patterns):
+    var_names = {
+        t.name
+        for p in patterns
+        for t in (p.s, p.p, p.o)
+        if isinstance(t, Var)
+    }
+    if not var_names:  # SELECT needs at least one variable
+        patterns = patterns + [TriplePattern(Var("a"), Var("p1"), Var("v"))]
+        var_names = {"a", "p1", "v"}
+
+    query, sel_vars = _to_sparql(patterns)
+    got = sparql_select(query, _quads_table(triples)).to_pylist()
+    expected = [
+        {v: sol[v] for v in sel_vars} for sol in _naive_eval(triples, patterns)
+    ]
+    key = lambda d: tuple(d[v] for v in sel_vars)  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+
+
+def test_naive_evaluator_sanity():
+    """The reference model itself on a worked example."""
+    triples = [
+        ("http://x/s0", "http://x/p0", "http://x/s1"),
+        ("http://x/s1", "http://x/p0", "http://x/s2"),
+    ]
+    pats = [
+        TriplePattern(Var("a"), Iri("http://x/p0"), Var("b")),
+        TriplePattern(Var("b"), Iri("http://x/p0"), Var("c")),
+    ]
+    assert _naive_eval(triples, pats) == [
+        {"a": "http://x/s0", "b": "http://x/s1", "c": "http://x/s2"}
+    ]
+
+
+def test_exhaustive_two_pattern_join_shapes():
+    """Deterministic sweep: every var-sharing shape of a 2-pattern BGP over
+    a fixed 6-triple table agrees with the naive evaluator."""
+    triples = [
+        ("http://x/s0", "http://x/p0", "a"),
+        ("http://x/s0", "http://x/p1", "b"),
+        ("http://x/s1", "http://x/p0", "a"),
+        ("http://x/s1", "http://x/p1", "http://x/s0"),
+        ("http://x/s2", "http://x/p2", "b"),
+        ("http://x/s2", "http://x/p0", "http://x/s1"),
+    ]
+    quads = _quads_table(triples)
+    svars = [Var("a"), Var("b")]
+    for s1, o1, s2, o2 in itertools.product(svars, repeat=4):
+        pats = [
+            TriplePattern(s1, Iri("http://x/p0"), o1),
+            TriplePattern(s2, Iri("http://x/p1"), o2),
+        ]
+        var_names = sorted({t.name for p in pats for t in (p.s, p.o)})
+        query, sel_vars = _to_sparql(pats)
+        got = sparql_select(query, quads).to_pylist()
+        expected = [
+            {v: sol[v] for v in sel_vars}
+            for sol in _naive_eval(triples, pats)
+        ]
+        key = lambda d: tuple(d[v] for v in sel_vars)  # noqa: E731
+        assert sorted(got, key=key) == sorted(expected, key=key), pats
