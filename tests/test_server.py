@@ -83,6 +83,28 @@ def test_stats_health_home(endpoint):
     assert b"SPARQL-star endpoint" in body
 
 
+def test_sparql_source_reads_own_server(endpoint, ray_session):
+    """Full loop with the REAL urllib fetcher: the `sparql` connector source
+    (sources/remote.py) reads bindings from this repo's own serving layer —
+    endpoint-to-Dataset plumbing exercised end-to-end over loopback, no
+    injected fake."""
+    from etl_pipeline_rdf_star_ray.sources import create_source
+
+    ds = create_source(
+        {
+            "type": "sparql",
+            "access": endpoint + "/sparql",
+            "query": PREFIXES
+            + """SELECT ?d ?title WHERE { ?d dct:title ?title . }
+                 ORDER BY ?d""",
+        }
+    )
+    rows = ds.to_pandas()
+    assert len(rows) == 6
+    assert rows["title"].tolist() == [f"Dataset {i}" for i in range(6)]
+    assert rows["d"].iloc[0].startswith("http://example.org/dataset/")
+
+
 def test_quoted_pattern_over_http(endpoint):
     q = (
         PREFIXES
