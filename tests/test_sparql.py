@@ -303,6 +303,78 @@ def test_sparql_json_shapes_terms():
     json.dumps(doc)  # serializable
 
 
+def test_provenance_chain_four_annotations():  # Postman 2.3 full chain
+    """Quoted pattern with four chained annotation predicates — each adds a
+    qann alias joined through the shared inner-triple variables."""
+    rows = []
+    ds = EX + "dataset/DS-CHAIN"
+    rows.append(
+        {
+            "subject": ds, "predicate": DCT + "title", "object_value": "T",
+            "object_type": "literal", "object_datatype": None,
+            "object_lang": None, "graph": None,
+            "annotations": [
+                {"predicate": PROV + "wasDerivedFrom",
+                 "value": EX + "src/crm", "datatype": None},
+                {"predicate": PROV + "generatedAtTime",
+                 "value": "2025-01-01T00:00:00Z", "datatype": XSD_DT},
+                {"predicate": PROV + "wasGeneratedBy",
+                 "value": EX + "activity/a1", "datatype": None},
+                {"predicate": EX + "rule", "value": "r7", "datatype": None},
+            ],
+        }
+    )
+    quads = pa.Table.from_pylist(rows, schema=_SCHEMA)
+    out = sparql_select(
+        PREFIXES
+        + f"""SELECT ?predicate ?value ?source ?timestamp ?activity ?rule
+           WHERE {{
+             BIND(<{ds}> as ?dataset)
+             ?dataset ?predicate ?value .
+             FILTER(?predicate != <{RDF_TYPE}>)
+             <<?dataset ?predicate ?value>> prov:wasDerivedFrom ?source ;
+                                            prov:generatedAtTime ?timestamp ;
+                                            prov:wasGeneratedBy ?activity ;
+                                            ex:rule ?rule .
+           }} ORDER BY ?predicate""",
+        quads,
+    )
+    assert out.to_pylist() == [
+        {
+            "predicate": DCT + "title", "value": "T",
+            "source": EX + "src/crm", "timestamp": "2025-01-01T00:00:00Z",
+            "activity": EX + "activity/a1", "rule": "r7",
+        }
+    ]
+
+
+def test_cross_system_shared_datasets():  # Postman 6.2
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?source1 ?source2 (COUNT(?d) as ?sharedDatasets) WHERE {
+             ?d dcat:theme ?theme1 ; dcat:theme ?theme2 .
+             <<?d dcat:theme ?theme1>> prov:wasDerivedFrom ?source1 .
+             <<?d dcat:theme ?theme2>> prov:wasDerivedFrom ?source2 .
+             FILTER(?source1 != ?source2)
+             FILTER(STR(?source1) < STR(?source2))
+           } GROUP BY ?source1 ?source2 ORDER BY DESC(?sharedDatasets)""",
+        QUADS,
+    )
+    # fixture gives each dataset exactly one theme+source → no cross pairs
+    assert out.num_rows == 0
+
+
+def test_reified_statement_count():  # Postman 7.x: count annotated facts
+    out = sparql_select(
+        PREFIXES
+        + """SELECT (COUNT(?conf) as ?reifiedStatements) WHERE {
+             <<?d dcat:theme ?t>> ex:confidence ?conf .
+           }""",
+        QUADS,
+    )
+    assert out.to_pylist() == [{"reifiedStatements": 6}]
+
+
 # ---------------------------------------------------------------------------
 # batch_queries.rq idioms: GRAPH, UNION, NOT EXISTS, IF/NOW/FLOOR, arithmetic
 # ---------------------------------------------------------------------------
