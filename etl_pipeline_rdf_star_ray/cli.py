@@ -211,26 +211,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         # serve: materialize the snapshot once, then serve forever
-        import pyarrow.parquet as pq_mod
-
         from .server import make_server
+        from .sparql import load_quads_table
 
-        if isinstance(quads, str):
-            path = (
-                quads if quads.endswith(".parquet") else quads.rstrip("/")
-            )
-            table = (
-                pq_mod.read_table(path)
-                if path.endswith(".parquet")
-                else pq_mod.ParquetDataset(path).read()
-            )
-        else:
-            import ray
-
-            blocks = [b for b in ray.get(quads.to_arrow_refs()) if b.num_rows]
-            import pyarrow as pa_mod
-
-            table = pa_mod.concat_tables(blocks, promote_options="permissive")
+        table = load_quads_table(quads)
         srv = make_server(table, args.host, args.port)
         print(
             f"serving {table.num_rows} quads on "

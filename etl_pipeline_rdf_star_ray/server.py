@@ -77,6 +77,10 @@ def make_server(
             except SparqlError as e:
                 self._send_json(400, {"error": str(e)})
                 return
+            except Exception as e:  # execution errors (e.g. bad REGEX) must
+                # still produce an error document, not a dead socket
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
             self._send(
                 200,
                 json.dumps(doc).encode(),

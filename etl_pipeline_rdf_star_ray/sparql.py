@@ -56,6 +56,7 @@ _NUMERIC_DT = {
     ).split()
 }
 _TS_DT = {XSD + "dateTime", XSD + "date"}
+_NUMBER_SHAPE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 # ---------------------------------------------------------------------------
 # AST
@@ -202,10 +203,14 @@ def tokenize(src: str) -> list[Tok]:
 # Parser
 # ---------------------------------------------------------------------------
 
-_FUNCS = {
-    "STR", "STRSTARTS", "CONTAINS", "REGEX", "BOUND", "IF", "NOW", "FLOOR",
-    "COUNT", "SUM", "AVG", "MIN", "MAX",
+#: builtin name -> (min_arity, max_arity)
+_FUNC_ARITY = {
+    "STR": (1, 1), "STRSTARTS": (2, 2), "CONTAINS": (2, 2),
+    "REGEX": (2, 3), "BOUND": (1, 1), "IF": (3, 3), "NOW": (0, 0),
+    "FLOOR": (1, 1), "COUNT": (1, 1), "SUM": (1, 1), "AVG": (1, 1),
+    "MIN": (1, 1), "MAX": (1, 1),
 }
+_FUNCS = set(_FUNC_ARITY)
 
 
 class _Parser:
@@ -376,10 +381,16 @@ class _Parser:
                     break
         if self.at_word("LIMIT"):
             self.next()
-            q.limit = int(self.next().text)
+            t = self.next()
+            if not re.fullmatch(r"\d+", t.text):
+                raise SparqlError(f"LIMIT needs a non-negative integer at {t.pos}")
+            q.limit = int(t.text)
         if self.at_word("OFFSET"):
             self.next()
-            q.offset = int(self.next().text)
+            t = self.next()
+            if not re.fullmatch(r"\d+", t.text):
+                raise SparqlError(f"OFFSET needs a non-negative integer at {t.pos}")
+            q.offset = int(t.text)
         if self.peek().kind != "eof":
             t = self.peek()
             raise SparqlError(f"unexpected trailing {t.text!r} at {t.pos}")
@@ -572,6 +583,11 @@ class _Parser:
                     self.next()
                     args.append(self.parse_expr())
             self.eat(")")
+            lo, hi = _FUNC_ARITY[name]
+            if not (lo <= len(args) <= hi) and args != ["*"]:
+                raise SparqlError(
+                    f"{name} takes {lo}–{hi} argument(s), got {len(args)}"
+                )
             return Call(name, tuple(args), distinct=distinct)
         return self.parse_term()
 
@@ -702,7 +718,12 @@ class _Compiler:
             return _sq(e.value)
         if isinstance(e, Literal):
             if e.datatype in _NUMERIC_DT:
-                return e.value  # bare SQL number
+                # only emit bare SQL when the lexical form really is a
+                # number — a typed literal carries ARBITRARY text, and raw
+                # interpolation would be SQL injection via /sparql
+                if _NUMBER_SHAPE.fullmatch(e.value):
+                    return e.value
+                return f"TRY_CAST({_sq(e.value)} AS DOUBLE)"
             if e.datatype in _TS_DT:
                 return f"TRY_CAST({_sq(e.value)} AS TIMESTAMPTZ)"
             return _sq(e.value)
@@ -764,6 +785,10 @@ class _Compiler:
         """Correlated (NOT) EXISTS subquery on the variables shared with the
         enclosing scope (the reference's batch-diff idiom,
         ``sparql/batch_queries.rq:406-448``)."""
+        if e.group.binds or e.group.optionals or e.group.unions:
+            raise SparqlError(
+                "EXISTS groups support only triple patterns and FILTERs"
+            )
         sub = _Compiler(e.group, self.counter)
         sub.q.from_graph = self.q.from_graph
         for pat in e.group.patterns:
@@ -804,6 +829,11 @@ class _Compiler:
     # -- groups / unions ----------------------------------------------------
     def _compile_group(self, g: SelectQuery) -> "_Compiler":
         """Standalone compilation of a pattern group (a UNION branch)."""
+        if g.optionals or g.unions:
+            raise SparqlError(
+                "OPTIONAL / nested UNION inside a UNION branch is not "
+                "supported in this subset"
+            )
         sub = _Compiler(g, self.counter)
         deferred = []
         for b in g.binds:
@@ -1134,7 +1164,7 @@ def _exec(query: str, quads, *, term_info: bool) -> tuple[pa.Table, dict[str, st
             path = (
                 quads
                 if quads.endswith(".parquet")
-                else quads.rstrip("/") + "/*.parquet"
+                else quads.rstrip("/") + "/**/*.parquet"
             )
             con.sql(
                 f"CREATE VIEW quads_raw AS SELECT * FROM read_parquet({_sq(path)})"
@@ -1186,6 +1216,29 @@ def sparql_select_json(query: str, quads) -> dict:
     return to_sparql_json(table, kinds)
 
 
+def load_quads_table(quads) -> pa.Table:
+    """Materialize a quads source (Arrow table, parquet file / directory —
+    recursive — or ``ray.data.Dataset``) to one Arrow table. Used by the
+    serving layer, which holds the snapshot resident; :func:`sparql_select`
+    itself accepts the same sources without pre-materializing."""
+    if isinstance(quads, pa.Table):
+        return quads
+    if isinstance(quads, str):
+        import pyarrow.parquet as pq
+
+        if quads.endswith(".parquet"):
+            return pq.read_table(quads)
+        return pq.ParquetDataset(quads).read()
+    import ray
+
+    blocks = [b for b in ray.get(quads.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        from .schema import ANNOTATED_TRIPLE_SCHEMA
+
+        return ANNOTATED_TRIPLE_SCHEMA.empty_table()
+    return pa.concat_tables(blocks, promote_options="permissive")
+
+
 def sparql_over_lake(
     lake_dir: str, query: str, *, at_lsn: int | None = None, json: bool = False
 ):
@@ -1228,7 +1281,15 @@ def to_sparql_json(table: pa.Table, kinds: dict[str, str] | None = None) -> dict
     (stored markerless, :data:`~.schema.ANNOTATION_STRUCT`) fall back to
     value shape (``scheme://`` ⇒ uri)."""
     kinds = kinds or {}
-    base = [c for c in table.column_names if "__" not in c]
+    names = set(table.column_names)
+    base = [
+        c
+        for c in table.column_names
+        if not any(
+            c.endswith(suf) and c[: -len(suf)] in names
+            for suf in ("__type", "__datatype", "__lang")
+        )
+    ]
     bindings = []
     for row in table.to_pylist():
         b = {}

@@ -72,6 +72,16 @@ def test_bad_query_is_400(endpoint):
     assert "error" in json.loads(ei.value.read())
 
 
+def test_execution_error_is_400_not_dead_socket(endpoint):
+    """Errors raised during DuckDB execution (not parse time) must still
+    produce an error document (reference contract: JSON error body)."""
+    q = 'SELECT ?s WHERE { ?s ?p ?o . FILTER(REGEX(?s, "(")) }'
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(endpoint + "/sparql?" + urllib.parse.urlencode({"query": q}))
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
 def test_stats_health_home(endpoint):
     status, _, body = _get(endpoint + "/stats")
     stats = json.loads(body)

@@ -129,6 +129,42 @@ def test_compile_unbound_var():
         compile_sparql("SELECT ?s WHERE { ?a ?b ?c } ORDER BY ?nope")
 
 
+def test_numeric_typed_literal_is_not_sql_injectable():
+    """A numeric-typed literal carries arbitrary text — it must never be
+    interpolated raw into the compiled SQL."""
+    evil = (
+        'SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > "(SELECT 1)"'
+        "^^<http://www.w3.org/2001/XMLSchema#integer>) }"
+    )
+    sql, _ = compile_sparql(evil)
+    # the payload must appear ONLY inside a quoted string wrapped in a cast
+    assert "TRY_CAST('(SELECT 1)' AS DOUBLE)" in sql
+    assert sql.count("(SELECT 1)") == sql.count("'(SELECT 1)'")
+    assert sparql_select(evil, QUADS).num_rows == 0  # NULL compare, no crash
+
+
+def test_bad_arity_raises_sparql_error():
+    for q in (
+        "SELECT (COUNT() AS ?n) WHERE { ?s ?p ?o }",
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(STRSTARTS(?s)) }",
+    ):
+        with pytest.raises(SparqlError, match="argument"):
+            parse_sparql(q)
+
+
+def test_limit_requires_integer():
+    with pytest.raises(SparqlError, match="LIMIT"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1.5")
+
+
+def test_double_underscore_var_survives_json():
+    doc = sparql_select_json(
+        "SELECT ?a__b WHERE { ?a__b ?p ?o } LIMIT 1", QUADS
+    )
+    assert doc["head"]["vars"] == ["a__b"]
+    assert doc["results"]["bindings"][0]["a__b"]["value"]
+
+
 # ---------------------------------------------------------------------------
 # executor — Postman corpus idioms with exact expected results
 # ---------------------------------------------------------------------------
