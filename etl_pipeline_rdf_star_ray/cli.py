@@ -210,14 +210,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(sparql_select(qtext, quads).to_pandas().to_string())
             return 0
 
-        # serve: materialize the snapshot once, then serve forever
-        from .server import make_server
+        # serve: parquet paths are served lazily via DuckDB pushdown; a
+        # lake snapshot (Dataset) is lifted and held resident
+        from .server import _stats, make_server
         from .sparql import load_quads_table
 
-        table = load_quads_table(quads)
-        srv = make_server(table, args.host, args.port)
+        source = quads if isinstance(quads, str) else load_quads_table(quads)
+        srv = make_server(source, args.host, args.port)
         print(
-            f"serving {table.num_rows} quads on "
+            f"serving {_stats(source)['total_quads']} quads on "
             f"http://{args.host}:{srv.server_address[1]}/sparql"
         )
         try:

@@ -37,21 +37,38 @@ stats at <code>/stats</code>.</p>
 </body></html>"""
 
 
-def _stats(quads: pa.Table) -> dict:
-    import pyarrow.compute as pc
+def _stats(quads) -> dict:
+    if isinstance(quads, pa.Table):
+        import pyarrow.compute as pc
 
-    return {
-        "total_quads": quads.num_rows,
-        "subjects": pc.count_distinct(quads.column("subject")).as_py(),
-        "predicates": pc.count_distinct(quads.column("predicate")).as_py(),
-    }
+        return {
+            "total_quads": quads.num_rows,
+            "subjects": pc.count_distinct(quads.column("subject")).as_py(),
+            "predicates": pc.count_distinct(quads.column("predicate")).as_py(),
+        }
+    # parquet path: count via DuckDB so the snapshot never loads resident
+    import duckdb
+
+    path = (
+        quads if quads.endswith(".parquet") else quads.rstrip("/") + "/**/*.parquet"
+    )
+    n, s, p = duckdb.sql(
+        "SELECT count(*), count(DISTINCT subject), count(DISTINCT predicate) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    return {"total_quads": n, "subjects": s, "predicates": p}
 
 
 def make_server(
-    quads: pa.Table, host: str = "127.0.0.1", port: int = 0
+    quads, host: str = "127.0.0.1", port: int = 0
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free
-    ephemeral port (``server.server_address[1]`` after construction)."""
+    ephemeral port (``server.server_address[1]`` after construction).
+
+    ``quads`` is an Arrow table (resident snapshot) **or a parquet
+    path/directory** — the path form serves beyond-memory snapshots: each
+    query runs DuckDB directly over the files with projection/filter
+    pushdown, nothing held resident."""
     stats = _stats(quads)
 
     class Handler(BaseHTTPRequestHandler):

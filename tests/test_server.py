@@ -115,6 +115,25 @@ def test_sparql_source_reads_own_server(endpoint, ray_session):
     assert rows["d"].iloc[0].startswith("http://example.org/dataset/")
 
 
+def test_parquet_path_server_serves_lazily(tmp_path):
+    """Path-backed server: DuckDB reads the files per query (beyond-memory
+    snapshot mode) — same results as the resident-table server."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(QUADS, tmp_path / "quads.parquet")
+    srv, port = serve_background(str(tmp_path))
+    try:
+        _, _, body = _get(f"http://127.0.0.1:{port}/stats")
+        assert json.loads(body)["total_quads"] == QUADS.num_rows
+        _, _, body = _get(
+            f"http://127.0.0.1:{port}/sparql?"
+            + urllib.parse.urlencode({"query": COUNT_Q})
+        )
+        assert json.loads(body)["results"]["bindings"][0]["n"]["value"] == "7"
+    finally:
+        srv.shutdown()
+
+
 def test_quoted_pattern_over_http(endpoint):
     q = (
         PREFIXES
