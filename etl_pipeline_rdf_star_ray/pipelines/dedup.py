@@ -621,3 +621,64 @@ def embedding_neardup(
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data hygiene: drop eval-set overlap)
+# ---------------------------------------------------------------------------
+
+
+def _word_grams(text: str | None, k: int) -> set[str]:
+    """Distinct k-word n-grams as strings (same tokenization as
+    :func:`_word_shingles`, un-hashed so the overlap count is exact and
+    oracle-checkable)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def decontaminate(
+    docs: "rd.Dataset",
+    benchmark_texts,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_overlap: int = 1,
+) -> "rd.Dataset":
+    """Flag documents that share ≥ ``min_overlap`` distinct k-word n-grams
+    with a benchmark/eval corpus (standard training-data decontamination).
+
+    Scale shape: the benchmark side is SMALL by nature (an eval set —
+    thousands of items, ≤ tens of MB of grams), so its gram set is built
+    once driver-side and broadcast with ``ray.put`` — each task reads it
+    from the object store once; documents stream through ``map_batches``
+    and are never shuffled. Output: ``(id_col, n_overlap, contaminated)``.
+    """
+    import ray
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench |= _word_grams(t, shingle_k)
+    ref = ray.put(bench)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        bg = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        overlaps = np.fromiter(
+            (len(_word_grams(t, shingle_k) & bg) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_overlap": pa.array(overlaps, pa.int64()),
+                "contaminated": pa.array(overlaps >= min_overlap, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(stage, batch_format="pyarrow")

@@ -623,6 +623,81 @@ SELECT doc_id AS media_id, 'image' AS kind, strlen(text)::BIGINT AS n_bytes
 FROM documents
 """
 
+def q_asof_events_orders(sf_dir: str):
+    """As-of join: each event picks up the customer's latest order at the
+    event timestamp (broadcast dimension-history path, stages/asof.py)."""
+    from .stages.asof import asof_join_broadcast
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    return asof_join_broadcast(
+        events, orders,
+        on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        value_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+
+
+ORACLE_ASOF = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def q_text_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id < 50 act as the eval set;
+    the rest of the corpus is checked for 3-gram overlap (broadcast bench
+    gram set, streaming corpus — pipelines/dedup.decontaminate)."""
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench_texts = bench_tbl.filter(
+        pc.less(bench_tbl.column("doc_id"), 50)
+    ).column("text").to_pylist()
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") >= 50,
+    )
+    return dedup.decontaminate(corpus, bench_texts)
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents WHERE trim(lower(text)) <> ''
+),
+bg AS (
+  SELECT DISTINCT array_to_string(ts[t.i : t.i + 2], ' ') AS g
+  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+  WHERE doc_id < 50
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[t.i : t.i + 2], ' ') AS g
+  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+  WHERE doc_id >= 50
+),
+ov AS (
+  SELECT cg.doc_id, count(bg.g)::BIGINT AS n_overlap
+  FROM cg LEFT JOIN bg USING (g) GROUP BY cg.doc_id
+)
+SELECT d.doc_id, coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(ov.n_overlap, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+LEFT JOIN ov USING (doc_id)
+"""
+
 # mirrors DecodeStage._fake_decode: sha256(payload), dims from the first
 # two digest bytes (pipelines/multimodal.py)
 ORACLE_MULTIMODAL_DECODE = """
@@ -761,6 +836,8 @@ def build_queries() -> dict:
         "dedup_embedding": lambda sf: dedup.embedding_neardup(
             rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
+        "asof_events_orders": q_asof_events_orders,
+        "text_decontaminate": q_text_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -798,6 +875,8 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+        "asof_events_orders": ORACLE_ASOF,
+        "text_decontaminate": ORACLE_DECONTAMINATE,
         "text_token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_QUALITY,
         "text_langid": ORACLE_LANGID,

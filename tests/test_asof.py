@@ -1,0 +1,132 @@
+"""As-of join tests: hand-computed semantics, broadcast == sharded ==
+DuckDB ASOF JOIN on interleaved data with ties, misses and future-only
+history rows."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from etl_pipeline_rdf_star_ray.stages.asof import (
+    asof_join_broadcast,
+    asof_join_sharded,
+)
+
+LEFT = pa.table(
+    {
+        "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "k": pa.array([10, 10, 10, 20, 20, 30], pa.int64()),
+        "ts": pa.array([5, 15, 25, 8, 100, 7], pa.int64()),
+    }
+)
+
+# key 10: history at 10 and 20 (with a TIE at 20); key 20: only at 50
+# (future for eid=4, past for eid=5); key 30: no history at all
+RIGHT = pa.table(
+    {
+        "rk": pa.array([10, 10, 10, 20], pa.int64()),
+        "rts": pa.array([10, 20, 20, 50], pa.int64()),
+        "ver": pa.array([1, 2, 3, 9], pa.int64()),
+        "price": pa.array([1.0, 2.0, 3.0, 9.0], pa.float64()),
+    }
+)
+
+EXPECTED = {  # eid -> (ver, price)
+    1: (None, None),  # ts=5 before any history
+    2: (1, 1.0),  # latest <= 15 is rts=10
+    3: (3, 3.0),  # tie at rts=20 resolved to max tiebreak (ver=3)
+    4: (None, None),  # history only in the future
+    5: (9, 9.0),
+    6: (None, None),  # no history for key 30
+}
+
+
+def _check(rows):
+    assert len(rows) == 6
+    for r in rows:
+        ver, price = EXPECTED[r["eid"]]
+        assert r["ver"] == ver and r["price"] == price, r
+
+
+def test_broadcast_semantics(ray_session):
+    out = asof_join_broadcast(
+        rd.from_arrow(LEFT), RIGHT,
+        on="ts", by="k", right_on="rts", right_by="rk",
+        value_cols=["ver", "price"], tiebreak="ver",
+    )
+    _check(_norm(out.to_pandas()[["eid", "ver", "price"]]))
+
+
+def _norm(df):
+    import pandas as pd
+
+    return [
+        {
+            "eid": int(r["eid"]),
+            "ver": None if pd.isna(r["ver"]) else int(r["ver"]),
+            "price": None if pd.isna(r["price"]) else float(r["price"]),
+        }
+        for _, r in df.iterrows()
+    ]
+
+
+def test_sharded_matches_broadcast(ray_session):
+    out = asof_join_sharded(
+        rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
+        on="ts", by="k", right_on="rts", right_by="rk",
+        value_cols=["ver", "price"], tiebreak="ver", num_shards=4,
+    ).to_pandas()
+    _check(_norm(out[["eid", "ver", "price"]]))
+
+
+def test_matches_duckdb_asof(ray_session):
+    con = duckdb.connect()
+    con.register("l", LEFT)
+    con.register("r", RIGHT)
+    oracle = con.sql(
+        """
+        WITH rr AS (
+          SELECT rk, rts, max(ver) AS ver, arg_max(price, ver) AS price
+          FROM r GROUP BY rk, rts
+        )
+        SELECT l.eid, rr.ver, rr.price
+        FROM l ASOF LEFT JOIN rr ON l.k = rr.rk AND l.ts >= rr.rts
+        ORDER BY l.eid
+        """
+    ).df()
+    got = (
+        asof_join_broadcast(
+            rd.from_arrow(LEFT), RIGHT,
+            on="ts", by="k", right_on="rts", right_by="rk",
+            value_cols=["ver", "price"], tiebreak="ver",
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert _norm(got[["eid", "ver", "price"]]) == _norm(oracle)
+
+
+def test_broadcast_on_real_tables(ray_session):
+    """sf0.001 events × orders: every non-null match must satisfy the as-of
+    invariant (order date <= event ts, and it is the latest such)."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    events = rd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = asof_join_broadcast(
+        events, orders, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        value_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    ).to_pandas()
+    odates = {
+        k.as_py(): d.as_py()
+        for k, d in zip(orders.column("o_orderkey"), orders.column("o_orderdate"))
+    }
+    matched = out[out["o_orderkey"].notna()]
+    assert len(matched) > 0
+    for _, row in matched.head(200).iterrows():
+        assert odates[int(row.o_orderkey)] <= row.ts
