@@ -279,6 +279,62 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 30, num_shards: int = 64) -
     return sharded_groups(ds, key, per_shard, num_shards=num_shards)
 
 
+def session_intervals(
+    sf_dir: str, *, gap_minutes: int = 30, num_shards: int = 64
+) -> "rd.Dataset":
+    """Per-user session intervals ``(user_id, session_idx, s_start, s_end)``
+    — same sharded sessionization as :func:`user_sessions`, but emitting the
+    interval table (the broadcast side of the event→session range join)."""
+    from .dedup import sharded_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_s = ((~same_user) | (g["ts"].diff() > gap)).astype(np.int64)
+        g = g.assign(new_s=new_s)
+        g["session_idx"] = g.groupby("user_id", sort=False)["new_s"].cumsum()
+        out = (
+            g.groupby(["user_id", "session_idx"], sort=False)
+            .agg(s_start=("ts", "min"), s_end=("ts", "max"))
+            .reset_index()
+        )
+        out["session_idx"] = out["session_idx"].astype(np.int64)
+        return out
+
+    def key(batch: pa.Table) -> np.ndarray:
+        return batch.column("user_id").to_numpy().astype(np.uint64)
+
+    return sharded_groups(ds, key, per_shard, num_shards=num_shards)
+
+
+def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
+    """Assign every event its session via a per-user interval range join:
+    session intervals are small (users × sessions) → computed distributed,
+    broadcast once, events stream through a binary-search ``map_batches``
+    (``stages/asof.range_join_broadcast``)."""
+    import ray
+
+    from ..stages.asof import range_join_broadcast
+
+    iv_blocks = ray.get(
+        session_intervals(sf_dir, gap_minutes=gap_minutes).to_arrow_refs()
+    )
+    intervals = pa.concat_tables([b for b in iv_blocks if b.num_rows])
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return range_join_broadcast(
+        events, intervals,
+        on="ts", by="user_id", lo="s_start", hi="s_end",
+        attach=["session_idx"],
+    )
+
+
 def lineitem_filter_stats(sf_dir: str, *, returnflag: str = "R") -> pa.Table:
     """Filter+project with pushdown: row-group filter at the read, partial
     sums per batch, single-row result."""

@@ -516,6 +516,27 @@ SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
 FROM w GROUP BY user_id
 """
 
+ORACLE_EVENT_SESSIONS = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM w),
+iv AS (
+  SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
+  FROM s GROUP BY user_id, session_idx)
+SELECT e.event_id, e.user_id, e.ts, iv.session_idx::BIGINT AS session_idx
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts BETWEEN iv.s_start AND iv.s_end
+"""
+
 ORACLE_LINEITEM_FILTER = """
 SELECT count(*)::BIGINT AS n, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
 FROM lineitem WHERE l_returnflag = 'R'
@@ -819,6 +840,7 @@ def build_queries() -> dict:
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "user_sessions": lambda sf: analytics.user_sessions(sf),
+        "event_sessions": lambda sf: analytics.event_sessions(sf),
         "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
         # training-data ops
         "dedup_exact": lambda sf: dedup.dedup_exact(
@@ -871,6 +893,7 @@ def build_oracles() -> dict[str, str]:
         "distinct_event_types": ORACLE_EVENT_TYPES,
         "events_hourly": ORACLE_EVENTS_HOURLY,
         "user_sessions": ORACLE_SESSIONS,
+        "event_sessions": ORACLE_EVENT_SESSIONS,
         "filter_lineitem_stats": ORACLE_LINEITEM_FILTER,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

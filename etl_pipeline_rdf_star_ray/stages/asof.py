@@ -176,3 +176,74 @@ def asof_join_sharded(
         )
 
     return unioned.groupby("__shard").map_groups(join_shard, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — same broadcast binary-search family
+# ---------------------------------------------------------------------------
+
+
+def range_join_broadcast(
+    left,  # rd.Dataset
+    intervals: pa.Table,
+    *,
+    on: str,
+    by: str | None,
+    lo: str,
+    hi: str,
+    attach: list[str],
+    inner: bool = True,
+):
+    """Interval-membership join: attach ``attach`` columns of the interval
+    containing ``left.on`` (``lo <= on <= hi``), per key when ``by`` is
+    given.
+
+    Partitioning assumption (documented per the brief): intervals are
+    NON-OVERLAPPING within a key — one binary search over the sorted
+    ``lo`` endpoints finds the only candidate, so each batch does numpy
+    ``searchsorted`` per unique key, no shuffle, interval table broadcast
+    once via ``ray.put``. Overlapping intervals need the sharded variant
+    of :func:`asof_join_sharded` with an explode step instead."""
+    import ray
+
+    sort_keys = ([(by, "ascending")] if by else []) + [(lo, "ascending")]
+    iv = intervals.sort_by(sort_keys)
+    iv_keys = (
+        iv.column(by).to_numpy(zero_copy_only=False) if by else None
+    )
+    iv_lo = iv.column(lo).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    iv_hi = iv.column(hi).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ref = ray.put((iv_keys, iv_lo, iv_hi, iv.select(attach)))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        keys, los, his, vals = ray.get(ref)
+        bt = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        match = np.full(len(bt), -1, dtype=np.int64)
+        if keys is None:
+            pos = np.searchsorted(los, bt, side="right") - 1
+            ok = (pos >= 0) & (bt <= his[np.clip(pos, 0, None)])
+            match = np.where(ok, pos, -1)
+        else:
+            bk = batch.column(by).to_numpy(zero_copy_only=False)
+            for k in np.unique(bk):
+                klo = np.searchsorted(keys, k, side="left")
+                khi = np.searchsorted(keys, k, side="right")
+                if klo == khi:
+                    continue
+                sel = bk == k
+                pos = klo + np.searchsorted(los[klo:khi], bt[sel], side="right") - 1
+                ok = (pos >= klo) & (bt[sel] <= his[np.clip(pos, 0, None)])
+                match[sel] = np.where(ok, pos, -1)
+        found = match >= 0
+        out = batch
+        take_idx = pa.array(np.where(found, match, 0), pa.int64())
+        miss = pa.array(~found)
+        for c in attach:
+            col = vals.column(c).take(take_idx)
+            col = pc.if_else(miss, pa.nulls(len(bt), col.type), col)
+            out = out.append_column(c, col)
+        if inner:
+            out = out.filter(pa.array(found))
+        return out
+
+    return left.map_batches(stage, batch_format="pyarrow")

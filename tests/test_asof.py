@@ -130,3 +130,71 @@ def test_broadcast_on_real_tables(ray_session):
     assert len(matched) > 0
     for _, row in matched.head(200).iterrows():
         assert odates[int(row.o_orderkey)] <= row.ts
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_keyed_and_misses(ray_session):
+    from etl_pipeline_rdf_star_ray.stages.asof import range_join_broadcast
+
+    left = pa.table(
+        {
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "t": pa.array([5, 10, 21, 12], pa.int64()),
+        }
+    )
+    iv = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "lo": pa.array([0, 10, 100], pa.int64()),
+            "hi": pa.array([9, 20, 200], pa.int64()),
+            "tag": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    out = (
+        range_join_broadcast(
+            rd.from_arrow(left), iv, on="t", by="k", lo="lo", hi="hi",
+            attach=["tag"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # eid 3 (t=21 past hi=20) and eid 4 (key 2 interval starts at 100) drop
+    assert out["eid"].tolist() == [1, 2]
+    assert out["tag"].tolist() == ["a", "b"]
+
+    outer = (
+        range_join_broadcast(
+            rd.from_arrow(left), iv, on="t", by="k", lo="lo", hi="hi",
+            attach=["tag"], inner=False,
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert outer["tag"].tolist()[2:] == [None, None]
+
+
+def test_range_join_keyless_boundaries(ray_session):
+    from etl_pipeline_rdf_star_ray.stages.asof import range_join_broadcast
+
+    left = pa.table({"t": pa.array([0, 9, 10, 15, 16], pa.int64())})
+    iv = pa.table(
+        {
+            "lo": pa.array([0, 10], pa.int64()),
+            "hi": pa.array([9, 15], pa.int64()),
+            "bucket": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = (
+        range_join_broadcast(
+            rd.from_arrow(left), iv, on="t", by=None, lo="lo", hi="hi",
+            attach=["bucket"], inner=False,
+        )
+        .to_pandas()
+        .sort_values("t")
+    )
+    assert [None if b != b else int(b) for b in out["bucket"]] == [1, 1, 2, 2, None]
