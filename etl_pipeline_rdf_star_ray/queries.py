@@ -644,6 +644,18 @@ SELECT doc_id AS media_id, 'image' AS kind, strlen(text)::BIGINT AS n_bytes
 FROM documents
 """
 
+def q_sketch_distinct_users(sf_dir: str):
+    """HyperLogLog per-event-type distinct-user estimates (deterministic
+    but approximate → rows-only for the driver; the error bound vs exact
+    counts is asserted in tests/test_sketch.py)."""
+    from .functions.sketch import hll_distinct_grouped
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct_grouped(ds, "event_type", "user_id", p=12)
+
+
 def q_asof_events_orders(sf_dir: str):
     """As-of join: each event picks up the customer's latest order at the
     event timestamp (broadcast dimension-history path, stages/asof.py)."""
@@ -859,6 +871,7 @@ def build_queries() -> dict:
             rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
         "asof_events_orders": q_asof_events_orders,
+        "sketch_distinct_users": q_sketch_distinct_users,
         "text_decontaminate": q_text_decontaminate,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
