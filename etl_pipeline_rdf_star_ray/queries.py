@@ -644,6 +644,44 @@ SELECT doc_id AS media_id, 'image' AS kind, strlen(text)::BIGINT AS n_bytes
 FROM documents
 """
 
+def q_streaming_rollup(sf_dir: str):
+    """Streaming hourly window: three micro-batches folded incrementally
+    into the versioned rollup state (pipelines/rollup.py), one re-applied
+    to exercise idempotence; the final state must equal a full recompute
+    (the oracle)."""
+    import tempfile
+
+    from .pipelines.rollup import apply_batch, read_rollup
+
+    state = tempfile.mkdtemp(prefix="rollup_")
+
+    def seg(lo: int, hi: int):
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "user_id", "value"],
+            filter=(pc.field("event_id") >= lo) & (pc.field("event_id") < hi),
+        )
+
+    max_id = pc.max(
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"]).column(
+            "event_id"
+        )
+    ).as_py()
+    a, b = max_id // 3, 2 * max_id // 3
+    apply_batch(state, seg(0, a), "b0")
+    apply_batch(state, seg(a, b), "b1")
+    apply_batch(state, seg(a, b), "b1")  # idempotent replay
+    apply_batch(state, seg(b, max_id + 1), "b2")
+    return read_rollup(state, with_users=False)
+
+
+ORACLE_STREAMING_ROLLUP = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_sketch_distinct_users(sf_dir: str):
     """HyperLogLog per-event-type distinct-user estimates (deterministic
     but approximate → rows-only for the driver; the error bound vs exact
@@ -871,6 +909,7 @@ def build_queries() -> dict:
             rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
         "asof_events_orders": q_asof_events_orders,
+        "streaming_rollup": q_streaming_rollup,
         "sketch_distinct_users": q_sketch_distinct_users,
         "text_decontaminate": q_text_decontaminate,
         "text_token_count": q_text_token_count,
@@ -912,6 +951,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "asof_events_orders": ORACLE_ASOF,
+        "streaming_rollup": ORACLE_STREAMING_ROLLUP,
         "text_decontaminate": ORACLE_DECONTAMINATE,
         "text_token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_QUALITY,
