@@ -212,13 +212,13 @@ def main(argv: list[str] | None = None) -> int:
 
         # serve: parquet paths are served lazily via DuckDB pushdown; a
         # lake snapshot (Dataset) is lifted and held resident
-        from .server import _stats, make_server
+        from .server import make_server
         from .sparql import load_quads_table
 
         source = quads if isinstance(quads, str) else load_quads_table(quads)
         srv = make_server(source, args.host, args.port)
         print(
-            f"serving {_stats(source)['total_quads']} quads on "
+            f"serving {srv.stats['total_quads']} quads on "
             f"http://{args.host}:{srv.server_address[1]}/sparql"
         )
         try:

@@ -245,27 +245,44 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def _sessionize(g: "pd.DataFrame", gap: "np.timedelta64") -> "pd.DataFrame":
+    """Shared session-boundary computation: sorted by (user, ts, event_id),
+    ``new_s`` marks a session start (user change OR inactivity > gap),
+    ``session_idx`` is the per-user running session number. Both
+    :func:`user_sessions` and :func:`session_intervals` derive from this so
+    boundary semantics can never diverge."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same_user = g["user_id"].eq(g["user_id"].shift())
+    new_s = ((~same_user) | (g["ts"].diff() > gap)).astype(np.int64)
+    g = g.assign(new_s=new_s)
+    g["session_idx"] = g.groupby("user_id", sort=False)["new_s"].cumsum()
+    return g
+
+
+def _events_by_user(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+
+def _user_shard_key(batch: pa.Table) -> np.ndarray:
+    return batch.column("user_id").to_numpy().astype(np.uint64)
+
+
 def user_sessions(sf_dir: str, *, gap_minutes: int = 30, num_shards: int = 64) -> "rd.Dataset":
     """Sessionization: per user, count sessions split at >gap inactivity.
     Users are hash-sharded (all events of a user land in one shard), one task
     per SHARD sessionizes every user of the shard in a single vectorized
-    pandas pass — sort by (user, ts), boundary = user change OR gap exceeded.
-    No per-user Python calls (round-1 verdict fix)."""
+    pandas pass (`_sessionize`). No per-user Python calls (round-1 verdict
+    fix)."""
     from .dedup import sharded_groups
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
-    )
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        same_user = g["user_id"].eq(g["user_id"].shift())
-        dt = g["ts"].diff()
-        new_session = (~same_user) | (dt > gap)
+        g = _sessionize(g, gap)
         out = (
-            g.assign(new_s=new_session)
-            .groupby("user_id", sort=False)
+            g.groupby("user_id", sort=False)
             .agg(n_events=("new_s", "size"), n_sessions=("new_s", "sum"))
             .reset_index()
         )
@@ -273,31 +290,24 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 30, num_shards: int = 64) -
         out["n_sessions"] = out["n_sessions"].astype(np.int64)
         return out
 
-    def key(batch: pa.Table) -> np.ndarray:
-        return batch.column("user_id").to_numpy().astype(np.uint64)
-
-    return sharded_groups(ds, key, per_shard, num_shards=num_shards)
+    return sharded_groups(
+        _events_by_user(sf_dir), _user_shard_key, per_shard, num_shards=num_shards
+    )
 
 
 def session_intervals(
     sf_dir: str, *, gap_minutes: int = 30, num_shards: int = 64
 ) -> "rd.Dataset":
     """Per-user session intervals ``(user_id, session_idx, s_start, s_end)``
-    — same sharded sessionization as :func:`user_sessions`, but emitting the
-    interval table (the broadcast side of the event→session range join)."""
+    — same sharded sessionization as :func:`user_sessions` (shared
+    `_sessionize` boundaries), emitting the interval table (the broadcast
+    side of the event→session range join)."""
     from .dedup import sharded_groups
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
-    )
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        same_user = g["user_id"].eq(g["user_id"].shift())
-        new_s = ((~same_user) | (g["ts"].diff() > gap)).astype(np.int64)
-        g = g.assign(new_s=new_s)
-        g["session_idx"] = g.groupby("user_id", sort=False)["new_s"].cumsum()
+        g = _sessionize(g, gap)
         out = (
             g.groupby(["user_id", "session_idx"], sort=False)
             .agg(s_start=("ts", "min"), s_end=("ts", "max"))
@@ -306,10 +316,9 @@ def session_intervals(
         out["session_idx"] = out["session_idx"].astype(np.int64)
         return out
 
-    def key(batch: pa.Table) -> np.ndarray:
-        return batch.column("user_id").to_numpy().astype(np.uint64)
-
-    return sharded_groups(ds, key, per_shard, num_shards=num_shards)
+    return sharded_groups(
+        _events_by_user(sf_dir), _user_shard_key, per_shard, num_shards=num_shards
+    )
 
 
 def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
@@ -321,10 +330,25 @@ def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
 
     from ..stages.asof import range_join_broadcast
 
-    iv_blocks = ray.get(
-        session_intervals(sf_dir, gap_minutes=gap_minutes).to_arrow_refs()
+    iv_blocks = [
+        b
+        for b in ray.get(
+            session_intervals(sf_dir, gap_minutes=gap_minutes).to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    intervals = (
+        pa.concat_tables(iv_blocks)
+        if iv_blocks
+        else pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "s_start": pa.array([], pa.timestamp("us")),
+                "s_end": pa.array([], pa.timestamp("us")),
+            }
+        )
     )
-    intervals = pa.concat_tables([b for b in iv_blocks if b.num_rows])
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )

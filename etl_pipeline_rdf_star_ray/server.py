@@ -68,7 +68,9 @@ def make_server(
     ``quads`` is an Arrow table (resident snapshot) **or a parquet
     path/directory** — the path form serves beyond-memory snapshots: each
     query runs DuckDB directly over the files with projection/filter
-    pushdown, nothing held resident."""
+    pushdown, nothing held resident.
+
+    The startup snapshot statistics are exposed as ``server.stats``."""
     stats = _stats(quads)
 
     class Handler(BaseHTTPRequestHandler):
@@ -142,7 +144,9 @@ def make_server(
                 query = body
             self._run_query(query)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.stats = stats  # computed once; reused by callers (CLI banner)
+    return srv
 
 
 def serve_background(

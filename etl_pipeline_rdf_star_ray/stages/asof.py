@@ -34,13 +34,53 @@ import pyarrow.compute as pc
 from ..functions.hashing import hash64_column
 
 
+def _temporal_i64(col, target_type=None) -> np.ndarray:
+    """Comparable int64 view of an ordering column. Temporal columns are
+    normalized to ``timestamp[us]`` FIRST so a left in microseconds never
+    compares against raw seconds of a differently-united right side (that
+    would silently match everything); ``target_type`` (the other side's
+    type) is applied first when given so both sides go through the same
+    normalization."""
+    if target_type is not None and col.type != target_type:
+        col = col.cast(target_type)
+    if pa.types.is_temporal(col.type) and col.type != pa.timestamp("us"):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _key_slices(bk: np.ndarray):
+    """Yield (key, row_indices) per distinct key — one stable argsort, no
+    per-key full-batch masks (O(n log n), not O(keys × n))."""
+    order = np.argsort(bk, kind="stable")
+    uniq, starts = np.unique(bk[order], return_index=True)
+    bounds = np.append(starts, len(bk))
+    for i, k in enumerate(uniq):
+        yield k, order[bounds[i] : bounds[i + 1]]
+
+
+def _attach_values(batch: pa.Table, vals: pa.Table, match: np.ndarray, cols):
+    """Append value columns by match index (-1 ⇒ null); safe on an empty
+    broadcast side."""
+    found = match >= 0
+    miss = pa.array(~found)
+    out = batch
+    for c in cols:
+        if vals.num_rows == 0:
+            col = pa.nulls(len(match), vals.schema.field(c).type)
+        else:
+            col = vals.column(c).take(pa.array(np.where(found, match, 0), pa.int64()))
+            col = pc.if_else(miss, pa.nulls(len(match), col.type), col)
+        out = out.append_column(c, col)
+    return out, found
+
+
 def _dedupe_right(right: pa.Table, on: str, by: str, tiebreak: str) -> pa.Table:
     """Last row per (by, on) under tiebreak ordering — deterministic ties."""
     r = right.sort_by(
         [(by, "ascending"), (on, "ascending"), (tiebreak, "ascending")]
     )
     keys = r.column(by).to_numpy(zero_copy_only=False)
-    ons = r.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ons = _temporal_i64(r.column(on))
     last = np.ones(r.num_rows, dtype=bool)
     if r.num_rows > 1:
         last[:-1] = (keys[:-1] != keys[1:]) | (ons[:-1] != ons[1:])
@@ -70,10 +110,16 @@ def asof_join_broadcast(
     ]
     tiebreak = tiebreak or value_cols[0]
     r = _dedupe_right(right, right_on, right_by, tiebreak)
+    l_on_type = None  # right on-column normalized against the left's type
+    try:
+        sch = left.schema()
+        l_on_type = dict(zip(sch.names, sch.types))[on]
+    except Exception:
+        pass
     ref = ray.put(
         (
             r.column(right_by).to_numpy(zero_copy_only=False),
-            r.column(right_on).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            _temporal_i64(r.column(right_on), l_on_type),
             r.select(value_cols),
         )
     )
@@ -81,25 +127,17 @@ def asof_join_broadcast(
     def stage(batch: pa.Table) -> pa.Table:
         keys, ons, vals = ray.get(ref)
         bk = batch.column(by).to_numpy(zero_copy_only=False)
-        bt = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bt = _temporal_i64(batch.column(on))
         match = np.full(len(bk), -1, dtype=np.int64)
-        for k in np.unique(bk):
+        for k, rows in _key_slices(bk):
             lo = np.searchsorted(keys, k, side="left")
             hi = np.searchsorted(keys, k, side="right")
             if lo == hi:
                 continue
-            sel = bk == k
-            pos = lo + np.searchsorted(ons[lo:hi], bt[sel], side="right") - 1
+            pos = lo + np.searchsorted(ons[lo:hi], bt[rows], side="right") - 1
             pos[pos < lo] = -1
-            match[sel] = pos
-        found = match >= 0
-        take_idx = pa.array(np.where(found, match, 0), pa.int64())
-        miss = pa.array(~found)
-        out = batch
-        for c in value_cols:
-            col = vals.column(c).take(take_idx)
-            col = pc.if_else(miss, pa.nulls(len(bk), col.type), col)
-            out = out.append_column(c, col)
+            match[rows] = pos
+        out, _found = _attach_values(batch, vals, match, value_cols)
         return out
 
     return left.map_batches(stage, batch_format="pyarrow")
@@ -208,40 +246,37 @@ def range_join_broadcast(
 
     sort_keys = ([(by, "ascending")] if by else []) + [(lo, "ascending")]
     iv = intervals.sort_by(sort_keys)
-    iv_keys = (
-        iv.column(by).to_numpy(zero_copy_only=False) if by else None
-    )
-    iv_lo = iv.column(lo).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    iv_hi = iv.column(hi).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    iv_keys = iv.column(by).to_numpy(zero_copy_only=False) if by else None
+    l_on_type = None
+    try:
+        sch = left.schema()
+        l_on_type = dict(zip(sch.names, sch.types))[on]
+    except Exception:
+        pass
+    iv_lo = _temporal_i64(iv.column(lo), l_on_type)
+    iv_hi = _temporal_i64(iv.column(hi), l_on_type)
     ref = ray.put((iv_keys, iv_lo, iv_hi, iv.select(attach)))
 
     def stage(batch: pa.Table) -> pa.Table:
         keys, los, his, vals = ray.get(ref)
-        bt = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bt = _temporal_i64(batch.column(on))
         match = np.full(len(bt), -1, dtype=np.int64)
         if keys is None:
-            pos = np.searchsorted(los, bt, side="right") - 1
-            ok = (pos >= 0) & (bt <= his[np.clip(pos, 0, None)])
-            match = np.where(ok, pos, -1)
+            if len(los):
+                pos = np.searchsorted(los, bt, side="right") - 1
+                ok = (pos >= 0) & (bt <= his[np.clip(pos, 0, None)])
+                match = np.where(ok, pos, -1)
         else:
             bk = batch.column(by).to_numpy(zero_copy_only=False)
-            for k in np.unique(bk):
+            for k, rows in _key_slices(bk):
                 klo = np.searchsorted(keys, k, side="left")
                 khi = np.searchsorted(keys, k, side="right")
                 if klo == khi:
                     continue
-                sel = bk == k
-                pos = klo + np.searchsorted(los[klo:khi], bt[sel], side="right") - 1
-                ok = (pos >= klo) & (bt[sel] <= his[np.clip(pos, 0, None)])
-                match[sel] = np.where(ok, pos, -1)
-        found = match >= 0
-        out = batch
-        take_idx = pa.array(np.where(found, match, 0), pa.int64())
-        miss = pa.array(~found)
-        for c in attach:
-            col = vals.column(c).take(take_idx)
-            col = pc.if_else(miss, pa.nulls(len(bt), col.type), col)
-            out = out.append_column(c, col)
+                pos = klo + np.searchsorted(los[klo:khi], bt[rows], side="right") - 1
+                ok = (pos >= klo) & (bt[rows] <= his[np.clip(pos, 0, None)])
+                match[rows] = np.where(ok, pos, -1)
+        out, found = _attach_values(batch, vals, match, attach)
         if inner:
             out = out.filter(pa.array(found))
         return out

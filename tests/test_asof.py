@@ -198,3 +198,60 @@ def test_range_join_keyless_boundaries(ray_session):
         .sort_values("t")
     )
     assert [None if b != b else int(b) for b in out["bucket"]] == [1, 1, 2, 2, None]
+
+
+def test_empty_right_side_all_null(ray_session):
+    """Empty dimension history: left-outer semantics, no crash."""
+    empty = RIGHT.slice(0, 0)
+    out = asof_join_broadcast(
+        rd.from_arrow(LEFT), empty,
+        on="ts", by="k", right_on="rts", right_by="rk",
+        value_cols=["ver", "price"], tiebreak="ver",
+    ).to_pandas()
+    assert len(out) == 6 and out["ver"].isna().all()
+
+    from etl_pipeline_rdf_star_ray.stages.asof import range_join_broadcast
+
+    iv = pa.table(
+        {
+            "lo": pa.array([], pa.int64()),
+            "hi": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+        }
+    )
+    r = range_join_broadcast(
+        rd.from_arrow(pa.table({"t": pa.array([1, 2], pa.int64())})),
+        iv, on="t", by=None, lo="lo", hi="hi", attach=["bucket"],
+    ).to_pandas()
+    assert len(r) == 0  # inner join over empty intervals
+
+
+def test_mismatched_timestamp_units_normalized(ray_session):
+    """Right history in seconds vs left events in microseconds must compare
+    on the time line, not on raw storage integers."""
+    left = pa.table(
+        {
+            "eid": pa.array([1, 2], pa.int64()),
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([10_000_000, 30_000_000], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1], pa.int64()),
+            "rts": pa.array([20], pa.timestamp("s")),  # = 20s on the time line
+            "ver": pa.array([7], pa.int64()),
+        }
+    )
+    out = (
+        asof_join_broadcast(
+            rd.from_arrow(left), right,
+            on="ts", by="k", right_on="rts", right_by="rk",
+            value_cols=["ver"], tiebreak="ver",
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # event at 10s predates the 20s history row; event at 30s matches it
+    assert out["ver"].isna().tolist() == [True, False]
+    assert out["ver"].dropna().tolist() == [7.0]
