@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 
 def _cents(col) -> pa.Array:
@@ -356,6 +356,120 @@ def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
         events, intervals,
         on="ts", by="user_id", lo="s_start", hi="s_end",
         attach=["session_idx"],
+    )
+
+
+def conv_stats(state: "rd.Dataset") -> "rd.Dataset":
+    """Per-conversation rollup over the upserted transcript state:
+    ``(conv_id, n_turns, n_roles, n_chars, last_ts)`` — the transcript-side
+    sibling of :func:`events_hourly`, same two-level partial-aggregation
+    shape (zero per-group Python calls):
+
+    level 1 collapses each batch to (conv_id, role) partials and one global
+    groupby dedups roles; level 2 collapses those already-tiny rows per
+    conv_id. Both shuffles move pre-aggregated partials only."""
+
+    def per_role_partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "role": batch.column("role"),
+                "chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+                "ts": batch.column("ts"),
+            }
+        ).to_pandas()
+        g = (
+            df.groupby(["conv_id", "role"], sort=False)
+            .agg(n=("chars", "size"), chars=("chars", "sum"), last_ts=("ts", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_role = (
+        state.map_batches(per_role_partial, batch_format="pyarrow")
+        .groupby(["conv_id", "role"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("chars", alias_name="chars"),
+            Max("last_ts", alias_name="last_ts"),
+        )
+    )
+
+    def per_conv_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("n", "sum"),
+                n_roles=("n", "size"),
+                n_chars=("chars", "sum"),
+                last_ts=("last_ts", "max"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cast_ts(batch: pa.Table) -> pa.Table:
+        # restore timestamp[us] after the shuffle's pandas ns round-trip
+        i = batch.schema.get_field_index("last_ts")
+        return batch.set_column(
+            i, "last_ts", pc.cast(batch.column("last_ts"), pa.timestamp("us"))
+        )
+
+    return (
+        per_role.map_batches(per_conv_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_roles", alias_name="n_roles"),
+            Sum("n_chars", alias_name="n_chars"),
+            Max("last_ts", alias_name="last_ts"),
+        )
+        .map_batches(cast_ts, batch_format="pyarrow")
+    )
+
+
+def turn_gaps(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Dataset":
+    """Per-turn lag window over the transcript state: for every turn, the
+    microseconds elapsed since the previous turn of the SAME conversation
+    (NULL for each conversation's first turn) — the window-function
+    (``lag() OVER (PARTITION BY conv_id ORDER BY turn_idx)``) operator.
+
+    Conversations are hash-sharded (all turns of one conv land in one
+    shard); one task per shard computes every conversation's lag in a single
+    vectorized pandas pass — same de-grouped shape as
+    :func:`user_sessions`. Output: ``(conv_id, turn_idx, gap_us)``."""
+    from ..functions.hashing import xxh64_column
+
+    from .dedup import sharded_groups
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        # normalize to µs explicitly — pandas ≥2 preserves the Arrow unit, so
+        # ts may arrive as datetime64[us] OR datetime64[ns] depending on the
+        # shuffle path; a blind int64 view would be unit-ambiguous
+        us = pd.Series(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            index=g.index,
+        )
+        prev = us.groupby(g["conv_id"], sort=False).shift()
+        gap = pd.array(us - prev, dtype="Int64")
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "turn_idx": g["turn_idx"].to_numpy(),
+                "gap_us": gap,
+            }
+        )
+
+    pruned = state.select_columns(["conv_id", "turn_idx", "ts"])
+    return sharded_groups(
+        pruned,
+        lambda b: xxh64_column(b.column("conv_id")),
+        per_shard,
+        num_shards=num_shards,
     )
 
 

@@ -1,0 +1,292 @@
+"""Corpus-level training-data operators that complete the fuzzy-dedup story
+and add standard corpus hygiene tools:
+
+- connected components over near-dup candidate pairs → cluster ids
+  (driver union-find over the EDGE set + a distributed min-label-propagation
+  variant operating only on edges), turning pair detectors
+  (``dedup.ngram_jaccard_pairs`` / ``dedup_minhash_lsh``) into an actual
+  keep-one-per-cluster dedup;
+- vocabulary heavy hitters (top-k terms) with per-batch partial counts;
+- deterministic content-free sampling by key hash (reproducible subsets).
+
+Scale notes are in each docstring; the common thread is that the CORPUS
+streams through ``map_batches`` while only the tiny derived structures
+(edge set, cluster label map, per-block vocab partials) move or ship.
+
+Reference provenance: the reference has no fuzzy-dedup surface — these are
+the "beyond the reference" training-pipeline operators the brief requires;
+the pair detectors they consume are cited in ``pipelines/dedup.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+# ---------------------------------------------------------------------------
+# connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: pa.Table, *, a_col: str = "id_a", b_col: str = "id_b") -> dict:
+    """Union-find over a candidate-pair edge list; returns ``{node: root}``
+    where the root is the MINIMUM node id of the component (deterministic
+    representative).
+
+    Runs on the driver: the edge set is the output of a near-dup detector,
+    which is a small fraction of the corpus by construction (a corpus where
+    candidate pairs rival the corpus size needs exact dedup first, not
+    clustering). For edge sets beyond driver memory use
+    :func:`cc_label_propagation`, which keeps edges distributed."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    a = pairs.column(a_col).to_pylist()
+    b = pairs.column(b_col).to_pylist()
+    seen = set()
+    for x, y in zip(a, b):
+        seen.add(x)
+        seen.add(y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by value: smaller id becomes the root, so the
+            # representative is the component minimum without a second pass
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    return {x: find(x) for x in seen}
+
+
+def cc_label_propagation(
+    pairs: "rd.Dataset", *, a_col: str = "id_a", b_col: str = "id_b",
+    max_rounds: int = 64,
+) -> "rd.Dataset":
+    """Distributed connected components over the EDGE dataset only
+    (hash-to-min label propagation): per round, every node's label becomes
+    the min of its own and its neighbors' labels — a join + groupby-min over
+    edge-sized data, never touching the corpus. Converges in O(component
+    diameter) rounds (near-dup clusters are shallow; a chain-shaped corpus
+    is the worst case — the large-star/small-star variant would cut that to
+    O(log n) at the cost of edge rewriting).
+
+    Returns ``(node, label)`` for every node that appears in an edge.
+    Raises if not converged within ``max_rounds``."""
+
+    def bidirect(batch: pa.Table) -> pa.Table:
+        fwd = pa.table(
+            {"src": batch.column(a_col), "dst": batch.column(b_col)}
+        )
+        rev = pa.table(
+            {"src": batch.column(b_col), "dst": batch.column(a_col)}
+        )
+        return pa.concat_tables([fwd, rev])
+
+    edges = pairs.map_batches(bidirect, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("src"), "label": batch.column("src")})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # neighbor labels: edges ⋈ labels on src → (dst, label-of-src)
+        nbr = edges.join(
+            labels.rename_columns({"node": "src"}),
+            join_type="inner",
+            num_partitions=max(edges.num_blocks(), 2),
+            on=("src",),
+        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
+        new_labels = (
+            labels.union(nbr)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # convergence check: join old/new, count changed labels (edge-sized)
+        joined = new_labels.rename_columns({"label": "new_label"}).join(
+            labels,
+            join_type="inner",
+            num_partitions=max(edges.num_blocks(), 2),
+            on=("node",),
+        )
+        changed = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            pc.sum(
+                                pc.cast(
+                                    pc.not_equal(
+                                        b.column("new_label"), b.column("label")
+                                    ),
+                                    pa.int64(),
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("n", alias_name="n"))["n"]
+        labels = new_labels
+        if not changed:
+            return labels
+    raise RuntimeError(f"cc_label_propagation did not converge in {max_rounds} rounds")
+
+
+def cluster_assign(
+    docs: "rd.Dataset",
+    pairs: pa.Table,
+    *,
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Assign every document its near-dup cluster id: union-find over the
+    candidate pairs (driver-side — edges are tiny vs corpus), broadcast the
+    label map once via ``ray.put``, then a streaming ``map_batches`` lookup.
+    Documents in no pair are their own singleton cluster.
+
+    Output: ``(id_col, cluster)`` — cluster is the minimum doc id of the
+    component. SQL mirror: recursive min-label reachability over the pair
+    edges, left-joined onto the corpus."""
+    labels = connected_components(pairs)
+    ref = ray.put(labels)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        out = [lk.get(i, i) for i in ids]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(out, batch.column(id_col).type),
+            }
+        )
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def fuzzy_dedup(
+    docs: "rd.Dataset",
+    pairs: pa.Table,
+    *,
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Keep-one-per-cluster fuzzy dedup: drop every document whose id is NOT
+    the minimum of its near-dup component; all other rows pass through with
+    full columns. The drop set (non-representative members) is even smaller
+    than the edge set — broadcast once, filter streaming."""
+    labels = connected_components(pairs)
+    drop = {n for n, r in labels.items() if n != r}
+    ref = ray.put(drop)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([i not in d for i in ids], pa.bool_())
+        return batch.filter(mask)
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def top_terms(
+    docs: "rd.Dataset", *, text_col: str = "text", k: int = 50
+) -> pa.Table:
+    """Top-k most frequent word tokens across the corpus (lowercase
+    alphanumeric tokenization — same RE2 class as the text stages).
+
+    Scale shape: each batch collapses to (token, n) partial counts with pure
+    ``pyarrow.compute`` (split → flatten → value_counts, no Python loop), so
+    the groupby shuffle moves at most |block vocab| rows per block — natural-
+    language vocab grows ~O(sqrt(corpus)) (Heaps' law), so partials stay
+    small; the final sort runs over the merged vocab only. For a
+    fixed-memory approximate variant at extreme cardinalities, a
+    Misra-Gries summary per batch would slot into the same partial/combine
+    shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+#: default sampling threshold: keep rows whose md5(key) hex prefix sorts
+#: below this — '20000000' ≈ 1/8 of the keyspace
+SAMPLE_THRESHOLD = "20000000"
+
+
+def sample_hash(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    threshold_hex: str = SAMPLE_THRESHOLD,
+) -> "rd.Dataset":
+    """Deterministic, reproducible row sample: keep a row iff the first 8
+    hex chars of ``md5(str(id))`` sort below ``threshold_hex`` (rate ≈
+    int(threshold,16) / 2^32). Content-free, stable across runs, processes
+    and engines — the property random_sample() lacks — so train/eval splits
+    and debugging subsets are replayable. Streams via ``map_batches``; no
+    shuffle. SQL mirror: ``substr(md5(CAST(id AS VARCHAR)), 1, 8) < '…'``."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[:8] < threshold_hex
+                for i in ids
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return docs.map_batches(stage, batch_format="pyarrow")

@@ -860,6 +860,137 @@ def q_multimodal_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# corpus-level ops: fuzzy-dedup clusters, vocabulary, sampling,
+# conversation analytics (pipelines/corpus.py + analytics conv ops)
+# ---------------------------------------------------------------------------
+
+
+def _doc_pairs(sf_dir: str) -> pa.Table:
+    """Exact near-dup candidate pairs (the oracle-checkable detector) as a
+    driver-side table — the small edge set the cluster ops consume."""
+    pairs = dedup.ngram_jaccard_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+    )
+    return pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: exact Jaccard pairs → connected
+    components (union-find over the edge set) → broadcast label map →
+    streaming per-doc cluster id (pipelines/corpus.cluster_assign)."""
+    from .pipelines import corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return corpus.cluster_assign(docs, _doc_pairs(sf_dir))
+
+
+#: recursive min-label reachability = connected components of the pair graph
+_CC_SQL = f"""
+pairs AS ({ORACLE_NGRAM_JACCARD.strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+cc(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.id
+),
+lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id)
+"""
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CC_SQL.strip()}
+SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+"""
+
+
+def q_dedup_fuzzy_keep(sf_dir: str):
+    """Keep-one-per-cluster fuzzy dedup: full document rows minus every
+    non-representative member of a near-dup component."""
+    from .pipelines import corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return corpus.fuzzy_dedup(docs, _doc_pairs(sf_dir))
+
+
+ORACLE_DEDUP_FUZZY_KEEP = f"""
+WITH RECURSIVE {_CC_SQL.strip()}
+SELECT * FROM documents
+WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Vocabulary heavy hitters: top-50 tokens with per-batch Arrow-kernel
+    partial counts (pipelines/corpus.top_terms)."""
+    from .pipelines import corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return corpus.top_terms(docs, k=50)
+
+
+ORACLE_TOP_TERMS = """
+SELECT tok AS token, count(*)::BIGINT AS n FROM (
+  SELECT unnest(array_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+"""
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic md5-keyed row sample (reproducible subset, ≈1/8)."""
+    from .pipelines import corpus
+
+    return corpus.sample_hash(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+ORACLE_SAMPLE_HASH = """
+SELECT * FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+"""
+
+
+def _upserted_state(sf_dir: str):
+    return cdc.upsert_dataset(
+        changelog_from_events(sf_dir), num_partitions=16
+    )
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation rollup of the upserted transcript state (two-level
+    partial aggregation — analytics.conv_stats)."""
+    return analytics.conv_stats(_upserted_state(sf_dir))
+
+
+ORACLE_CONV_STATS = f"""{_CDC_PREFIX}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       count(DISTINCT role)::BIGINT AS n_roles,
+       sum(length(text))::BIGINT AS n_chars,
+       max(ts) AS last_ts
+FROM state GROUP BY conv_id
+"""
+
+
+def q_turn_gaps(sf_dir: str):
+    """Lag window over transcripts: µs since the previous turn of the same
+    conversation (conv-sharded vectorized lag — analytics.turn_gaps)."""
+    return analytics.turn_gaps(_upserted_state(sf_dir))
+
+
+ORACLE_TURN_GAPS = f"""{_CDC_PREFIX}
+SELECT conv_id, turn_idx,
+       (epoch_us(ts) - epoch_us(
+          lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)))::BIGINT
+         AS gap_us
+FROM state
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -908,6 +1039,12 @@ def build_queries() -> dict:
         "dedup_embedding": lambda sf: dedup.embedding_neardup(
             rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
+        "top_terms": q_top_terms,
+        "sample_hash": q_sample_hash,
+        "conv_stats": q_conv_stats,
+        "turn_gaps": q_turn_gaps,
         "asof_events_orders": q_asof_events_orders,
         "streaming_rollup": q_streaming_rollup,
         "sketch_distinct_users": q_sketch_distinct_users,
@@ -950,6 +1087,12 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "dedup_fuzzy_keep": ORACLE_DEDUP_FUZZY_KEEP,
+        "top_terms": ORACLE_TOP_TERMS,
+        "sample_hash": ORACLE_SAMPLE_HASH,
+        "conv_stats": ORACLE_CONV_STATS,
+        "turn_gaps": ORACLE_TURN_GAPS,
         "asof_events_orders": ORACLE_ASOF,
         "streaming_rollup": ORACLE_STREAMING_ROLLUP,
         "text_decontaminate": ORACLE_DECONTAMINATE,

@@ -1,0 +1,80 @@
+"""Corpus-level operators: fuzzy-dedup clustering (union-find + distributed
+label propagation), vocabulary heavy hitters, deterministic hash sampling,
+and the conversation analytics — each checked against its DuckDB oracle
+(the exact SQL the driver runs) at sf0.001."""
+
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+sys.path.insert(0, "/root/repo/tests")
+from oracle_harness import run as oracle_run
+
+from etl_pipeline_rdf_star_ray.pipelines import corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_new_queries_match_oracles():
+    assert (
+        oracle_run(
+            SF,
+            [
+                "dedup_clusters",
+                "dedup_fuzzy_keep",
+                "top_terms",
+                "sample_hash",
+                "conv_stats",
+                "turn_gaps",
+            ],
+        )
+        == 0
+    )
+
+
+def test_connected_components_basic():
+    pairs = pa.table({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 10]})
+    labels = corpus.connected_components(pairs)
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == labels[20] == 10
+
+
+def test_label_propagation_matches_union_find():
+    # chain + triangle + isolated pair: nontrivial diameters
+    pairs = pa.table(
+        {
+            "id_a": [5, 6, 7, 8, 100, 101, 100, 200],
+            "id_b": [6, 7, 8, 9, 101, 102, 102, 201],
+        }
+    )
+    uf = corpus.connected_components(pairs)
+    lp = (
+        corpus.cc_label_propagation(rd.from_arrow(pairs))
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert lp == uf
+
+
+def test_fuzzy_dedup_keeps_representatives():
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 10], "text": ["a", "a2", "b", "c"]})
+    )
+    pairs = pa.table({"id_a": [1], "id_b": [2]})
+    kept = corpus.fuzzy_dedup(docs, pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 10]
+
+
+def test_sample_hash_is_deterministic_subset():
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    a = corpus.sample_hash(ds).to_pandas()
+    b = corpus.sample_hash(ds).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    n_total = ds.count()
+    assert 0 < len(a) < n_total  # a real, strict subset at the ~1/8 rate
