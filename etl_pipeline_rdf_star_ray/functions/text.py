@@ -228,3 +228,27 @@ def rolling_fingerprint(
             out[i] = hashes.min()
     np.seterr(**np_err)
     return batch.append_column(out_col, pa.array(out, pa.uint64()))
+
+
+def json_int_field(
+    batch: pa.Table,
+    *,
+    col: str,
+    key: str,
+    out_col: str | None = None,
+) -> pa.Table:
+    """Extract an integer field from a JSON-string column with one RE2 pass
+    (``pc.extract_regex`` — no per-row ``json.loads``): rows without the key
+    (or with null/invalid JSON) yield null. Right for flat numeric fields in
+    high-volume telemetry columns; arbitrarily nested payloads go through
+    the full flattener in ``sources/json_source.py`` instead.
+
+    SQL mirror: ``CAST(json_extract_string(col, '$.key') AS BIGINT)``.
+    Reference analog: the JSONPath projection of ``sources/json_source.py``
+    (reference ``sources/json_source.py:57-97``), applied column-wise."""
+    import re as _re
+
+    pattern = f'"{_re.escape(key)}"\\s*:\\s*(?P<v>-?\\d+)'
+    m = pc.extract_regex(batch.column(col), pattern=pattern)
+    vals = pc.cast(pc.struct_field(m, "v"), pa.int64())
+    return batch.append_column(out_col or key, vals)

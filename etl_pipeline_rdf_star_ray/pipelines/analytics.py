@@ -473,6 +473,104 @@ def turn_gaps(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Dataset":
     )
 
 
+def grouped_quantiles(
+    sf_dir: str, *, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> "rd.Dataset":
+    """Exact per-group quantiles WITHOUT a global sort: the value domain is
+    bounded (2-decimal currency → ≤ ~56k distinct int64 cents), so each batch
+    collapses to a (event_type, value_c) → n histogram partial, one groupby
+    sums histograms, and the quantiles fall out of a cumulative-count walk
+    over each group's (small) histogram — shuffles move histogram rows, never
+    data rows. This is the standard scale shape for quantiles over
+    low-cardinality domains; for unbounded domains a mergeable t-digest/KLL
+    sketch would slot into the same partial/combine stages.
+
+    Rank convention mirrors DuckDB's ``quantile_disc``: element at 1-indexed
+    rank ``ceil(q·n)``. Output: ``(event_type, p25_c, p50_c, p75_c, p95_c)``
+    in int64 cents (exact, hash-comparable)."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_c": _cents(batch.column("value")),
+            }
+        ).to_pandas()
+        g = (
+            df.groupby(["event_type", "value_c"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value_c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    qs = list(quantiles)
+    names = [f"p{int(q * 100)}_c" for q in qs]
+
+    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in shard.groupby("event_type", sort=False):
+            g = g.sort_values("value_c")
+            n = int(g["n"].sum())
+            cum = g["n"].cumsum().to_numpy()
+            vals = g["value_c"].to_numpy()
+            ranks = [max(1, int(np.ceil(q * n))) for q in qs]
+            picks = [int(vals[np.searchsorted(cum, r)]) for r in ranks]
+            rows.append([et, *picks])
+        return pd.DataFrame(rows, columns=["event_type", *names]).astype(
+            {c: np.int64 for c in names}
+        )
+
+    return sharded_groups(
+        hist,
+        lambda b: xxh64_column(b.column("event_type")),
+        per_shard,
+        num_shards=8,
+    )
+
+
+def pivot_counts(
+    ds: "rd.Dataset",
+    *,
+    row_key: str,
+    col_key: str,
+    values: list[str],
+) -> "rd.Dataset":
+    """Pivot a long table into a wide per-``row_key`` count matrix: one
+    int64 column per entry of ``values`` (the distinct ``col_key`` values —
+    pass them explicitly; discovering them is a tiny ``groupby`` the caller
+    can run first). Each batch collapses to a partial wide matrix (pandas
+    crosstab), then one groupby sums the partials — only wide partial rows
+    shuffle, bounded by |row keys per block| × |values|."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([row_key, col_key]).to_pandas()
+        wide = pd.crosstab(df[row_key], df[col_key])
+        wide = wide.reindex(columns=values, fill_value=0).astype(np.int64)
+        wide.columns = list(values)
+        return pa.Table.from_pandas(
+            wide.reset_index(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(row_key)
+        .aggregate(*[Sum(v, alias_name=v) for v in values])
+    )
+
+
 def lineitem_filter_stats(sf_dir: str, *, returnflag: str = "R") -> pa.Table:
     """Filter+project with pushdown: row-group filter at the read, partial
     sums per batch, single-row result."""

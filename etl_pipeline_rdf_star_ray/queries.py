@@ -990,6 +990,66 @@ FROM state
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles from summed histogram partials
+    (no global sort — analytics.grouped_quantiles)."""
+    return analytics.grouped_quantiles(sf_dir)
+
+
+ORACLE_GROUPED_QUANTILES = """
+SELECT event_type,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) AS p25_c,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_c,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) AS p75_c,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) AS p95_c
+FROM events GROUP BY event_type
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_matrix(sf_dir: str):
+    """Pivot: per-user wide count matrix over the event types (partial
+    crosstab per batch, one groupby of wide partials —
+    analytics.pivot_counts)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return analytics.pivot_counts(
+        ds, row_key="user_id", col_key="event_type", values=_EVENT_TYPES
+    )
+
+
+ORACLE_USER_EVENT_MATRIX = f"""
+SELECT user_id,
+  {", ".join(
+      f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS {t}"
+      for t in _EVENT_TYPES
+  )}
+FROM events GROUP BY user_id
+"""
+
+
+def q_json_props(sf_dir: str):
+    """Vectorized JSON-field projection: the integer ``k`` of the ``props``
+    JSON column per event (functions/text.json_int_field, one RE2 pass)."""
+    from .functions.text import json_int_field
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return ds.map_batches(
+        lambda b: json_int_field(b, col="props", key="k"),
+        batch_format="pyarrow",
+    ).select_columns(["event_id", "k"])
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1045,6 +1105,9 @@ def build_queries() -> dict:
         "sample_hash": q_sample_hash,
         "conv_stats": q_conv_stats,
         "turn_gaps": q_turn_gaps,
+        "grouped_quantiles": q_grouped_quantiles,
+        "user_event_matrix": q_user_event_matrix,
+        "json_props": q_json_props,
         "asof_events_orders": q_asof_events_orders,
         "streaming_rollup": q_streaming_rollup,
         "sketch_distinct_users": q_sketch_distinct_users,
@@ -1093,6 +1156,9 @@ def build_oracles() -> dict[str, str]:
         "sample_hash": ORACLE_SAMPLE_HASH,
         "conv_stats": ORACLE_CONV_STATS,
         "turn_gaps": ORACLE_TURN_GAPS,
+        "grouped_quantiles": ORACLE_GROUPED_QUANTILES,
+        "user_event_matrix": ORACLE_USER_EVENT_MATRIX,
+        "json_props": ORACLE_JSON_PROPS,
         "asof_events_orders": ORACLE_ASOF,
         "streaming_rollup": ORACLE_STREAMING_ROLLUP,
         "text_decontaminate": ORACLE_DECONTAMINATE,

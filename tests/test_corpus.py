@@ -78,3 +78,10 @@ def test_sample_hash_is_deterministic_subset():
     )
     n_total = ds.count()
     assert 0 < len(a) < n_total  # a real, strict subset at the ~1/8 rate
+
+
+def test_quantiles_pivot_json_match_oracles():
+    assert (
+        oracle_run(SF, ["grouped_quantiles", "user_event_matrix", "json_props"])
+        == 0
+    )
