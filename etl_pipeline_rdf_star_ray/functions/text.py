@@ -252,3 +252,18 @@ def json_int_field(
     m = pc.extract_regex(batch.column(col), pattern=pattern)
     vals = pc.cast(pc.struct_field(m, "v"), pa.int64())
     return batch.append_column(out_col or key, vals)
+
+
+def normalize_text(
+    batch: pa.Table, *, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """Standard corpus text normalization in pure Arrow kernels: lowercase,
+    collapse all whitespace runs to single spaces, trim. One of the cheap
+    always-on cleanup stages of a training-data pipeline (applied before
+    shingling/fingerprinting so near-dup detection is whitespace-insensitive).
+
+    SQL mirror: ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``."""
+    x = pc.utf8_lower(batch.column(text_col))
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    x = pc.utf8_trim_whitespace(x)
+    return batch.append_column(out_col, x)

@@ -86,18 +86,22 @@ def ingest(
     if batch_id is None:
         batch_id = f"ingest-{max(wm.values(), default=-1) + 1:020d}"
 
+    exchange = method == "exchange"
     stage = make_partition_stage(
         num_partitions=meta.num_partitions,
         salt_buckets=meta.salt_buckets,
         hot_convs=frozenset(meta.hot_convs),
         watermarks=wm,
         key_hash=meta.key_hash,
+        # exchange path: pid-sort inside the fused read→partition task so
+        # each event hits the object store exactly once (no clustering copy)
+        sort_output=exchange,
     )
     if coalesce_blocks:
         changelog = changelog.repartition(coalesce_blocks)
     partitioned = changelog.map_batches(stage, batch_format="pyarrow")
 
-    if method == "exchange":
+    if exchange:
         from ..stages.exchange import exchange_ingest
 
         recs = exchange_ingest(
@@ -106,6 +110,7 @@ def ingest(
             batch_id=batch_id,
             num_partitions=meta.num_partitions,
             active_files=active,
+            presorted=True,
         )
         return _manifest_table([mf.CommitRecord(**r) for r in recs])
 
@@ -183,17 +188,19 @@ def upsert_dataset(
     from ..stages.merge import lww_merge
 
     hot = frozenset(hot_convs or [])
+    exchange = method == "exchange"
     stage = make_partition_stage(
         num_partitions=num_partitions,
         salt_buckets=salt_buckets,
         hot_convs=hot,
+        sort_output=exchange,
     )
     partitioned = changelog.map_batches(stage, batch_format="pyarrow")
 
-    if method == "exchange":
+    if exchange:
         from ..stages.exchange import exchange_upsert
 
-        return exchange_upsert(partitioned)
+        return exchange_upsert(partitioned, presorted=True)
 
     def merge_group(group: pa.Table) -> pa.Table:
         return lww_merge(group).drop_columns(["op", "partition_id"])

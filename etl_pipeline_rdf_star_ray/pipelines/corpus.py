@@ -257,6 +257,54 @@ def top_terms(
 
 
 # ---------------------------------------------------------------------------
+# conversation flattening (training-data export shape)
+# ---------------------------------------------------------------------------
+
+
+def flatten_conversations(
+    state: "rd.Dataset",
+    *,
+    sep: str = "\n",
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Collapse the per-turn transcript state into one row per conversation:
+    ``(conv_id, n_turns, doc)`` where ``doc`` is ``role: text`` lines joined
+    in turn order — the standard flattening step before tokenization when
+    transcripts feed a training pipeline.
+
+    Conversations are hash-sharded (all turns of one conv in one shard); one
+    task per shard builds every document of the shard in a single vectorized
+    pandas pass (sort + groupby-agg ``str.join`` — no per-conversation
+    Python calls). SQL mirror: ``string_agg(role || ': ' || text, sep ORDER
+    BY turn_idx)``. Partitioning note: a single conversation must fit a
+    worker's heap — true by construction for transcripts (conversations are
+    bounded; the 100 TB dimension is conversation COUNT)."""
+    from ..functions.hashing import xxh64_column
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = g["role"].astype(str) + ": " + g["text"].astype(str)
+        out = (
+            pd.DataFrame({"conv_id": g["conv_id"], "line": line})
+            .groupby("conv_id", sort=False)["line"]
+            .agg(n_turns="size", doc=sep.join)
+            .reset_index()
+        )
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out[["conv_id", "n_turns", "doc"]]
+
+    pruned = state.select_columns(["conv_id", "turn_idx", "role", "text"])
+    from .dedup import sharded_groups
+
+    return sharded_groups(
+        pruned,
+        lambda b: xxh64_column(b.column("conv_id")),
+        per_shard,
+        num_shards=num_shards,
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic hash sampling
 # ---------------------------------------------------------------------------
 

@@ -990,6 +990,38 @@ FROM state
 """
 
 
+def q_conv_flatten(sf_dir: str):
+    """Training-data export shape: one document per conversation, turns
+    joined in order as 'role: text' lines (corpus.flatten_conversations)."""
+    from .pipelines import corpus
+
+    return corpus.flatten_conversations(_upserted_state(sf_dir))
+
+
+ORACLE_CONV_FLATTEN = f"""{_CDC_PREFIX}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+FROM state GROUP BY conv_id
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Corpus text normalization (lowercase + whitespace collapse + trim,
+    pure Arrow kernels — functions/text.normalize_text)."""
+    from .functions.text import normalize_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: normalize_text(b), batch_format="pyarrow"
+    ).select_columns(["doc_id", "text_norm"])
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles from summed histogram partials
     (no global sort — analytics.grouped_quantiles)."""
@@ -1108,6 +1140,8 @@ def build_queries() -> dict:
         "grouped_quantiles": q_grouped_quantiles,
         "user_event_matrix": q_user_event_matrix,
         "json_props": q_json_props,
+        "conv_flatten": q_conv_flatten,
+        "text_normalize": q_text_normalize,
         "asof_events_orders": q_asof_events_orders,
         "streaming_rollup": q_streaming_rollup,
         "sketch_distinct_users": q_sketch_distinct_users,
@@ -1159,6 +1193,8 @@ def build_oracles() -> dict[str, str]:
         "grouped_quantiles": ORACLE_GROUPED_QUANTILES,
         "user_event_matrix": ORACLE_USER_EVENT_MATRIX,
         "json_props": ORACLE_JSON_PROPS,
+        "conv_flatten": ORACLE_CONV_FLATTEN,
+        "text_normalize": ORACLE_TEXT_NORMALIZE,
         "asof_events_orders": ORACLE_ASOF,
         "streaming_rollup": ORACLE_STREAMING_ROLLUP,
         "text_decontaminate": ORACLE_DECONTAMINATE,

@@ -84,7 +84,10 @@ def _cluster_block(block: pa.Table):
     """Sort one block by partition id. Returns ``(ranges, table)`` as TWO
     objects: the small ``{pid: (start, len)}`` dict goes to the driver for
     routing; the clustered table stays in the object store untouched until
-    a merge task slices it zero-copy."""
+    a merge task slices it zero-copy.
+
+    Fallback path for blocks NOT produced by a ``sort_output=True``
+    partition stage; the zero-copy fast path is :func:`_block_ranges`."""
     if block.num_rows == 0:
         return {}, block
     pids = block.column("partition_id").combine_chunks().to_numpy(
@@ -100,6 +103,26 @@ def _cluster_block(block: pa.Table):
         int(sorted_pids[s]): (int(s), int(e - s)) for s, e in zip(starts, ends)
     }
     return ranges, t
+
+
+@ray.remote(num_cpus=0)
+def _block_ranges(block: pa.Table) -> dict:
+    """Metadata-only routing for an ALREADY pid-sorted block (partition
+    stage built with ``sort_output=True``): reads just the int32
+    ``partition_id`` column zero-copy from the object store and returns
+    ``{pid: (start, len)}`` — the block itself is never copied, so the
+    exchange materializes each event into plasma exactly once (the fused
+    read→partition task's output). ``num_cpus=0``: microseconds of work,
+    must not compete with read/merge tasks for slots."""
+    if block.num_rows == 0:
+        return {}
+    pids = block.column("partition_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    bounds = np.flatnonzero(np.diff(pids)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(pids)]])
+    return {int(pids[s]): (int(s), int(e - s)) for s, e in zip(starts, ends)}
 
 
 @ray.remote(num_cpus=1)
@@ -151,22 +174,35 @@ def _merge_only_task(chunk_slices: list) -> pa.Table:
     )
 
 
-def exchange_upsert(partitioned) -> "ray.data.Dataset":
+def _route(partitioned, presorted: bool) -> dict[int, list]:
+    """Stream the partitioned dataset's block refs and build the
+    ``{pid: [(block_ref, start, len)]}`` routing table. ``presorted=True``
+    (blocks from a ``sort_output=True`` partition stage) uses the zero-copy
+    :func:`_block_ranges`; otherwise each block pays one clustering copy."""
+    pending = []
+    for bundle in partitioned.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            if presorted:
+                pending.append((_block_ranges.remote(block_ref), block_ref))
+            else:
+                m, t = _cluster_block.remote(block_ref)
+                pending.append((m, t))
+    pid_slices: dict[int, list] = {}
+    metas = ray.get([m for m, _t in pending])
+    for ranges, (_m, table_ref) in zip(metas, pending):
+        for pid, (start, length) in ranges.items():
+            pid_slices.setdefault(pid, []).append((table_ref, start, length))
+    return pid_slices
+
+
+def exchange_upsert(partitioned, *, presorted: bool = False) -> "ray.data.Dataset":
     """Sinkless block-exchange upsert: same routing as
     :func:`exchange_ingest`, but each partition's LWW state returns as an
     Arrow block and the result is a Dataset (``from_arrow_refs`` — blocks
     never touch the driver)."""
     import ray.data as rd
 
-    pending = []
-    for bundle in partitioned.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            pending.append(_cluster_block.remote(block_ref))
-    pid_slices: dict[int, list] = {}
-    metas = ray.get([m for m, _t in pending])
-    for ranges, (_m, table_ref) in zip(metas, pending):
-        for pid, (start, length) in ranges.items():
-            pid_slices.setdefault(pid, []).append((table_ref, start, length))
+    pid_slices = _route(partitioned, presorted)
     refs = [
         _merge_only_task.remote(slices) for _, slices in sorted(pid_slices.items())
     ]
@@ -182,22 +218,15 @@ def exchange_ingest(
     batch_id: str,
     num_partitions: int,
     active_files: dict[int, str],
+    presorted: bool = False,
     num_mergers: int | None = None,  # kept for API compat; unused
     merger_num_cpus: float = 0,  # kept for API compat; unused
 ) -> list[dict]:
-    """Run the block exchange: stream block refs, cluster each block by pid,
-    then merge+commit every partition in parallel. Returns manifest
-    records."""
+    """Run the block exchange: stream block refs, route each block's pid
+    ranges (zero-copy when ``presorted``), then merge+commit every partition
+    in parallel. Returns manifest records."""
     del num_mergers, merger_num_cpus
-    pending = []
-    for bundle in partitioned.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            pending.append(_cluster_block.remote(block_ref))
-    pid_slices: dict[int, list] = {}
-    metas = ray.get([m for m, _t in pending])
-    for (ranges), (_m, table_ref) in zip(metas, pending):
-        for pid, (start, length) in ranges.items():
-            pid_slices.setdefault(pid, []).append((table_ref, start, length))
+    pid_slices = _route(partitioned, presorted)
     refs = [
         _merge_commit_task.remote(
             slices, lake_dir, pid, batch_id, active_files.get(pid)

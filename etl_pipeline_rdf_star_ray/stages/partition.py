@@ -71,11 +71,22 @@ def make_partition_stage(
     hot_convs: frozenset[str] | set[str],
     watermarks: dict[int, int] | None = None,
     key_hash: str = "xxh64",
+    sort_output: bool = False,
 ):
     """Build the ``map_batches`` function that appends ``partition_id`` and
     applies the per-partition watermark filter. ``watermarks`` and
     ``hot_convs`` are small driver-side lookups captured by value (Ray ships
-    them once per task, and they are tiny: P ints / a few strings)."""
+    them once per task, and they are tiny: P ints / a few strings).
+
+    ``sort_output=True`` additionally pid-sorts each output batch (stable),
+    making every block exchange-ready: the block exchange then needs NO
+    clustering copy — each event is materialized into the object store
+    exactly ONCE, inside the fused read→partition task. Halving the
+    exchange's object-store write volume mattered little on hosts with fast
+    first-touch memory, but on virtualized hosts that materialize guest
+    memory lazily (measured: 30-1000 MB/s fault-in vs 7 GB/s warm on the
+    round-2 bench VM) the fault volume IS the bottleneck — see BASELINE.md
+    "memory materialization" notes."""
     hot = frozenset(hot_convs)
     wm_arr = None
     if watermarks:
@@ -101,6 +112,10 @@ def make_partition_stage(
             keep = lsn > wm_arr[pid]
             if not keep.all():
                 out = out.filter(pa.array(keep))
+                pid = pid[keep]
+        if sort_output and out.num_rows:
+            if np.any(np.diff(pid) < 0):  # skip the copy if already clustered
+                out = out.take(pa.array(np.argsort(pid, kind="stable")))
         return out
 
     return stage

@@ -85,3 +85,7 @@ def test_quantiles_pivot_json_match_oracles():
         oracle_run(SF, ["grouped_quantiles", "user_event_matrix", "json_props"])
         == 0
     )
+
+
+def test_flatten_normalize_match_oracles():
+    assert oracle_run(SF, ["conv_flatten", "text_normalize"]) == 0
