@@ -99,7 +99,12 @@ def ingest(
     )
     if coalesce_blocks:
         changelog = changelog.repartition(coalesce_blocks)
-    partitioned = changelog.map_batches(stage, batch_format="pyarrow")
+    partitioned = changelog.map_batches(
+        # whole-block batches: one pid-sorted run per block, so the
+        # exchange routes O(partitions) slices per block instead of
+        # O(partitions x sub-batches)
+        stage, batch_format="pyarrow", batch_size=None
+    )
 
     if exchange:
         from ..stages.exchange import exchange_ingest
@@ -195,7 +200,12 @@ def upsert_dataset(
         hot_convs=hot,
         sort_output=exchange,
     )
-    partitioned = changelog.map_batches(stage, batch_format="pyarrow")
+    partitioned = changelog.map_batches(
+        # whole-block batches: one pid-sorted run per block, so the
+        # exchange routes O(partitions) slices per block instead of
+        # O(partitions x sub-batches)
+        stage, batch_format="pyarrow", batch_size=None
+    )
 
     if exchange:
         from ..stages.exchange import exchange_upsert

@@ -106,23 +106,31 @@ def _cluster_block(block: pa.Table):
 
 
 @ray.remote(num_cpus=0)
-def _block_ranges(block: pa.Table) -> dict:
-    """Metadata-only routing for an ALREADY pid-sorted block (partition
+def _block_ranges(block: pa.Table) -> list:
+    """Metadata-only routing for a block of pid-CLUSTERED runs (partition
     stage built with ``sort_output=True``): reads just the int32
     ``partition_id`` column zero-copy from the object store and returns
-    ``{pid: (start, len)}`` — the block itself is never copied, so the
-    exchange materializes each event into plasma exactly once (the fused
-    read→partition task's output). ``num_cpus=0``: microseconds of work,
-    must not compete with read/merge tasks for slots."""
+    ``[(pid, start, len), ...]`` — one entry per contiguous run. The block
+    itself is never copied, so the exchange materializes each event into
+    plasma exactly once (the fused read→partition task's output).
+
+    Run-aware on purpose: ``map_batches`` may feed the stage in sub-block
+    batches and concatenate the sorted outputs, so a block is a sequence of
+    sorted RUNS, not one globally sorted span — the same pid can own
+    multiple runs. (A dict keyed by pid here silently dropped all but the
+    last run — caught by the bench's lake row count, now pinned by
+    ``test_block_ranges_covers_multi_run_blocks``.) ``num_cpus=0``:
+    microseconds of work, must not compete with read/merge tasks for
+    slots."""
     if block.num_rows == 0:
-        return {}
+        return []
     pids = block.column("partition_id").combine_chunks().to_numpy(
         zero_copy_only=False
     )
     bounds = np.flatnonzero(np.diff(pids)) + 1
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(pids)]])
-    return {int(pids[s]): (int(s), int(e - s)) for s, e in zip(starts, ends)}
+    return [(int(pids[s]), int(s), int(e - s)) for s, e in zip(starts, ends)]
 
 
 @ray.remote(num_cpus=1)
@@ -190,7 +198,12 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
     pid_slices: dict[int, list] = {}
     metas = ray.get([m for m, _t in pending])
     for ranges, (_m, table_ref) in zip(metas, pending):
-        for pid, (start, length) in ranges.items():
+        runs = (
+            ranges
+            if isinstance(ranges, list)  # run list from _block_ranges
+            else [(p, s, n) for p, (s, n) in ranges.items()]  # _cluster_block dict
+        )
+        for pid, start, length in runs:
             pid_slices.setdefault(pid, []).append((table_ref, start, length))
     return pid_slices
 

@@ -339,3 +339,75 @@ def test_tail_resume_after_partial_first_commit(tmp_path):
     cdc.tail_once(str(log), lake, num_partitions=4, salt_buckets=1)
     got = state_table(lake).to_pandas().drop(columns=["partition_id"])
     assert_frames_equal(got, oracle_replay(t))
+
+
+def test_block_ranges_matches_cluster_block_routing():
+    """The zero-copy presorted routing (`_block_ranges`) must produce the
+    same {pid: slices} coverage as the clustering fallback for the same
+    logical rows — same pids, same total row count per pid."""
+    import numpy as np
+    import ray
+
+    from etl_pipeline_rdf_star_ray.stages.exchange import (
+        _block_ranges,
+        _cluster_block,
+    )
+    from etl_pipeline_rdf_star_ray.stages.partition import make_partition_stage
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 7}" for i in range(100)]),
+            "turn_idx": pa.array(np.arange(100, dtype=np.int32)),
+            "lsn": pa.array(np.arange(100, dtype=np.int64)),
+        }
+    )
+    unsorted_stage = make_partition_stage(
+        num_partitions=4, salt_buckets=1, hot_convs=frozenset()
+    )
+    sorted_stage = make_partition_stage(
+        num_partitions=4, salt_buckets=1, hot_convs=frozenset(), sort_output=True
+    )
+    plain = unsorted_stage(t)
+    pre = sorted_stage(t)
+    # sorted stage preserves the rows, reordered
+    assert pre.sort_by("lsn").equals(plain.sort_by("lsn"))
+
+    runs_pre = ray.get(_block_ranges.remote(ray.put(pre)))
+    meta_ref, _tbl_ref = _cluster_block.remote(ray.put(plain))
+    ranges_old = ray.get(meta_ref)
+    rows_pre = {}
+    for pid, _s, n in runs_pre:
+        rows_pre[pid] = rows_pre.get(pid, 0) + n
+    assert set(rows_pre) == set(ranges_old)
+    for pid in rows_pre:
+        assert rows_pre[pid] == ranges_old[pid][1]  # same rows per pid
+    # runs really delimit homogeneous pid spans in the presorted block
+    pids = pre.column("partition_id").to_pylist()
+    for pid, start, length in runs_pre:
+        assert set(pids[start : start + length]) == {pid}
+
+
+def test_block_ranges_covers_multi_run_blocks():
+    """A map output block can be a CONCATENATION of per-batch sorted runs
+    (map_batches sub-batching): the routing must cover every row even when
+    the same pid owns several runs (the dict-keyed version silently dropped
+    all but one run per pid — bench lake count regression)."""
+    import numpy as np
+    import ray
+
+    from etl_pipeline_rdf_star_ray.stages.exchange import _block_ranges
+
+    run = pa.table(
+        {
+            "partition_id": pa.array([0, 0, 1, 2, 2, 2], pa.int32()),
+            "lsn": pa.array(np.arange(6), pa.int64()),
+        }
+    )
+    block = pa.concat_tables([run, run, run])  # 3 sorted runs, repeated pids
+    runs = ray.get(_block_ranges.remote(ray.put(block)))
+    assert sum(n for _pid, _s, n in runs) == block.num_rows
+    per_pid = {}
+    for pid, s, n in runs:
+        per_pid[pid] = per_pid.get(pid, 0) + n
+        assert set(block.column("partition_id").to_pylist()[s : s + n]) == {pid}
+    assert per_pid == {0: 6, 1: 3, 2: 9}
