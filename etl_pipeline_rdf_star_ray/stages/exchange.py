@@ -188,7 +188,9 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
     (blocks from a ``sort_output=True`` partition stage) uses the zero-copy
     :func:`_block_ranges`; otherwise each block pays one clustering copy."""
     pending = []
+    expected_rows = 0
     for bundle in partitioned.iter_internal_ref_bundles():
+        expected_rows += bundle.num_rows() or 0
         for block_ref in bundle.block_refs:
             if presorted:
                 pending.append((_block_ranges.remote(block_ref), block_ref))
@@ -196,6 +198,7 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
                 m, t = _cluster_block.remote(block_ref)
                 pending.append((m, t))
     pid_slices: dict[int, list] = {}
+    routed_rows = 0
     metas = ray.get([m for m, _t in pending])
     for ranges, (_m, table_ref) in zip(metas, pending):
         runs = (
@@ -204,7 +207,16 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
             else [(p, s, n) for p, (s, n) in ranges.items()]  # _cluster_block dict
         )
         for pid, start, length in runs:
+            routed_rows += length
             pid_slices.setdefault(pid, []).append((table_ref, start, length))
+    # conservation invariant: every streamed row is routed to exactly one
+    # partition slice — a routing bug (e.g. overlapping/dropped runs) fails
+    # loudly here instead of silently shrinking the lake
+    if routed_rows != expected_rows:
+        raise RuntimeError(
+            f"exchange routing lost rows: streamed {expected_rows}, "
+            f"routed {routed_rows}"
+        )
     return pid_slices
 
 
