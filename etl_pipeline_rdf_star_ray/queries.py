@@ -263,6 +263,17 @@ def q_lift_triples(sf_dir: str):
     return lift_dataset(state, transcripts_spec())
 
 
+def q_lift_delta(sf_dir: str):
+    """Incremental quads-view maintenance: replay to a lake, then the exact
+    assert/retract quad stream that moves the derived RDF view from the T
+    snapshot to the final state — O(changed keys), shuffle-free
+    (pipelines/derived.py)."""
+    from .pipelines import derived
+
+    lake, t = _replayed_lake(sf_dir, "delta")
+    return derived.lift_delta(lake, t, _max_lsn(sf_dir))
+
+
 _EX = "http://example.org/"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -270,54 +281,93 @@ _XSD = "http://www.w3.org/2001/XMLSchema#"
 
 def _lift_branch(pred: str, value_sql: str, *, otype="literal",
                  dt="CAST(NULL AS VARCHAR)", lang="CAST(NULL AS VARCHAR)",
-                 map_name="turnTM", subject_sql=None, where="") -> str:
+                 map_name="turnTM", subject_sql=None, where="",
+                 from_name="state", delta=None) -> str:
     subject_sql = subject_sql or (
         f"'{_EX}turn/' || conv_id || '_' || CAST(turn_idx AS VARCHAR)"
     )
+    delta_sql = f", '{delta}' AS delta_op" if delta else ""
     return (
         f"SELECT {subject_sql} AS subject, '{pred}' AS predicate, "
         f"{value_sql} AS object_value, '{otype}' AS object_type, "
         f"{dt} AS object_datatype, {lang} AS object_lang, "
-        f"CAST(NULL AS VARCHAR) AS graph, '{map_name}' AS map_name "
-        f"FROM state {where}"
+        f"CAST(NULL AS VARCHAR) AS graph, '{map_name}' AS map_name{delta_sql} "
+        f"FROM {from_name} {where}"
     )
 
 
-ORACLE_LIFT = (
+def _lift_branches(from_name: str = "state", delta: str | None = None) -> list[str]:
+    """The transcripts mapping's seven triple branches as SQL, over an
+    arbitrary state-shaped CTE (used verbatim for the full lift and, with
+    ``delta``, for each side of the incremental lift-delta oracle)."""
+    kw = {"from_name": from_name, "delta": delta}
+    return [
+        _lift_branch(_RDF_TYPE, f"'{_EX}Turn'", otype="iri", **kw),
+        _lift_branch(
+            f"{_EX}role", "role",
+            where="WHERE role IS NOT NULL AND role <> ''", **kw
+        ),
+        _lift_branch(
+            f"{_EX}text",
+            "text",
+            dt=f"'{_XSD}string'",
+            where="WHERE text IS NOT NULL AND text <> ''", **kw
+        ),
+        _lift_branch(
+            f"{_EX}tool", "tool",
+            where="WHERE tool IS NOT NULL AND tool <> ''", **kw
+        ),
+        _lift_branch(
+            f"{_EX}ts",
+            "strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')",
+            dt=f"'{_XSD}dateTime'",
+            where="WHERE ts IS NOT NULL", **kw
+        ),
+        _lift_branch(
+            f"{_EX}conversation", f"'{_EX}conv/' || conv_id", otype="iri", **kw
+        ),
+        _lift_branch(
+            _RDF_TYPE,
+            f"'{_EX}Conversation'",
+            otype="iri",
+            map_name="convTM",
+            subject_sql=f"'{_EX}conv/' || conv_id", **kw
+        ),
+    ]
+
+
+ORACLE_LIFT = _CDC_PREFIX + " " + " UNION ALL ".join(_lift_branches())
+
+#: incremental view maintenance: snapshot A (lsn <= T) vs final state,
+#: changed keys only — retract quads from the old row, assert from the new
+#: (pipelines/derived.py semantics, row-granular)
+ORACLE_LIFT_DELTA = (
     _CDC_PREFIX
-    + " "
+    + f""", snapa AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC) AS rn
+  FROM changelog WHERE lsn <= {_T_SQL}),
+a AS (SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM snapa WHERE rn = 1 AND op <> 'delete'),
+b AS (SELECT conv_id, turn_idx, role, text, tool, ts FROM state),
+d AS (
+  SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+         coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+         a.conv_id IS NULL AS only_b, b.conv_id IS NULL AS only_a,
+         NOT (a.text IS NOT DISTINCT FROM b.text
+              AND a.role IS NOT DISTINCT FROM b.role
+              AND a.tool IS NOT DISTINCT FROM b.tool
+              AND a.ts   IS NOT DISTINCT FROM b.ts) AS differs
+  FROM a FULL OUTER JOIN b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx),
+retracts AS (
+  SELECT a.* FROM a JOIN d ON a.conv_id = d.conv_id AND a.turn_idx = d.turn_idx
+  WHERE d.only_a OR (NOT d.only_a AND NOT d.only_b AND d.differs)),
+asserts AS (
+  SELECT b.* FROM b JOIN d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx
+  WHERE d.only_b OR (NOT d.only_a AND NOT d.only_b AND d.differs)) """
     + " UNION ALL ".join(
-        [
-            _lift_branch(_RDF_TYPE, f"'{_EX}Turn'", otype="iri"),
-            _lift_branch(
-                f"{_EX}role", "role", where="WHERE role IS NOT NULL AND role <> ''"
-            ),
-            _lift_branch(
-                f"{_EX}text",
-                "text",
-                dt=f"'{_XSD}string'",
-                where="WHERE text IS NOT NULL AND text <> ''",
-            ),
-            _lift_branch(
-                f"{_EX}tool", "tool", where="WHERE tool IS NOT NULL AND tool <> ''"
-            ),
-            _lift_branch(
-                f"{_EX}ts",
-                "strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')",
-                dt=f"'{_XSD}dateTime'",
-                where="WHERE ts IS NOT NULL",
-            ),
-            _lift_branch(
-                f"{_EX}conversation", f"'{_EX}conv/' || conv_id", otype="iri"
-            ),
-            _lift_branch(
-                _RDF_TYPE,
-                f"'{_EX}Conversation'",
-                otype="iri",
-                map_name="convTM",
-                subject_sql=f"'{_EX}conv/' || conv_id",
-            ),
-        ]
+        _lift_branches("retracts", "retract") + _lift_branches("asserts", "assert")
     )
 )
 
@@ -1101,6 +1151,7 @@ def build_queries() -> dict:
         "cdc_diff_summary": q_cdc_diff_summary,
         # mapping
         "lift_triples": q_lift_triples,
+        "lift_delta": q_lift_delta,
         "annotation_join": q_annotation_join,
         "rdf_roundtrip": q_rdf_roundtrip,
         # SPARQL serving surface
@@ -1169,6 +1220,7 @@ def build_oracles() -> dict[str, str]:
         "cdc_resalt": ORACLE_CDC_FULL,
         "cdc_diff_summary": ORACLE_CDC_DIFF_SUMMARY,
         "lift_triples": ORACLE_LIFT,
+        "lift_delta": ORACLE_LIFT_DELTA,
         "annotation_join": ORACLE_ANNOTATION,
         "rdf_roundtrip": ORACLE_RDF_ROUNDTRIP,
         "sparql_roles": ORACLE_SPARQL_ROLES,
