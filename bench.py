@@ -68,6 +68,7 @@ def run_bench() -> dict:
     from etl_pipeline_rdf_star_ray.pipelines.reference_workload import (
         run_reference_workload,
     )
+    from etl_pipeline_rdf_star_ray.sources import read_parquet_clean
     from etl_pipeline_rdf_star_ray.sources.changelog import changelog_from_events
     from etl_pipeline_rdf_star_ray.sources.synthetic import changelog_dataset
     from etl_pipeline_rdf_star_ray.stages.lift import lift_dataset, transcripts_spec
@@ -96,13 +97,13 @@ def run_bench() -> dict:
     # untimed warm-up: spins up the Ray worker pool and pulls the change log
     # through the page cache so the timed replay measures the engine, not
     # process cold-start (Ray guide: warm one untimed read first)
-    rd.read_parquet(log_dir).map_batches(lambda b: b, batch_format="pyarrow").count()
+    read_parquet_clean(log_dir).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     def replay():
         # right-sized read blocks (~2 per cpu): Ray's default SplitBlocks
         # fans tiny blocks out and task-count overhead dominates (BASELINE.md)
         res = cdc.ingest(
-            rd.read_parquet(log_dir, override_num_blocks=NUM_CPUS * 2),
+            read_parquet_clean(log_dir, override_num_blocks=NUM_CPUS * 2),
             lake,
             num_partitions=max(64, NUM_CPUS * 2),
             hot_convs=["conv_hot"],
@@ -177,7 +178,7 @@ def run_bench() -> dict:
 
     sec, _ = timed(
         lambda: dedup.dedup_minhash_lsh(
-            rd.read_parquet(f"{SF_DIR}/documents.parquet")
+            read_parquet_clean(f"{SF_DIR}/documents.parquet")
         ).count()
     )
     queries["dedup_minhash_lsh"] = sec
@@ -190,7 +191,7 @@ def run_bench() -> dict:
     )
     sec, _ = timed(
         lambda: similarity.cosine_topk(
-            rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), q, k=10
+            read_parquet_clean(f"{SF_DIR}/embeddings.parquet"), q, k=10
         ).count()
     )
     queries["similarity_topk"] = sec

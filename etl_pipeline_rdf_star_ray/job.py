@@ -170,13 +170,17 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        # Under `ray job submit` RAY_ADDRESS points at the cluster and
-        # num_cpus must not be constrained; standalone this starts local.
-        ray.init(
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # Under `ray job submit` RAY_ADDRESS points at the cluster; passing
+        # num_cpus there is an error (ray.init rejects resource caps when
+        # connecting to an existing cluster — ADVICE r2), so the flag is
+        # only honored for standalone/local starts.
+        addr = os.environ.get("RAY_ADDRESS", "")
+        kwargs: dict = {"logging_level": "ERROR"}
+        if addr in ("", "local"):
+            kwargs.update(
+                num_cpus=args.num_cpus, include_dashboard=False
+            )
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -373,7 +373,11 @@ def conv_stats(state: "rd.Dataset") -> "rd.Dataset":
         df = pa.table(
             {
                 "conv_id": batch.column("conv_id"),
-                "role": batch.column("role"),
+                # null role must still count toward n_turns/n_chars (ADVICE
+                # r2: pandas groupby drops NaN keys by default); role never
+                # reaches the output, so a sentinel stands in for NULL — it
+                # also keeps the Ray-level groupby free of null keys
+                "role": pc.fill_null(batch.column("role"), "\x00<null-role>"),
                 "chars": pc.cast(
                     pc.utf8_length(batch.column("text")), pa.int64()
                 ),
@@ -399,11 +403,14 @@ def conv_stats(state: "rd.Dataset") -> "rd.Dataset":
 
     def per_conv_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        # SQL mirror is count(DISTINCT role): the null-role sentinel group
+        # contributes its turns/chars but NOT a role
+        df["is_role"] = (df["role"] != "\x00<null-role>").astype(np.int64)
         g = (
             df.groupby("conv_id", sort=False)
             .agg(
                 n_turns=("n", "sum"),
-                n_roles=("n", "size"),
+                n_roles=("is_role", "sum"),
                 n_chars=("chars", "sum"),
                 last_ts=("last_ts", "max"),
             )
@@ -449,11 +456,14 @@ def turn_gaps(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Dataset":
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         # normalize to µs explicitly — pandas ≥2 preserves the Arrow unit, so
         # ts may arrive as datetime64[us] OR datetime64[ns] depending on the
-        # shuffle path; a blind int64 view would be unit-ambiguous
+        # shuffle path; a blind int64 view would be unit-ambiguous. NaT must
+        # be masked BEFORE the int64 view: it aliases the -2^63 sentinel and
+        # would otherwise yield garbage gaps instead of NULL (ADVICE r2)
+        ts64 = g["ts"].to_numpy().astype("datetime64[us]")
         us = pd.Series(
-            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
-            index=g.index,
+            pd.array(ts64.astype(np.int64), dtype="Int64"), index=g.index
         )
+        us[np.isnat(ts64)] = pd.NA
         prev = us.groupby(g["conv_id"], sort=False).shift()
         gap = pd.array(us - prev, dtype="Int64")
         return pd.DataFrame(

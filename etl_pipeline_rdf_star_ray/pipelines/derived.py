@@ -56,6 +56,10 @@ def changed_rows(lake_dir: str, lsn_a: int, lsn_b: int | None = None) -> "rd.Dat
             "file_b": os.path.join(lake_dir, vb[p].file) if p in vb else "",
         }
         for p in pids
+        # same committed version at both watermarks ⇒ delta is empty by
+        # construction; skipping keeps the cost O(changed partitions) on
+        # mostly-idle lakes (ADVICE r2)
+        if not (p in va and p in vb and va[p].file == vb[p].file)
     ]
     if not pairs:
         return rd.from_items([]).limit(0)

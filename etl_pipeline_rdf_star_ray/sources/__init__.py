@@ -71,9 +71,38 @@ def create_source(config: dict) -> "rd.Dataset":
 # --- built-in readers -------------------------------------------------------
 
 
+def read_parquet_clean(path: str, **kwargs) -> "rd.Dataset":
+    """``rd.read_parquet`` with the file's key-value schema metadata
+    stripped. Parquet written by pandas carries a ``b'pandas'`` metadata blob
+    that makes ``pa.Schema`` unhashable, so every in-task block concat logs
+    Ray's "Failed to hash the schemas (for deduplication)" warning
+    (BENCH_r02 tail / round-2 verdict item 9). Passing an explicit
+    metadata-free ``schema=`` fixes it at the read — column pruning via
+    ``columns=`` still applies (Ray prunes the schema to the selection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if "schema" not in kwargs:
+        first = path
+        if os.path.isdir(path):
+            names = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if names:
+                first = os.path.join(path, names[0])
+        schema = pq.read_schema(first).remove_metadata()
+        cols = kwargs.get("columns")
+        if cols is not None:
+            # the explicit schema must match the pruned batches the
+            # fragment reader emits
+            schema = pa.schema([schema.field(c) for c in cols])
+        kwargs["schema"] = schema
+    return rd.read_parquet(path, **kwargs)
+
+
 @register_source("parquet")
 def _parquet(config: dict) -> "rd.Dataset":
-    return rd.read_parquet(
+    return read_parquet_clean(
         config["path"],
         columns=config.get("columns"),
         filter=config.get("filter"),

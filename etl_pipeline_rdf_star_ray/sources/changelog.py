@@ -143,7 +143,9 @@ def changelog_from_events(
     if lsn_hi is not None:
         f2 = pc.field("event_id") < lsn_hi
         filt = f2 if filt is None else filt & f2
-    ds = rd.read_parquet(
+    from . import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "props", "ts"],
         filter=filt,

@@ -189,8 +189,16 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
     :func:`_block_ranges`; otherwise each block pays one clustering copy."""
     pending = []
     expected_rows = 0
+    rows_known = True
     for bundle in partitioned.iter_internal_ref_bundles():
-        expected_rows += bundle.num_rows() or 0
+        n = bundle.num_rows()
+        if n is None:
+            # block metadata without a row count: folding None to 0 would
+            # make the conservation check fire spuriously (ADVICE r2) —
+            # downgrade to routed-rows-only accounting for this ingest
+            rows_known = False
+        else:
+            expected_rows += n
         for block_ref in bundle.block_refs:
             if presorted:
                 pending.append((_block_ranges.remote(block_ref), block_ref))
@@ -212,7 +220,7 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
     # conservation invariant: every streamed row is routed to exactly one
     # partition slice — a routing bug (e.g. overlapping/dropped runs) fails
     # loudly here instead of silently shrinking the lake
-    if routed_rows != expected_rows:
+    if rows_known and routed_rows != expected_rows:
         raise RuntimeError(
             f"exchange routing lost rows: streamed {expected_rows}, "
             f"routed {routed_rows}"

@@ -89,3 +89,53 @@ def test_quantiles_pivot_json_match_oracles():
 
 def test_flatten_normalize_match_oracles():
     assert oracle_run(SF, ["conv_flatten", "text_normalize"]) == 0
+
+
+def test_conv_stats_counts_null_role_turns():
+    """A NULL role must still contribute its turn/chars to the rollup but
+    NOT to n_roles (SQL count(DISTINCT role) semantics) — ADVICE r2: pandas
+    groupby silently drops NaN keys by default."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import conv_stats
+
+    state = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c1", "c1", "c1", "c2"],
+                "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+                "role": ["user", None, "assistant", None],
+                "text": ["hello", "mystery", "world", "solo"],
+                "ts": pa.array([1000, 2000, 3000, 500], pa.timestamp("us")),
+            }
+        )
+    )
+    out = conv_stats(state).to_pandas().set_index("conv_id").sort_index()
+    assert out.loc["c1", "n_turns"] == 3  # null-role turn counted
+    assert out.loc["c1", "n_roles"] == 2  # but not as a role
+    assert out.loc["c1", "n_chars"] == len("hello") + len("mystery") + len("world")
+    assert out.loc["c2", "n_turns"] == 1
+    assert out.loc["c2", "n_roles"] == 0
+
+
+def test_turn_gaps_null_ts_yields_null_gap():
+    """NaT must propagate to a NULL gap, not alias the -2^63 int sentinel
+    (ADVICE r2)."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import turn_gaps
+
+    state = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c1", "c1", "c1"],
+                "turn_idx": pa.array([0, 1, 2], pa.int32()),
+                "ts": pa.array([1_000_000, None, 5_000_000], pa.timestamp("us")),
+            }
+        )
+    )
+    out = (
+        turn_gaps(state, num_shards=2)
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out.loc[0, "gap_us"])  # first turn: no predecessor
+    assert pd.isna(out.loc[1, "gap_us"])  # null ts → null gap
+    assert pd.isna(out.loc[2, "gap_us"])  # predecessor ts null → null gap
