@@ -47,6 +47,7 @@ def ingest(
     hot_convs: list[str] | str = "auto",
     coalesce_blocks: int | None = None,
     method: str = "exchange",
+    transport: str = "auto",
 ) -> pa.Table:
     """Apply one micro-batch of change events to the lake table.
 
@@ -116,6 +117,7 @@ def ingest(
             num_partitions=meta.num_partitions,
             active_files=active,
             presorted=True,
+            transport=transport,
         )
         return _manifest_table([mf.CommitRecord(**r) for r in recs])
 

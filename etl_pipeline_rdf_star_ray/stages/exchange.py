@@ -25,10 +25,19 @@ bottleneck (BASELINE.md round-2 notes):
 3. (current) no actors, no router stage, no extra copy: every byte of event
    data is copied exactly once after decode (the cluster task's take), all
    compute runs in CPU-slotted Ray tasks, and the driver handles only refs
-   and range metadata. On a multi-node cluster the blocks stay on their
-   producing nodes and merge tasks fetch them over Ray's object transport
-   (the normal shuffle data plane); memory is bounded by Ray's native
-   object spilling.
+   and range metadata.
+
+Multi-node data plane: a pid-sorted block holds runs for ~every partition,
+so with range routing every merge node would fetch (almost) every block —
+≈ N_nodes × data bytes over the network. ``transport="slices"`` (the
+``auto`` default whenever the cluster has >1 node) therefore rewrites the
+exchange's data plane: a node-local task compacts each partition's rows of
+each block into its own object (one extra LOCAL copy), and the network then
+carries each partition's bytes exactly once to its merge task — the same
+byte volume as a textbook shuffle, still with zero driver involvement.
+Single-node keeps ``transport="ranges"``: zero extra copies, merges slice
+the producer blocks via plasma mmap. Memory is bounded by Ray's native
+object spilling in both modes.
 
 Correctness properties:
 
@@ -133,6 +142,75 @@ def _block_ranges(block: pa.Table) -> list:
     return [(int(pids[s]), int(s), int(e - s)) for s, e in zip(starts, ends)]
 
 
+def _fetch_slices(chunk_slices: list) -> list[pa.Table]:
+    """Resolve ``[(ref, start, len)]`` to zero-copy table views, fetching
+    each DISTINCT object exactly once with a single batched ``ray.get``.
+
+    A block typically carries many runs for the same partition (map_batches
+    sub-batching: ~10+ runs per (block, pid)), and a per-slice ``ray.get``
+    re-deserializes the block's Arrow metadata every time — measured 1.6 s
+    of a 3 s merge task at 8M events (round-3 profile). ``start=None``
+    means the object IS the slice (slice-object transport)."""
+    order: list = []
+    index: dict = {}
+    for ref, _s, _l in chunk_slices:
+        if ref not in index:
+            index[ref] = len(order)
+            order.append(ref)
+    tables = ray.get(order)
+    return [
+        tables[index[ref]] if start is None else tables[index[ref]].slice(start, length)
+        for ref, start, length in chunk_slices
+    ]
+
+
+@ray.remote(num_cpus=1)
+def _slice_block(block: pa.Table, presorted: bool) -> list:
+    """Multi-node transport: materialize each partition's rows of one block
+    as its OWN compact object-store object, returning ``[(pid, ref)]``.
+
+    The ranges transport ("ranges") routes metadata only and lets merge
+    tasks slice the block zero-copy — optimal single-node, but on a
+    multi-node cluster a pid-sorted block holds runs for ~every partition,
+    so every merge node must fetch (almost) every block: ≈ N_nodes × data
+    bytes over the network (round-2 verdict item 2). This task runs
+    node-local to the block (Ray's locality-aware scheduling places it with
+    its argument), pays ONE compacting copy per partition's rows
+    (``take`` — pickling an Arrow slice ships the full parent buffers, so a
+    view is not enough), and the network then carries each partition's
+    bytes exactly once to its merge task.
+
+    Trade-off, measured single-node: +1 plasma copy of the data set vs the
+    ranges transport's 0 — which is why ``transport="auto"`` picks ranges
+    on one node and slices when the cluster has several.
+    """
+    if block.num_rows == 0:
+        return []
+    pids = block.column("partition_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    if not presorted:
+        order = np.argsort(pids, kind="stable")
+        block = block.take(pa.array(order))
+        pids = pids[order]
+    bounds = np.flatnonzero(np.diff(pids)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(pids)]])
+    runs_by_pid: dict[int, list] = {}
+    for s, e in zip(starts, ends):
+        runs_by_pid.setdefault(int(pids[s]), []).append((int(s), int(e)))
+    out = []
+    for pid, runs in runs_by_pid.items():
+        idx = (
+            np.arange(runs[0][0], runs[0][1])
+            if len(runs) == 1
+            else np.concatenate([np.arange(s, e) for s, e in runs])
+        )
+        part = block.take(pa.array(idx))
+        out.append((pid, ray.put(part), part.num_rows))
+    return out
+
+
 @ray.remote(num_cpus=1)
 def _merge_commit_task(
     chunk_slices: list,
@@ -144,10 +222,7 @@ def _merge_commit_task(
     t0 = time.monotonic()
     # zero-copy: plasma blocks are mmapped, slices are views; the only copy
     # is the sort inside the LWW merge
-    parts = [
-        ray.get(ref).slice(start, length)
-        for ref, start, length in chunk_slices
-    ]
+    parts = _fetch_slices(chunk_slices)
     events = concat_evolving(parts)
     state = pq.read_table(prior) if prior is not None else None
     new_state = merge_state_and_events(state, events)
@@ -172,21 +247,38 @@ def _merge_only_task(chunk_slices: list) -> pa.Table:
     ``ray.data.from_arrow_refs``)."""
     from ..stages.merge import lww_merge
 
-    parts = [
-        ray.get(ref).slice(start, length)
-        for ref, start, length in chunk_slices
-    ]
-    merged = lww_merge(concat_evolving(parts))
+    merged = lww_merge(concat_evolving(_fetch_slices(chunk_slices)))
     return merged.drop_columns(
         [c for c in ("op", "partition_id") if c in merged.column_names]
     )
 
 
-def _route(partitioned, presorted: bool) -> dict[int, list]:
+def _resolve_transport(transport: str) -> str:
+    if transport == "auto":
+        try:
+            alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+        except Exception:  # pragma: no cover - detached/uninitialized
+            alive = 1
+        return "slices" if alive > 1 else "ranges"
+    if transport not in ("ranges", "slices"):
+        raise ValueError(f"unknown exchange transport {transport!r}")
+    return transport
+
+
+def _route(
+    partitioned, presorted: bool, transport: str = "ranges"
+) -> dict[int, list]:
     """Stream the partitioned dataset's block refs and build the
-    ``{pid: [(block_ref, start, len)]}`` routing table. ``presorted=True``
-    (blocks from a ``sort_output=True`` partition stage) uses the zero-copy
-    :func:`_block_ranges`; otherwise each block pays one clustering copy."""
+    ``{pid: [(ref, start, len)]}`` routing table.
+
+    ``transport="ranges"`` routes metadata only — merge tasks slice the
+    original blocks zero-copy (optimal single-node; ``presorted=True``
+    blocks use :func:`_block_ranges`, unsorted blocks pay one clustering
+    copy via :func:`_cluster_block`). ``transport="slices"`` ships each
+    partition's rows of each block as its own compact object
+    (:func:`_slice_block`): one extra local copy, but a multi-node merge
+    fetches ONLY its partition's bytes instead of ~every block
+    (round-2 verdict item 2); routing entries carry ``start=None``."""
     pending = []
     expected_rows = 0
     rows_known = True
@@ -200,7 +292,9 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
         else:
             expected_rows += n
         for block_ref in bundle.block_refs:
-            if presorted:
+            if transport == "slices":
+                pending.append((_slice_block.remote(block_ref, presorted), None))
+            elif presorted:
                 pending.append((_block_ranges.remote(block_ref), block_ref))
             else:
                 m, t = _cluster_block.remote(block_ref)
@@ -209,6 +303,11 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
     routed_rows = 0
     metas = ray.get([m for m, _t in pending])
     for ranges, (_m, table_ref) in zip(metas, pending):
+        if table_ref is None:  # slice-object transport: [(pid, ref, n)]
+            for pid, ref, n in ranges:
+                routed_rows += n
+                pid_slices.setdefault(pid, []).append((ref, None, None))
+            continue
         runs = (
             ranges
             if isinstance(ranges, list)  # run list from _block_ranges
@@ -228,14 +327,16 @@ def _route(partitioned, presorted: bool) -> dict[int, list]:
     return pid_slices
 
 
-def exchange_upsert(partitioned, *, presorted: bool = False) -> "ray.data.Dataset":
+def exchange_upsert(
+    partitioned, *, presorted: bool = False, transport: str = "auto"
+) -> "ray.data.Dataset":
     """Sinkless block-exchange upsert: same routing as
     :func:`exchange_ingest`, but each partition's LWW state returns as an
     Arrow block and the result is a Dataset (``from_arrow_refs`` — blocks
     never touch the driver)."""
     import ray.data as rd
 
-    pid_slices = _route(partitioned, presorted)
+    pid_slices = _route(partitioned, presorted, _resolve_transport(transport))
     refs = [
         _merge_only_task.remote(slices) for _, slices in sorted(pid_slices.items())
     ]
@@ -252,14 +353,17 @@ def exchange_ingest(
     num_partitions: int,
     active_files: dict[int, str],
     presorted: bool = False,
+    transport: str = "auto",
     num_mergers: int | None = None,  # kept for API compat; unused
     merger_num_cpus: float = 0,  # kept for API compat; unused
 ) -> list[dict]:
     """Run the block exchange: stream block refs, route each block's pid
     ranges (zero-copy when ``presorted``), then merge+commit every partition
-    in parallel. Returns manifest records."""
+    in parallel. Returns manifest records. ``transport`` picks the data
+    plane (see :func:`_route`); ``"auto"`` = ranges on one node, per-pid
+    slice objects on a multi-node cluster."""
     del num_mergers, merger_num_cpus
-    pid_slices = _route(partitioned, presorted)
+    pid_slices = _route(partitioned, presorted, _resolve_transport(transport))
     refs = [
         _merge_commit_task.remote(
             slices, lake_dir, pid, batch_id, active_files.get(pid)
