@@ -240,6 +240,7 @@ def dedup_minhash_lsh(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 200,
+    verify_text_budget_bytes: int = 256 << 20,
 ) -> "rd.Dataset":
     """MinHash+LSH near-dup pairs: shingle → minhash (tasks) → SLIM band
     explode (id+signature only) → ``groupby(band_id, band_hash)`` →
@@ -253,9 +254,12 @@ def dedup_minhash_lsh(
     signature) — document text never crosses the exchange (round-1 verdict
     fix). The verification set is the candidate pairs (a tiny fraction of
     the corpus for any sane threshold); their texts are fetched by a
-    filtered scan and broadcast via ``ray.put``. Partitioning assumption:
-    candidate-pair TEXTS fit the object store — if a corpus violates that,
-    verify in rounds by candidate-id range (the id set is known here).
+    filtered scan and broadcast via ``ray.put``, bounded by
+    ``verify_text_budget_bytes``: when the candidate texts exceed the
+    budget, verification runs in ROUNDS over id-sorted pair ranges — each
+    round broadcasts only its own texts (one filtered corpus scan per
+    round), so broadcast memory stays O(budget) on near-dup-heavy corpora
+    (round-2 verdict item 6).
 
     Buckets larger than ``max_bucket`` are truncated with a WARNING log of
     how many rows were dropped (no silent caps; the cap only triggers on
@@ -355,49 +359,118 @@ def dedup_minhash_lsh(
                 }
             )
         )
-    pair_tbl = pa.concat_tables(blocks)
+    pair_tbl = pa.concat_tables(blocks).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+    def make_verify(lookup_ref):
+        def verify(batch: pa.Table) -> pd.DataFrame:
+            lk = ray.get(lookup_ref)
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            out_a, out_b, out_j = [], [], []
+            shingles: dict = {}
+            for ia, ib in zip(a_ids, b_ids):
+                for i in (ia, ib):
+                    if i not in shingles:
+                        shingles[i] = _word_shingles(lk.get(i) or "", cfg.shingle_k)
+                sa, sb = shingles[ia], shingles[ib]
+                if len(sa) == 0 or len(sb) == 0:
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= cfg.jaccard_threshold:
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_j.append(jac)
+            df = _pairs_frame(out_a, out_b, batch.column("id_a").type.to_pandas_dtype())
+            df["jaccard"] = pd.Series(out_j, dtype=np.float64)
+            return df
+
+        return verify
+
+    def fetch_texts(id_set: pa.Array):
+        return (
+            ds.map_batches(
+                lambda b: b.select([id_col, text_col]).filter(
+                    pc.is_in(b.column(id_col), value_set=id_set)
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+            .to_pandas()
+        )
+
+    # ---- round planning (round-2 verdict item 6): the broadcast
+    # {id: text} dict must respect a byte budget. One cheap slim scan
+    # fetches (id, byte-length) for the candidate ids; pairs — already
+    # sorted by id, so rounds ARE id ranges — are then greedily packed
+    # into rounds whose unique-text bytes fit verify_text_budget_bytes.
+    # Each round re-scans the corpus once for just its texts; R rounds =
+    # R filtered scans, the documented cost of bounding broadcast memory.
     need = pc.unique(
         pa.chunked_array(
             [pair_tbl.column("id_a").combine_chunks(),
              pair_tbl.column("id_b").combine_chunks()]
         ).combine_chunks()
     )
-    texts_tbl = (
+    size_df = (
         ds.map_batches(
-            lambda b: b.select([id_col, text_col]).filter(
-                pc.is_in(b.column(id_col), value_set=need)
-            ),
+            lambda b: (
+                lambda m: pa.table(
+                    {
+                        id_col: b.column(id_col).filter(m),
+                        "nb": pc.cast(
+                            pc.binary_length(b.column(text_col).filter(m)),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )(pc.is_in(b.column(id_col), value_set=need)),
             batch_format="pyarrow",
         )
         .materialize()
+        .to_pandas()
     )
-    texts_df = texts_tbl.to_pandas()
-    lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+    size_of = dict(zip(size_df[id_col], size_df["nb"]))
 
-    def verify(batch: pa.Table) -> pd.DataFrame:
-        lk = ray.get(lookup_ref)
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
-        out_a, out_b, out_j = [], [], []
-        shingles: dict = {}
-        for ia, ib in zip(a_ids, b_ids):
-            for i in (ia, ib):
-                if i not in shingles:
-                    shingles[i] = _word_shingles(lk.get(i) or "", cfg.shingle_k)
-            sa, sb = shingles[ia], shingles[ib]
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= cfg.jaccard_threshold:
-                out_a.append(ia)
-                out_b.append(ib)
-                out_j.append(jac)
-        df = _pairs_frame(out_a, out_b, batch.column("id_a").type.to_pandas_dtype())
-        df["jaccard"] = pd.Series(out_j, dtype=np.float64)
-        return df
+    a_list = pair_tbl.column("id_a").to_pylist()
+    b_list = pair_tbl.column("id_b").to_pylist()
+    rounds: list[tuple[int, int, list]] = []  # (start, end, round_ids)
+    start = 0
+    cur_ids: set = set()
+    cur_bytes = 0
+    for i, (ia, ib) in enumerate(zip(a_list, b_list)):
+        add = sum(
+            int(size_of.get(x, 0)) for x in (ia, ib) if x not in cur_ids
+        )
+        if cur_ids and cur_bytes + add > verify_text_budget_bytes:
+            rounds.append((start, i, sorted(cur_ids)))
+            start, cur_ids, cur_bytes = i, set(), 0
+            add = sum(int(size_of.get(x, 0)) for x in (ia, ib))
+        cur_ids.update((ia, ib))
+        cur_bytes += add
+    rounds.append((start, pair_tbl.num_rows, sorted(cur_ids)))
 
-    return unique_pairs.map_batches(verify, batch_format="pyarrow")
+    if len(rounds) == 1:  # fast path: everything fits one broadcast
+        texts_df = fetch_texts(need)
+        lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+        return unique_pairs.map_batches(
+            make_verify(lookup_ref), batch_format="pyarrow"
+        )
+
+    out_parts: list[pa.Table] = []
+    for start, end, round_ids in rounds:
+        texts_df = fetch_texts(pa.array(round_ids, need.type))
+        lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+        round_pairs = rd.from_arrow(pair_tbl.slice(start, end - start))
+        part = round_pairs.map_batches(
+            make_verify(lookup_ref), batch_format="pyarrow"
+        )
+        out_parts.append(
+            pa.Table.from_pandas(part.to_pandas(), preserve_index=False)
+        )
+    return rd.from_arrow(pa.concat_tables(out_parts))
 
 
 # ---------------------------------------------------------------------------

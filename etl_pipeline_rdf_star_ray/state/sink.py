@@ -1,35 +1,45 @@
 """Exactly-once partitioned Parquet sink.
 
-The commit step of the lake (SURVEY.md §2.2 "Batch loader" row): write the
-partition's new state to a temp file → fsync → sha256 checksum (reference:
-``batch_manager.py:261``) → atomic rename → append the manifest commit
-record. All names are DETERMINISTIC functions of ``(partition_id, batch_id)``,
-so a retried Ray task re-produces byte-identical artifacts and the manifest
-marker turns the duplicate commit into a no-op (SURVEY.md §7.5.1) — the
-distributed replacement for the reference's "fresh named graph per run +
-idempotent ``Store.add``" (``batch_manager.py:231-283``).
+The commit step of the lake (SURVEY.md §2.2 "Batch loader" row): serialize
+the partition's new state → sha256 checksum (reference:
+``batch_manager.py:261``) → atomic data put → conditional marker put. All
+names are DETERMINISTIC functions of ``(partition_id, batch_id)``, so a
+retried Ray task re-produces byte-identical artifacts, the data put is an
+idempotent overwrite, and the marker's put-if-absent makes exactly one
+attempt the committer (SURVEY.md §7.5.1) — the distributed replacement for
+the reference's "fresh named graph per run + idempotent ``Store.add``"
+(``batch_manager.py:231-283``).
+
+Storage is injectable (:mod:`.commitfs`): :class:`~.commitfs.PosixCommitFS`
+(default — local disk/NFS, fsynced file + directory) or any object store
+exposing atomic put + put-if-absent (S3 conditional writes, GCS
+generation-match). The exactly-once contract is proven against the fake
+object store's race/crash/fault injection in ``tests/test_lifecycle.py``.
 
 Layout: one directory per hash partition (``part=NNNNN/``), one file per
 committed version — resumable output: a failed run re-runs only partitions
 without a commit marker, and never one giant file.
 
-Multi-node note: commit tasks run on workers, so ``lake_dir`` must be
-storage every node can reach (S3/NFS/shared volume) on a real cluster; the
-atomic-rename commit protocol maps to S3's put-if-absent or a rename on a
-POSIX-consistent shared fs. Single-node /tmp is what this sandbox tests.
+Ordering invariant: the data put completes (durably, on POSIX) BEFORE the
+marker put, so a marker can never reference missing data; a crash between
+the two leaves an invisible orphan file that the retry overwrites
+byte-identically.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import time
+from dataclasses import asdict
 from datetime import datetime, timezone
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .manifest import CommitRecord, commit, has_commit
+from .commitfs import DEFAULT_FS
+from .manifest import CommitRecord, _record_path
 
 
 def partition_dir(lake_dir: str, partition_id: int) -> str:
@@ -38,32 +48,6 @@ def partition_dir(lake_dir: str, partition_id: int) -> str:
 
 def version_file(lake_dir: str, partition_id: int, batch_id: str) -> str:
     return os.path.join(partition_dir(lake_dir, partition_id), f"{batch_id}.parquet")
-
-
-def _fsync_dir(path: str) -> None:
-    """Make a rename/create in ``path`` durable: fsync the directory entry.
-    Without this, power loss can persist the manifest record (a different
-    directory) while the data-file rename is lost, leaving an active record
-    pointing at a missing file (round-1 ADVICE). Best-effort on filesystems
-    that reject directory fsync."""
-    try:
-        fd = os.open(path, os.O_RDONLY)
-    except OSError:  # pragma: no cover
-        return
-    try:
-        os.fsync(fd)
-    except OSError:  # pragma: no cover
-        pass
-    finally:
-        os.close(fd)
-
-
-def _sha256_file(path: str) -> str:
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
 
 
 def commit_partition(
@@ -76,16 +60,21 @@ def commit_partition(
     lsn_hi: int,
     event_count: int,
     wall_start: float,
+    fs=None,
 ) -> CommitRecord:
     """Durably write one partition version and append its commit record.
 
-    Idempotent: if the ``(partition_id, batch_id)`` marker already exists the
-    write is skipped entirely and the existing semantics stand.
+    Idempotent AND race-safe: the marker is a conditional put — if the
+    ``(partition_id, batch_id)`` marker already exists (a prior attempt or
+    a racing duplicate task fully committed), this attempt degrades to a
+    no-op and reports ``status="duplicate"``.
     """
+    fs = fs or DEFAULT_FS
     rel = os.path.join(f"part={partition_id:05d}", f"{batch_id}.parquet")
     final = os.path.join(lake_dir, rel)
-    if has_commit(lake_dir, partition_id, batch_id):
-        # a prior attempt fully committed — nothing to do (exactly-once)
+    marker = _record_path(lake_dir, partition_id, batch_id)
+
+    def _duplicate() -> CommitRecord:
         return CommitRecord(
             partition_id=partition_id,
             batch_id=batch_id,
@@ -99,15 +88,18 @@ def commit_partition(
             wall_sec=0.0,
             status="duplicate",
         )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    tmp = final + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
-    with open(tmp, "rb+") as f:
-        f.flush()
-        os.fsync(f.fileno())
-    checksum = _sha256_file(tmp)
-    os.replace(tmp, final)
-    _fsync_dir(os.path.dirname(final))  # data rename durable BEFORE the record
+
+    if fs.exists(marker):
+        # a prior attempt fully committed — nothing to do (exactly-once)
+        return _duplicate()
+
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink, compression="zstd")
+    data = sink.getvalue().to_pybytes()
+    checksum = hashlib.sha256(data).hexdigest()
+    # data BEFORE marker: a marker must never reference missing bytes; the
+    # deterministic name makes a retry's overwrite byte-identical
+    fs.put_atomic(final, data)
     rec = CommitRecord(
         partition_id=partition_id,
         batch_id=batch_id,
@@ -121,5 +113,7 @@ def commit_partition(
         wall_sec=time.monotonic() - wall_start,
         status="active",
     )
-    commit(lake_dir, rec)
+    if not fs.put_if_absent(marker, json.dumps(asdict(rec)).encode()):
+        # lost the marker race: the rival's commit stands
+        return _duplicate()
     return rec

