@@ -90,6 +90,19 @@ class Quoted:
 
 
 @dataclass(frozen=True)
+class PathPred:
+    """Modified property-path step ``p+`` / ``p*`` / ``p?`` in predicate
+    position; compiled to a (recursive) CTE over the quads relation.
+    Sequences (``p1/p2``) and inverses (``^p``) never reach the compiler —
+    the parser lowers them to plain triple patterns with fresh variables.
+    Alternation (``p1|p2``) is rejected with a pointer to the UNION rewrite
+    (docs/SPARQL_TRANSLATION.md)."""
+
+    iri: str
+    mod: str  # '+' | '*' | '?'
+
+
+@dataclass(frozen=True)
 class TriplePattern:
     s: object
     p: object
@@ -171,7 +184,7 @@ _TOKEN_RE = re.compile(
   | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[=<>!*/+\-])
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!*/+\-^|?])
   | (?P<punct>[{}().;,])
     """,
     re.VERBOSE,
@@ -218,6 +231,7 @@ class _Parser:
         self.toks = tokenize(src)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._path_n = 0  # fresh-variable counter for path sequences
 
     def peek(self) -> Tok:
         return self.toks[self.i]
@@ -491,14 +505,67 @@ class _Parser:
         self.parse_group(g)
         return Exists(g, negated)
 
+    def parse_path_step(self) -> tuple[object, bool]:
+        """One property-path step: ``[^] term [+*?]`` → (term-or-PathPred,
+        inverse). Modifiers require a constant predicate (the closure CTE
+        is keyed by it)."""
+        inv = False
+        if self.peek().kind == "op" and self.peek().text == "^":
+            self.next()
+            inv = True
+        t = self.parse_term(as_predicate=True)
+        nxt = self.peek()
+        if nxt.kind == "op" and nxt.text in {"+", "*", "?"}:
+            self.next()
+            if not isinstance(t, Iri):
+                raise SparqlError(
+                    f"property-path modifier {nxt.text!r} needs a constant "
+                    f"IRI predicate at {nxt.pos}"
+                )
+            t = PathPred(t.value, nxt.text)
+        return t, inv
+
+    def parse_path(self) -> list[tuple[object, bool]]:
+        steps = [self.parse_path_step()]
+        while True:
+            nxt = self.peek()
+            if nxt.kind == "op" and nxt.text == "/":
+                self.next()
+                steps.append(self.parse_path_step())
+                continue
+            if nxt.kind == "op" and nxt.text == "|":
+                raise SparqlError(
+                    "property-path alternation '|' is not supported: rewrite "
+                    "as a UNION of the two single-path groups "
+                    "(docs/SPARQL_TRANSLATION.md §property-paths)"
+                )
+            return steps
+
+    def _lower_path(
+        self, subject, steps: list[tuple[object, bool]], obj,
+        out: list[TriplePattern],
+    ) -> None:
+        """Sequence steps become chained patterns through fresh internal
+        variables (named ``__p{n}`` — excluded from SELECT *)."""
+        cur = subject
+        for i, (node, inv) in enumerate(steps):
+            if i == len(steps) - 1:
+                nxt = obj
+            else:
+                nxt = Var(f"__p{self._path_n}")
+                self._path_n += 1
+            s, o = (nxt, cur) if inv else (cur, nxt)
+            out.append(TriplePattern(s, node, o))
+            cur = nxt
+
     def parse_triples_block(self) -> list[TriplePattern]:
         subject = self.parse_term()
         out: list[TriplePattern] = []
         while True:
-            pred = self.parse_term(as_predicate=True)
+            steps = self.parse_path()
             while True:
                 obj = self.parse_term()
-                out.append(TriplePattern(subject, pred, obj))
+                self._lower_path(subject, steps, obj, out)
                 if self.peek().text == ",":
                     self.next()
                     continue
@@ -653,7 +720,7 @@ def _expr_vars(e) -> set[str]:
 
 
 class _Compiler:
-    def __init__(self, q: SelectQuery, counter=None):
+    def __init__(self, q: SelectQuery, counter=None, ctes=None):
         import itertools
 
         self.q = q
@@ -667,11 +734,74 @@ class _Compiler:
         self.term_cols: dict[str, str] = {}  # object-position var -> alias
         self.union_from: list[str] = []  # UNION derived tables
         self.uses_ann = False
+        # property-path CTEs, shared with nested compilers so a path inside
+        # UNION/OPTIONAL/EXISTS still lands in the single top-level WITH
+        self.ctes: list[tuple[str, str]] = ctes if ctes is not None else []
+        self._cte_keys: dict[tuple, str] = {}
 
     # -- pattern lowering ---------------------------------------------------
+    def _path_graph(self, pat: TriplePattern) -> str | None:
+        if isinstance(pat.graph, Var):
+            raise SparqlError(
+                "property paths inside GRAPH ?var are not supported"
+            )
+        if isinstance(pat.graph, Iri):
+            return pat.graph.value
+        return self.q.from_graph
+
+    def _path_rel(self, p: PathPred, graph: str | None) -> str:
+        """CTE relation (columns ``s``, ``o``) for one modified path step:
+        ``p+`` = recursive transitive closure over quads with that
+        predicate; ``p*`` adds the zero-length pairs (every subject/object
+        term of the scoped graph paired with itself, per SPARQL zero-length
+        path semantics); ``p?`` = direct edges ∪ zero-length. DuckDB's
+        WITH RECURSIVE evaluates the closure as a semi-naive fixpoint —
+        the same join-until-no-new-rows the distributed
+        ``corpus.cc_label_propagation`` runs for edge sets beyond one
+        node."""
+        key = (p.iri, p.mod, graph)
+        if key in self._cte_keys:
+            return self._cte_keys[key]
+        g = f" AND graph = {_sq(graph)}" if graph is not None else ""
+        gw = f" WHERE graph = {_sq(graph)}" if graph is not None else ""
+        pred = _sq(p.iri)
+        name = f"path{len(self.ctes)}"
+        edges = (
+            f"SELECT subject AS s, object_value AS o FROM quads "
+            f"WHERE predicate = {pred}{g}"
+        )
+        if p.mod in ("+", "*"):
+            closure = (
+                f"{edges} UNION SELECT r.s, q.object_value FROM {name} r "
+                f"JOIN quads q ON q.subject = r.o AND q.predicate = {pred}{g}"
+            )
+        else:  # '?' — no recursion
+            closure = edges
+        if p.mod in ("*", "?"):
+            zero = (
+                f"SELECT n AS s, n AS o FROM (SELECT subject AS n FROM "
+                f"quads{gw} UNION SELECT object_value FROM quads{gw})"
+            )
+            if p.mod == "*":
+                base = f"path{len(self.ctes)}_c"
+                closure = closure.replace(f"{name} r", f"{base} r")
+                self.ctes.append((base, closure))
+                self._cte_keys[(p.iri, "+", graph)] = base
+                closure = f"SELECT s, o FROM {base} UNION {zero}"
+            else:
+                closure = f"{closure} UNION {zero}"
+        self.ctes.append((name, closure))
+        self._cte_keys[key] = name
+        return name
+
     def add_pattern(self, pat: TriplePattern) -> None:
         a = f"q{next(self.counter)}"
         if isinstance(pat.s, Quoted):
+            if isinstance(pat.p, PathPred):
+                raise SparqlError(
+                    "property paths are not supported on annotation "
+                    "predicates"
+                )
             self.uses_ann = True
             self.aliases.append(("qann", a))
             self._bind_term(pat.s.s, f"{a}.subject", "iri")
@@ -681,6 +811,12 @@ class _Compiler:
             # annotation values are stored as bare strings (no iri/literal
             # marker — ANNOTATION_STRUCT) → term kind resolved by value shape
             self._bind_term(pat.o, f"{a}.ann_value", "annvalue")
+        elif isinstance(pat.p, PathPred):
+            rel = self._path_rel(pat.p, self._path_graph(pat))
+            self.aliases.append((rel, a))
+            self._bind_term(pat.s, f"{a}.s", "iri")
+            self._bind_term(pat.o, f"{a}.o", "unknown")
+            return  # graph scoping is baked into the CTE
         else:
             self.aliases.append(("quads", a))
             self._bind_term(pat.s, f"{a}.subject", "iri")
@@ -789,7 +925,7 @@ class _Compiler:
             raise SparqlError(
                 "EXISTS groups support only triple patterns and FILTERs"
             )
-        sub = _Compiler(e.group, self.counter)
+        sub = _Compiler(e.group, self.counter, self.ctes)
         sub.q.from_graph = self.q.from_graph
         for pat in e.group.patterns:
             sub.add_pattern(pat)
@@ -834,7 +970,7 @@ class _Compiler:
                 "OPTIONAL / nested UNION inside a UNION branch is not "
                 "supported in this subset"
             )
-        sub = _Compiler(g, self.counter)
+        sub = _Compiler(g, self.counter, self.ctes)
         deferred = []
         for b in g.binds:
             (deferred.append(b) if _expr_vars(b.expr) else sub._apply_bind(b))
@@ -913,6 +1049,7 @@ class _Compiler:
                     patterns=[], filters=[], binds=[],
                 ),
                 self.counter,
+                self.ctes,
             )
             for pat in group:
                 sub.add_pattern(pat)
@@ -948,6 +1085,7 @@ class _Compiler:
         if q.select_star:
             items: list[tuple[object, str | None]] = [
                 (Var(n), None) for n in self.bind
+                if not n.startswith("__p")  # path-internal fresh vars
             ]
         else:
             items = q.select
@@ -1008,8 +1146,13 @@ class _Compiler:
         if q.offset is not None:
             sql += f" OFFSET {q.offset}"
 
+        cte_parts = [f"{n} AS ({body})" for n, body in self.ctes]
         if self.uses_ann:
-            sql = f"WITH qann AS ({_ANN_CTE}) {sql}"
+            cte_parts.append(f"qann AS ({_ANN_CTE})")
+        if cte_parts:
+            # RECURSIVE is harmless for the non-recursive members; path
+            # closures need it
+            sql = "WITH RECURSIVE " + ", ".join(cte_parts) + " " + sql
         return sql, out_kinds
 
     def _apply_bind(self, b: Bind) -> None:
@@ -1095,6 +1238,11 @@ def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
     no constant terms makes pruning unsound-to-skip → returns None."""
     masks: list[list[tuple[str, str]]] = []
     for pat in _all_patterns(q):
+        if isinstance(pat.p, PathPred):
+            # a closure traverses intermediate rows no pattern constant
+            # mentions (and * / ? zero-length paths range over every term
+            # of the graph) — pruning would be unsound
+            return None
         terms = (
             (("subject", pat.s.s), ("predicate", pat.s.p),
              ("object_value", pat.s.o))

@@ -628,3 +628,74 @@ def test_lifted_transcripts_queryable(ray_session):
     assert rows and all(r["n"] > 0 for r in rows)
     total = sum(r["n"] for r in rows)
     assert total == state.count()
+
+
+# ---------------------------------------------------------------------------
+# property paths (round-2 verdict item 8)
+# ---------------------------------------------------------------------------
+
+
+def _path_quads() -> pa.Table:
+    # chain a -p-> b -p-> c -p-> d, plus a -q-> x -q-> y
+    return pa.table(
+        {
+            "subject": ["a", "b", "c", "a", "x"],
+            "predicate": ["p", "p", "p", "q", "q"],
+            "object_value": ["b", "c", "d", "x", "y"],
+        }
+    )
+
+
+def test_path_one_or_more_is_transitive_closure():
+    t = sparql_select(
+        "SELECT ?x ?y WHERE { ?x <p>+ ?y } ORDER BY ?x ?y", _path_quads()
+    )
+    assert list(zip(t.column("x").to_pylist(), t.column("y").to_pylist())) == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+
+
+def test_path_zero_or_more_and_zero_or_one():
+    t = sparql_select("SELECT ?y WHERE { <a> <p>* ?y } ORDER BY ?y", _path_quads())
+    assert t.column("y").to_pylist() == ["a", "b", "c", "d"]
+    t = sparql_select("SELECT ?y WHERE { <a> <p>? ?y } ORDER BY ?y", _path_quads())
+    assert t.column("y").to_pylist() == ["a", "b"]
+
+
+def test_path_inverse_and_sequence():
+    t = sparql_select("SELECT ?x WHERE { ?x ^<p> <c> }", _path_quads())
+    assert t.column("x").to_pylist() == ["d"]
+    t = sparql_select("SELECT ?z WHERE { <a> <q>/<q> ?z }", _path_quads())
+    assert t.column("z").to_pylist() == ["y"]
+    # sequence into a closure; internal fresh vars never leak into SELECT *
+    t = sparql_select(
+        "SELECT * WHERE { <a> <q>/<q> ?z } ORDER BY ?z", _path_quads()
+    )
+    assert t.column_names == ["z"]
+
+
+def test_path_rejections_are_explicit():
+    for bad, frag in [
+        ("SELECT ?x WHERE { ?x <p>|<q> ?y }", "alternation"),
+        ("SELECT ?x WHERE { ?x ?p+ ?y }", "constant IRI predicate"),
+        (
+            "SELECT ?x WHERE { GRAPH ?g { ?x <p>+ ?y } }",
+            "paths inside GRAPH",
+        ),
+        (
+            "SELECT ?v WHERE { << ?s <p> ?o >> <p>+ ?v }",
+            "annotation",
+        ),
+    ]:
+        with pytest.raises(SparqlError, match=frag):
+            compile_sparql(bad)
+
+
+def test_path_prune_disables_itself():
+    """prune_quads must pass paths through unpruned: the closure traverses
+    rows whose constants no pattern mentions."""
+    from etl_pipeline_rdf_star_ray.sparql import parse_sparql, pattern_masks
+
+    q = parse_sparql("SELECT ?y WHERE { <a> <p>+ ?y }")
+    assert pattern_masks(q) is None
