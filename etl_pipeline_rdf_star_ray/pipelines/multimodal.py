@@ -41,11 +41,14 @@ def have_image_codec() -> bool:
 
 
 def require_codecs() -> None:
-    """Hard gate for callers that need REAL decode output."""
+    """Hard gate for callers that need REAL decode output for arbitrary
+    formats. PNG always has a real path (the pure-Python codec in
+    ``functions/png.py``); everything else needs PIL."""
     if not have_image_codec():
         raise NotImplementedError(
             "image/audio codecs are not installed in this environment; "
-            "DecodeStage runs with a deterministic fake decoder"
+            "PNG payloads decode via the built-in pure-Python codec, other "
+            "formats fall back to the deterministic fake decoder"
         )
 
 
@@ -81,15 +84,23 @@ class DecodeStage:
     actor in ``__init__`` (the expensive part with real codecs — model load,
     decoder contexts), per-batch work in ``__call__``.
 
+    Decode path per payload: PIL when importable → the built-in pure-Python
+    PNG codec (``functions/png.py``) for PNG payloads → the clearly-marked
+    deterministic fake for anything else (sha256-derived dims so the driver
+    oracle can recompute them in SQL).
+
     Output layout: input columns minus payload, plus ``width``, ``height``,
-    ``feature`` (fixed-size float32 list) — identical whether the real codec
-    or the deterministic fake runs, so downstream stages are codec-agnostic.
+    ``feature`` (fixed-size float32 list) — identical whichever decoder
+    runs, so downstream stages are codec-agnostic.
     """
 
     FEATURE_DIM = 16
 
     def __init__(self) -> None:
-        self.real = have_image_codec()
+        from ..functions import png as _png
+
+        self.pil = have_image_codec()
+        self.png = _png
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         # STUB decoder: deterministic dims + feature from a content digest.
@@ -102,25 +113,33 @@ class DecodeStage:
         feature = arr[: self.FEATURE_DIM] / 255.0
         return width, height, feature
 
+    def _decode(self, p: bytes) -> tuple[int, int, np.ndarray]:
+        if self.pil:
+            import io
+
+            import PIL.Image
+
+            img = PIL.Image.open(io.BytesIO(p))
+            feat = np.asarray(
+                img.resize((4, 4)).convert("L"), dtype=np.float32
+            ).reshape(-1)[: self.FEATURE_DIM] / 255.0
+            return img.size[0], img.size[1], feat
+        if self.png.is_png(p):
+            arr = self.png.decode_png(p)
+            return (
+                arr.shape[1],
+                arr.shape[0],
+                self.png.grayscale_feature(arr),
+            )
+        return self._fake_decode(p or b"")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         widths = np.empty(len(payloads), dtype=np.int32)
         heights = np.empty(len(payloads), dtype=np.int32)
         feats = np.empty((len(payloads), self.FEATURE_DIM), dtype=np.float32)
         for i, p in enumerate(payloads):
-            if self.real:
-                # real path (untested here: no codec libs in this sandbox)
-                import io
-
-                import PIL.Image
-
-                img = PIL.Image.open(io.BytesIO(p))
-                widths[i], heights[i] = img.size
-                feats[i] = np.asarray(img.resize((4, 4)).convert("L")).reshape(-1)[
-                    : self.FEATURE_DIM
-                ]
-            else:
-                widths[i], heights[i], feats[i] = self._fake_decode(p or b"")
+            widths[i], heights[i], feats[i] = self._decode(p or b"")
         out = batch.drop_columns(["payload"])
         out = out.append_column("width", pa.array(widths, pa.int32()))
         out = out.append_column("height", pa.array(heights, pa.int32()))
@@ -147,23 +166,48 @@ def decode_media(
 
 
 class ResizeStage:
-    """Actor-pool image resize. REAL decode requires PIL (absent here):
-    construction is gated by :func:`require_codecs` unless
-    ``allow_fake=True``, in which case a clearly-marked deterministic fake
-    rescales the stored dims and re-derives the feature — the Ray plumbing
-    (actor signature, small batches, fixed output schema) is identical to
-    the real path."""
+    """Actor-pool image resize with a REAL path for PNG payloads: decode
+    (PIL when importable, else the pure-Python PNG codec), nearest-neighbor
+    resample, re-encode — payload bytes and dims both update. Non-PNG
+    payloads without PIL either raise (``allow_fake=False``) or take the
+    clearly-marked fake (dims rewritten, payload untouched); the Ray
+    plumbing (actor signature, small batches, fixed output schema) is
+    identical either way."""
 
     def __init__(self, width: int = 224, height: int = 224, *, allow_fake: bool = False):
-        if not allow_fake:
-            require_codecs()
+        from ..functions import png as _png
+
         self.width, self.height = width, height
+        self.allow_fake = allow_fake
+        self.pil = have_image_codec()
+        self.png = _png
+
+    def _resize(self, p: bytes) -> bytes:
+        if self.pil:
+            import io
+
+            import PIL.Image
+
+            img = PIL.Image.open(io.BytesIO(p)).resize((self.width, self.height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        if self.png.is_png(p):
+            arr = self.png.decode_png(p)
+            return self.png.encode_png(
+                self.png.resize_nearest(arr, self.width, self.height)
+            )
+        if not self.allow_fake:
+            require_codecs()
+        return p  # fake: payload untouched, dims rewritten below
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        payloads = [self._resize(p or b"") for p in batch.column("payload").to_pylist()]
         out = batch.drop_columns(
-            [c for c in ("width", "height") if c in batch.column_names]
+            [c for c in ("payload", "width", "height") if c in batch.column_names]
         )
+        out = out.append_column("payload", pa.array(payloads, pa.binary()))
         out = out.append_column(
             "width", pa.nulls(n, pa.int32()).fill_null(self.width)
         )

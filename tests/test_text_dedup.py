@@ -265,8 +265,16 @@ def test_resize_and_frame_sample_stubs():
 
     media = mm.to_media_dataset(_docs_ds().limit(50), kind="video")
     if not mm.have_image_codec():
+        # non-PNG payload without PIL: strict mode raises at decode time
         with pytest.raises(NotImplementedError):
-            mm.ResizeStage()
+            mm.ResizeStage()(
+                pa.table(
+                    {
+                        "media_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"not-a-png"], pa.binary()),
+                    }
+                )
+            )
     resized = media.map_batches(
         mm.ResizeStage, fn_constructor_kwargs={"allow_fake": True},
         batch_format="pyarrow", batch_size=16, concurrency=2,
@@ -386,3 +394,138 @@ def test_minhash_verify_rounds_match_single_broadcast():
     one_s = one.sort_values(key).reset_index(drop=True)
     multi_s = multi.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(one_s, multi_s)
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode path (pure-Python codec, round-2 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def _random_png(rng, w, h, ch):
+    from etl_pipeline_rdf_star_ray.functions import png
+
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint16).astype(np.uint8)
+    return arr, png.encode_png(arr)
+
+
+def test_png_roundtrip_all_color_types():
+    from etl_pipeline_rdf_star_ray.functions import png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        arr, data = _random_png(rng, 13, 9, ch)
+        assert png.is_png(data)
+        back = png.decode_png(data)
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_png_decoder_handles_all_filters():
+    """zlib-written streams use filter 0; exercise Sub/Up/Average/Paeth by
+    hand-building the filtered scanlines."""
+    import struct
+    import zlib
+
+    from etl_pipeline_rdf_star_ray.functions import png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint16).astype(np.uint8)
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        cur = flat[y]
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                filt[x] = cur[x]
+            elif f == 1:
+                filt[x] = cur[x] - a
+            elif f == 2:
+                filt[x] = cur[x] - b
+            elif f == 3:
+                filt[x] = cur[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pred = a if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - c) \
+                    else (b if abs(p - b) <= abs(p - c) else c)
+                filt[x] = cur[x] - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    data = (
+        png.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(png.decode_png(data), arr)
+
+
+def test_decode_stage_real_png_path():
+    """PNG payloads must take the REAL decode path (actual dims, area-mean
+    feature), while non-PNG payloads keep the sha256 fake — through the
+    actual actor-pool map_batches plumbing."""
+    from etl_pipeline_rdf_star_ray.functions import png
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    arrs, payloads = [], []
+    for i, (w, h) in enumerate([(7, 5), (32, 16), (3, 3)]):
+        arr, data = _random_png(rng, w, h, 3)
+        arrs.append(arr)
+        payloads.append(data)
+    payloads.append(b"plain text, not an image")
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "kind": ["image"] * 4,
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    got = (
+        mm.decode_media(media, batch_size=2)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["width"][:3]) == [7, 32, 3]
+    assert list(got["height"][:3]) == [5, 16, 3]
+    np.testing.assert_allclose(
+        np.array(list(got["feature"][0])), png.grayscale_feature(arrs[0]),
+        rtol=1e-6,
+    )
+    # the non-PNG row stays on the deterministic fake (oracle-compatible)
+    import hashlib as hl
+
+    digest = hl.sha256(payloads[3]).digest()
+    assert got["width"][3] == 16 + digest[0] % 64
+    assert got["height"][3] == 16 + digest[1] % 64
+
+
+def test_resize_stage_real_png_path():
+    from etl_pipeline_rdf_star_ray.functions import png
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    arr, data = _random_png(rng, 10, 6, 3)
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([data], pa.binary()),
+        }
+    )
+    out = mm.ResizeStage(4, 4)(batch)
+    resized = png.decode_png(out.column("payload")[0].as_py())
+    assert resized.shape == (4, 4, 3)
+    np.testing.assert_array_equal(resized, png.resize_nearest(arr, 4, 4))
+    assert out.column("width")[0].as_py() == 4
