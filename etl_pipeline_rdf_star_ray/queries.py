@@ -512,6 +512,71 @@ WHERE c.c_mktsegment IS NOT NULL
 GROUP BY n.n_name ORDER BY nation
 """
 
+
+def q_sparql_path_located(sf_dir: str):
+    """SPARQL property-path transitive closure (``p+`` → recursive CTE):
+    ``locatedIn`` edges lifted from customer→nation and nation→region, then
+    ``?x <urn:locatedIn>+ ?y`` reaches customers' regions through the
+    2-level hierarchy. Scale note: the closure runs over the EDGE relation
+    only (edges ≪ facts); the edge build itself streams via map_batches."""
+    from .sparql import sparql_select
+
+    def cust_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "subject": pc.binary_join_element_wise(
+                    "cust:", pc.cast(b.column("c_custkey"), pa.string()), ""
+                ),
+                "predicate": pa.nulls(n, pa.string()).fill_null("urn:locatedIn"),
+                "object_value": pc.binary_join_element_wise(
+                    "nat:", pc.cast(b.column("c_nationkey"), pa.string()), ""
+                ),
+            }
+        )
+
+    def nation_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "subject": pc.binary_join_element_wise(
+                    "nat:", pc.cast(b.column("n_nationkey"), pa.string()), ""
+                ),
+                "predicate": pa.nulls(n, pa.string()).fill_null("urn:locatedIn"),
+                "object_value": pc.binary_join_element_wise(
+                    "reg:", pc.cast(b.column("n_regionkey"), pa.string()), ""
+                ),
+            }
+        )
+
+    edges = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_edges, batch_format="pyarrow").union(
+        rd.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        ).map_batches(nation_edges, batch_format="pyarrow")
+    )
+    return sparql_select(
+        "SELECT ?x ?y WHERE { ?x <urn:locatedIn>+ ?y } ORDER BY ?x ?y", edges
+    )
+
+
+ORACLE_SPARQL_PATH = """
+WITH RECURSIVE edges AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+         'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR),
+         'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+reach AS (
+  SELECT s, o FROM edges
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN edges e ON e.s = r.o
+)
+SELECT s AS x, o AS y FROM reach ORDER BY x, y
+"""
+
 # ---------------------------------------------------------------------------
 # analytics
 # ---------------------------------------------------------------------------
@@ -1157,6 +1222,7 @@ def build_queries() -> dict:
         # SPARQL serving surface
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
+        "sparql_path_located": q_sparql_path_located,
         # analytics
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
@@ -1225,6 +1291,7 @@ def build_oracles() -> dict[str, str]:
         "rdf_roundtrip": ORACLE_RDF_ROUNDTRIP,
         "sparql_roles": ORACLE_SPARQL_ROLES,
         "sparql_star_nation": ORACLE_SPARQL_NATION,
+        "sparql_path_located": ORACLE_SPARQL_PATH,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

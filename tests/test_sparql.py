@@ -699,3 +699,14 @@ def test_path_prune_disables_itself():
 
     q = parse_sparql("SELECT ?y WHERE { <a> <p>+ ?y }")
     assert pattern_masks(q) is None
+
+
+def test_sparql_path_located_matches_oracle():
+    """Driver-registered property-path query: closure over lifted
+    customer→nation→region edges equals the DuckDB recursive-CTE oracle."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.oracle_harness import run as oracle_run
+
+    assert oracle_run("/root/testdata/sf0.001", ["sparql_path_located"]) == 0
