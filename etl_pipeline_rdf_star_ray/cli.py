@@ -198,16 +198,20 @@ def main(argv: list[str] | None = None) -> int:
             quads = args.source  # parquet path — DuckDB reads with pushdown
 
         if args.verb == "sparql":
-            from .sparql import sparql_select, sparql_select_json
+            from .sparql import sparql_query, sparql_query_json
 
             qtext = args.query
             if qtext.startswith("@"):
                 with open(qtext[1:]) as fh:
                     qtext = fh.read()
             if args.as_json:
-                print(json.dumps(sparql_select_json(qtext, quads), indent=1))
+                print(json.dumps(sparql_query_json(qtext, quads), indent=1))
             else:
-                print(sparql_select(qtext, quads).to_pandas().to_string())
+                out = sparql_query(qtext, quads)
+                if isinstance(out, bool):
+                    print("true" if out else "false")
+                else:
+                    print(out.to_pandas().to_string())
             return 0
 
         # serve: parquet paths are served lazily via DuckDB pushdown; a

@@ -9,7 +9,8 @@ nothing more than a threading HTTP server over an immutable Arrow table.
 
 The served quad table is loaded once at startup (the reference likewise
 loads its pyoxigraph store once at startup, ``initialize_store`` :32);
-queries run against it via :func:`~.sparql.sparql_select_json`. For live
+queries run against it via :func:`~.sparql.sparql_query_json` (SELECT /
+ASK / CONSTRUCT, the reference's three response shapes). For live
 data, restart the server on a new snapshot — serving is read-only by
 design, matching the reference.
 """
@@ -23,7 +24,7 @@ from urllib.parse import parse_qs, urlparse
 
 import pyarrow as pa
 
-from .sparql import SparqlError, sparql_select_json
+from .sparql import SparqlError, sparql_query_json
 
 _HOME_HTML = """<!doctype html>
 <html><head><title>SPARQL-star endpoint</title></head><body>
@@ -92,7 +93,7 @@ def make_server(
                 self._send_json(400, {"error": "missing query"})
                 return
             try:
-                doc = sparql_select_json(query, quads)
+                doc = sparql_query_json(query, quads)
             except SparqlError as e:
                 self._send_json(400, {"error": str(e)})
                 return

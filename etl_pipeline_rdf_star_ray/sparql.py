@@ -17,7 +17,9 @@ executable counterpart over the engine's Arrow quad tables
   literals), ``BIND``, single-level ``OPTIONAL``, GROUP BY, ORDER BY
   ASC/DESC, LIMIT / OFFSET — the complete feature set exercised by the
   reference's Postman corpus and the SELECT queries of
-  ``sparql/batch_queries.rq``.
+  ``sparql/batch_queries.rq`` — plus the ``ASK`` and ``CONSTRUCT`` query
+  forms (ASK = the group with LIMIT 1 → boolean; CONSTRUCT = template
+  instantiation over the solution set → deduplicated triple table).
 - **compiler** — BGP → self-join SQL over a ``quads`` relation (one alias per
   triple pattern, shared variables become join equalities — the standard
   SPARQL-to-SQL lowering). Quoted-triple patterns compile against an
@@ -161,6 +163,11 @@ class SelectQuery:
     order_by: list[tuple[object, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    #: query form: "SELECT" | "ASK" | "CONSTRUCT" (ASK compiles as the same
+    #: WHERE group with LIMIT 1; CONSTRUCT carries its template separately)
+    form: str = "SELECT"
+    #: CONSTRUCT template triples (vars must be bound by the WHERE group)
+    template: list[TriplePattern] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -318,6 +325,10 @@ class _Parser:
                 raise SparqlError(f"bad PREFIX IRI at {iri.pos}")
             self.prefixes[pfx] = iri.text[1:-1]
 
+        if self.at_word("ASK"):
+            return self._parse_ask()
+        if self.at_word("CONSTRUCT"):
+            return self._parse_construct()
         self.eat_word("SELECT")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -349,13 +360,7 @@ class _Parser:
             if not select:
                 raise SparqlError("empty SELECT list")
 
-        from_graph = None
-        if self.at_word("FROM"):
-            self.next()
-            g = self.parse_term()
-            if not isinstance(g, Iri):
-                raise SparqlError("FROM requires an IRI")
-            from_graph = g.value
+        from_graph = self._parse_from()
 
         if self.at_word("WHERE"):
             self.next()
@@ -365,7 +370,92 @@ class _Parser:
             patterns=[], filters=[], binds=[],
         )
         self.parse_group(q)
+        self._parse_modifiers(q)
+        self._expect_eof()
+        return q
 
+    def _parse_from(self) -> str | None:
+        if not self.at_word("FROM"):
+            return None
+        self.next()
+        g = self.parse_term()
+        if not isinstance(g, Iri):
+            raise SparqlError("FROM requires an IRI")
+        return g.value
+
+    def _expect_eof(self) -> None:
+        if self.peek().kind != "eof":
+            t = self.peek()
+            raise SparqlError(f"unexpected trailing {t.text!r} at {t.pos}")
+
+    def _parse_ask(self) -> SelectQuery:
+        """``ASK [FROM <g>] [WHERE] { … }`` — the WHERE group compiles
+        exactly like a SELECT's with ``LIMIT 1``; the executor maps
+        ≥1 row → true (reference serves ASK via pyoxigraph,
+        ``rdf-workbench.py:459-461``)."""
+        self.eat_word("ASK")
+        q = SelectQuery(
+            prefixes=self.prefixes, select=[], distinct=False,
+            select_star=True, from_graph=self._parse_from(),
+            patterns=[], filters=[], binds=[], form="ASK",
+        )
+        if self.at_word("WHERE"):
+            self.next()
+        self.parse_group(q)
+        q.limit = 1
+        self._expect_eof()
+        return q
+
+    def _parse_construct(self) -> SelectQuery:
+        """``CONSTRUCT { template } [FROM <g>] WHERE { … } [ORDER/LIMIT]``.
+        The WHERE group compiles to a SELECT of the template's variables;
+        the executor instantiates the template per solution and returns the
+        deduplicated triple set (reference: ``rdf-workbench.py:463-468``)."""
+        self.eat_word("CONSTRUCT")
+        self.eat("{")
+        template: list[TriplePattern] = []
+        while self.peek().text != "}":
+            template.extend(self.parse_triples_block())
+            if self.peek().text == ".":
+                self.next()
+        self.next()
+        if not template:
+            raise SparqlError("empty CONSTRUCT template")
+        seen: set[str] = set()
+        sel: list[tuple[object, str | None]] = []
+        for t in template:
+            if isinstance(t.p, PathPred):
+                raise SparqlError(
+                    "property-path modifiers are not allowed in a "
+                    "CONSTRUCT template"
+                )
+            for x in (t.s, t.p, t.o):
+                if isinstance(x, Quoted):
+                    raise SparqlError(
+                        "quoted-triple terms in a CONSTRUCT template are "
+                        "not supported: annotations live on the asserted "
+                        "triple's annotations column in this engine "
+                        "(docs/SPARQL_TRANSLATION.md)"
+                    )
+                if isinstance(x, Var) and x.name not in seen:
+                    seen.add(x.name)
+                    sel.append((x, None))
+        q = SelectQuery(
+            prefixes=self.prefixes, select=sel, distinct=False,
+            select_star=not sel, from_graph=self._parse_from(),
+            patterns=[], filters=[], binds=[], form="CONSTRUCT",
+            template=template,
+        )
+        if self.at_word("WHERE"):
+            self.next()
+        self.parse_group(q)
+        self._parse_modifiers(q)
+        if q.group_by:
+            raise SparqlError("GROUP BY is not allowed in a CONSTRUCT query")
+        self._expect_eof()
+        return q
+
+    def _parse_modifiers(self, q: SelectQuery) -> None:
         if self.at_word("GROUP"):
             self.next()
             self.eat_word("BY")
@@ -405,10 +495,6 @@ class _Parser:
             if not re.fullmatch(r"\d+", t.text):
                 raise SparqlError(f"OFFSET needs a non-negative integer at {t.pos}")
             q.offset = int(t.text)
-        if self.peek().kind != "eof":
-            t = self.peek()
-            raise SparqlError(f"unexpected trailing {t.text!r} at {t.pos}")
-        return q
 
     def _fresh_group(self) -> SelectQuery:
         return SelectQuery(
@@ -1091,6 +1177,10 @@ class _Compiler:
             items = q.select
         sel_items: list[str] = []
         out_kinds: dict[str, str] = {}
+        if q.select_star and not items:
+            # all-constant group (ASK over fixed terms): emit a marker column
+            sel_items.append("1 AS ask__hit")
+            out_kinds["ask__hit"] = "literal"
         for expr, alias in items:
             if isinstance(expr, Var):
                 name = alias or expr.name
@@ -1362,6 +1452,146 @@ def sparql_select_json(query: str, quads) -> dict:
     ``fastapi_sparql_server.py:220-265``)."""
     table, kinds = _exec(query, quads, term_info=True)
     return to_sparql_json(table, kinds)
+
+
+def sparql_ask(query: str, quads) -> bool:
+    """``ASK { … }`` — true iff the WHERE group has at least one solution.
+    The group compiles with ``LIMIT 1``, so the executor stops at the first
+    match (reference serves ASK via pyoxigraph, ``rdf-workbench.py:459-461``)."""
+    table, _ = _exec(query, quads, term_info=False)
+    return table.num_rows > 0
+
+
+def sparql_construct(query: str, quads) -> pa.Table:
+    """``CONSTRUCT { template } WHERE { … }`` — evaluate the WHERE group as
+    a SELECT of the template's variables, instantiate the template per
+    solution (vectorized: one column-select / constant-fill per template
+    triple, rows with an unbound template variable dropped per the SPARQL
+    spec), and return the DEDUPLICATED triple set as a quad-schema-shaped
+    Arrow table (``subject predicate object_value object_type
+    object_datatype object_lang``) — so CONSTRUCT output can feed straight
+    back into :func:`sparql_select` or the TriG exporter. Reference analog:
+    ``rdf-workbench.py:463-468`` (pyoxigraph triples)."""
+    parsed = parse_sparql(query)
+    if parsed.form != "CONSTRUCT":
+        raise SparqlError("sparql_construct needs a CONSTRUCT query")
+    table, kinds = _exec(query, quads, term_info=True)
+    return _instantiate_template(parsed.template, table, kinds)
+
+
+def _instantiate_template(
+    template: list[TriplePattern], table: pa.Table, kinds: dict[str, str]
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    cols = [
+        "subject", "predicate", "object_value",
+        "object_type", "object_datatype", "object_lang",
+    ]
+    parts: list[pa.Table] = []
+    for t in template:
+        mask = None
+        for x in (t.s, t.p, t.o):
+            if isinstance(x, Var):
+                if x.name not in table.column_names:
+                    raise SparqlError(
+                        f"CONSTRUCT template variable ?{x.name} is not bound "
+                        "by the WHERE group"
+                    )
+                m = pc.is_valid(table.column(x.name))
+                mask = m if mask is None else pc.and_(mask, m)
+        sub = table if mask is None else table.filter(mask)
+        n = sub.num_rows
+
+        def const(val: str | None):
+            if val is None:
+                return pa.nulls(n, pa.string())
+            return pa.nulls(n, pa.string()).fill_null(val)
+
+        def term(x):
+            if isinstance(x, Var):
+                return pc.cast(sub.column(x.name), pa.string())
+            if isinstance(x, Iri):
+                return const(x.value)
+            return const(x.value)  # Literal
+
+        if isinstance(t.o, Var):
+            name = t.o.name
+            if f"{name}__type" in sub.column_names:
+                otype = sub.column(f"{name}__type")
+                odt = sub.column(f"{name}__datatype")
+                olang = sub.column(f"{name}__lang")
+            else:
+                k = kinds.get(name, "unknown")
+                otype = const("iri" if k == "iri" else None)
+                odt, olang = const(None), const(None)
+        elif isinstance(t.o, Iri):
+            otype, odt, olang = const("iri"), const(None), const(None)
+        else:
+            otype = const("literal")
+            odt = const(t.o.datatype)
+            olang = const(t.o.lang)
+        parts.append(
+            pa.table(
+                {
+                    "subject": term(t.s),
+                    "predicate": term(t.p),
+                    "object_value": term(t.o),
+                    "object_type": otype,
+                    "object_datatype": odt,
+                    "object_lang": olang,
+                }
+            )
+        )
+    out = pa.concat_tables(parts)
+    # CONSTRUCT returns an RDF *graph*: set semantics + deterministic order
+    out = out.group_by(cols, use_threads=False).aggregate([])
+    return out.sort_by([(c, "ascending") for c in cols])
+
+
+def _format_term(value, typ, datatype, lang) -> str:
+    if typ == "iri" or (typ is None and value is not None and _IRI_SHAPE.match(str(value))):
+        return f"<{value}>"
+    s = '"' + str(value).replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if datatype:
+        return f"{s}^^<{datatype}>"
+    if lang:
+        return f"{s}@{lang}"
+    return s
+
+
+def sparql_query(query: str, quads):
+    """Form-dispatched execution: SELECT → result table, ASK → bool,
+    CONSTRUCT → deduplicated triple table."""
+    form = parse_sparql(query).form
+    if form == "ASK":
+        return sparql_ask(query, quads)
+    if form == "CONSTRUCT":
+        return sparql_construct(query, quads)
+    return sparql_select(query, quads)
+
+
+def sparql_query_json(query: str, quads) -> dict:
+    """Form-dispatched JSON shaping, matching the reference server's three
+    response shapes (``rdf-workbench.py:415-468``): SELECT → SPARQL JSON
+    results document, ASK → ``{"head": {}, "boolean": b}``, CONSTRUCT →
+    ``{"triples": [N-Triples strings], "count": n}``."""
+    form = parse_sparql(query).form
+    if form == "ASK":
+        return {"head": {}, "boolean": sparql_ask(query, quads)}
+    if form == "CONSTRUCT":
+        t = sparql_construct(query, quads)
+        triples = [
+            f"<{r['subject']}> <{r['predicate']}> "
+            + _format_term(
+                r["object_value"], r["object_type"],
+                r["object_datatype"], r["object_lang"],
+            )
+            + " ."
+            for r in t.to_pylist()
+        ]
+        return {"triples": triples, "count": t.num_rows}
+    return sparql_select_json(query, quads)
 
 
 def load_quads_table(quads) -> pa.Table:

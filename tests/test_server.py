@@ -146,3 +146,32 @@ def test_quoted_pattern_over_http(endpoint):
     bindings = json.loads(out)["results"]["bindings"]
     assert bindings[0]["src"]["type"] == "uri"
     assert bindings[0]["n"]["value"] == "4"
+
+
+def test_ask_and_construct_over_http(endpoint):
+    """The serving layer returns the reference's three response shapes
+    (rdf-workbench.py:415-468): SELECT results doc, ASK boolean doc,
+    CONSTRUCT triples doc."""
+    status, _, body = _get(
+        endpoint
+        + "/sparql?"
+        + urllib.parse.urlencode(
+            {"query": PREFIXES + "ASK { ?d a dcat:Dataset }"}
+        )
+    )
+    assert status == 200
+    assert json.loads(body) == {"head": {}, "boolean": True}
+
+    status, out = _post(
+        endpoint + "/sparql",
+        (
+            PREFIXES
+            + "CONSTRUCT { ?d a <http://example.org/Doc> } "
+            + "WHERE { ?d a dcat:Dataset }"
+        ).encode(),
+        "application/sparql-query",
+    )
+    assert status == 200
+    doc = json.loads(out)
+    assert doc["count"] == 7
+    assert all(t.endswith(" .") for t in doc["triples"])

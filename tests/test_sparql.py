@@ -710,3 +710,172 @@ def test_sparql_path_located_matches_oracle():
     from tests.oracle_harness import run as oracle_run
 
     assert oracle_run("/root/testdata/sf0.001", ["sparql_path_located"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# ASK / CONSTRUCT query forms (reference: rdf-workbench.py:459-468)
+# ---------------------------------------------------------------------------
+
+
+def test_ask_true_and_false():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_ask
+
+    assert sparql_ask(
+        PREFIXES + "ASK WHERE { ?d a dcat:Dataset }", QUADS
+    ) is True
+    assert sparql_ask(
+        PREFIXES + "ASK { ?d a ex:Nothing }", QUADS
+    ) is False
+
+
+def test_ask_all_constant_pattern():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_ask
+
+    q = PREFIXES + "ASK { <http://example.org/dataset/DS-000000> a dcat:Dataset }"
+    assert sparql_ask(q, QUADS) is True
+    q2 = PREFIXES + "ASK { <http://example.org/dataset/DS-000000> a ex:Nope }"
+    assert sparql_ask(q2, QUADS) is False
+
+
+def test_ask_with_filter_and_from():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_ask
+
+    # DS-EXTRA exists only in g/other; FROM g/base must exclude it
+    assert sparql_ask(
+        PREFIXES
+        + f"ASK FROM <{EX}g/base> WHERE {{ ex:dataset/DS-EXTRA a dcat:Dataset }}".replace("ex:dataset/DS-EXTRA", f"<{EX}dataset/DS-EXTRA>"),
+        QUADS,
+    ) is False
+
+
+def test_construct_basic_template():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_construct
+
+    out = sparql_construct(
+        PREFIXES
+        + """CONSTRUCT { ?d ex:hasTitle ?t . ?d a ex:Doc }
+             WHERE { ?d a dcat:Dataset ; dct:title ?t }""",
+        QUADS,
+    )
+    # 6 datasets with titles -> 6 hasTitle + 6 type triples
+    assert out.num_rows == 12
+    preds = set(out.column("predicate").to_pylist())
+    assert preds == {EX + "hasTitle", RDF_TYPE}
+    # term info: object of hasTitle is a literal, of rdf:type an IRI
+    by_pred = {}
+    for r in out.to_pylist():
+        by_pred.setdefault(r["predicate"], set()).add(r["object_type"])
+    assert by_pred[EX + "hasTitle"] == {"literal"}
+    assert by_pred[RDF_TYPE] == {"iri"}
+
+
+def test_construct_dedups_and_sorts():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_construct
+
+    # every dataset yields the same constant triple -> set semantics: 1 row
+    out = sparql_construct(
+        PREFIXES
+        + "CONSTRUCT { ex:corpus a ex:Corpus } WHERE { ?d a dcat:Dataset }",
+        QUADS,
+    )
+    assert out.num_rows == 1
+    assert out.column("subject")[0].as_py() == EX + "corpus"
+    assert out.column("object_type")[0].as_py() == "iri"
+
+
+def test_construct_drops_unbound_optional_rows():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_construct
+
+    # rdfs:label exists only for the dcat:Dataset class node, not datasets;
+    # OPTIONAL leaves ?lbl unbound for all 6 -> those template rows drop
+    out = sparql_construct(
+        PREFIXES
+        + """CONSTRUCT { ?d ex:label ?lbl . ?d a ex:Doc }
+             WHERE { ?d a dcat:Dataset . OPTIONAL { ?d rdfs:label ?lbl } }""",
+        QUADS,
+    )
+    preds = out.column("predicate").to_pylist()
+    assert preds.count(RDF_TYPE) == 7  # 6 base datasets + DS-EXTRA (g/other)
+    assert preds.count(EX + "label") == 0
+
+
+def test_construct_output_requeryable():
+    """CONSTRUCT output conforms to the quads relation: feed it back in."""
+    from etl_pipeline_rdf_star_ray.sparql import sparql_construct, sparql_select
+
+    out = sparql_construct(
+        PREFIXES
+        + "CONSTRUCT { ?d ex:hasTitle ?t } WHERE { ?d dct:title ?t }",
+        QUADS,
+    )
+    again = sparql_select(
+        PREFIXES + "SELECT ?t WHERE { ?d ex:hasTitle ?t } ORDER BY ?t", out
+    )
+    assert again.num_rows == 6
+    assert again.column("t")[0].as_py() == "Dataset 0"
+
+
+def test_construct_rejections():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_construct
+
+    with pytest.raises(SparqlError, match="unbound variable"):
+        sparql_construct(
+            PREFIXES + "CONSTRUCT { ?x ex:p ?nope } WHERE { ?x a dcat:Dataset }",
+            QUADS,
+        )
+    with pytest.raises(SparqlError, match="empty CONSTRUCT template"):
+        parse_sparql(PREFIXES + "CONSTRUCT { } WHERE { ?x ?p ?o }")
+    with pytest.raises(SparqlError, match="quoted-triple"):
+        parse_sparql(
+            PREFIXES
+            + "CONSTRUCT { <<?s ex:p ?o>> ex:conf ?c } WHERE { ?s ex:p ?o }"
+        )
+    with pytest.raises(SparqlError, match="property-path"):
+        parse_sparql(
+            PREFIXES + "CONSTRUCT { ?s ex:p+ ?o } WHERE { ?s ex:p ?o }"
+        )
+    with pytest.raises(SparqlError, match="GROUP BY"):
+        parse_sparql(
+            PREFIXES
+            + "CONSTRUCT { ?s ex:p ?o } WHERE { ?s ex:p ?o } GROUP BY ?s"
+        )
+
+
+def test_construct_literal_constant_with_datatype():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_construct
+
+    out = sparql_construct(
+        PREFIXES
+        + 'CONSTRUCT { ?d ex:score "1.0"^^<http://www.w3.org/2001/XMLSchema#double> } '
+        + "WHERE { ?d a dcat:Dataset }",
+        QUADS,
+    )
+    assert out.num_rows == 7  # 6 base + DS-EXTRA in g/other
+    assert out.column("object_datatype")[0].as_py().endswith("double")
+
+
+def test_query_json_dispatch():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_query_json
+
+    doc = sparql_query_json(PREFIXES + "ASK { ?d a dcat:Dataset }", QUADS)
+    assert doc == {"head": {}, "boolean": True}
+    doc = sparql_query_json(
+        PREFIXES + "CONSTRUCT { ?d a ex:Doc } WHERE { ?d a dcat:Dataset }",
+        QUADS,
+    )
+    assert doc["count"] == 7
+    assert all(t.endswith(" .") for t in doc["triples"])
+    assert f"<{EX}dataset/DS-000000> <{RDF_TYPE}> <{EX}Doc> ." in doc["triples"]
+    doc = sparql_query_json(
+        PREFIXES + "SELECT ?d WHERE { ?d a dcat:Dataset } LIMIT 1", QUADS
+    )
+    assert "results" in doc
+
+
+def test_construct_ntriples_literal_escaping():
+    from etl_pipeline_rdf_star_ray.sparql import _format_term
+
+    assert _format_term('he said "hi"', "literal", None, None) == '"he said \\"hi\\""'
+    assert _format_term("v", "literal", XSD_D, None) == f'"v"^^<{XSD_D}>'
+    assert _format_term("bonjour", "literal", None, "fr") == '"bonjour"@fr'
+    assert _format_term(EX + "x", "iri", None, None) == f"<{EX}x>"
