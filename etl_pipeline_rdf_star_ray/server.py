@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 import pyarrow as pa
 
@@ -60,8 +60,64 @@ def _stats(quads) -> dict:
     return {"total_quads": n, "subjects": s, "predicates": p}
 
 
+#: class-explorer GET routes → explorer function names
+#: (reference: rdf-workbench.py:720-1385)
+_CLASS_ROUTES = {
+    "/api/class/neighbors": "class_neighbors",
+    "/api/class/properties": "class_properties",
+    "/api/class/restrictions": "class_restrictions",
+    "/api/class/individuals": "class_individuals",
+    "/api/individual/details": "individual_details",
+}
+
+
+_RDF_EXTS = (
+    ".ttl", ".turtle", ".trig", ".nt", ".ntriples", ".nq", ".nquads"
+)
+#: formats that carry their own graph labels — loaded verbatim; everything
+#: else lands in the target graph (reference: rdf-workbench.py:122-128)
+_GRAPHED_EXTS = (".trig", ".nq", ".nquads")
+
+
+def _graph_uri_from_path(relpath: str) -> str:
+    """Named-graph URI from a path relative to the input dir
+    (reference ``graph_uri_from_path``, rdf-workbench.py:91-97)."""
+    import os
+
+    name = os.path.splitext(relpath.replace("\\", "/"))[0]
+    return f"http://example.org/graph/{name}"
+
+
+def _load_rdf_as_quads(filepath: str, graph_uri: str) -> pa.Table:
+    """Parse one RDF file to quad rows; graph-less formats land wholly in
+    ``graph_uri``, graph-carrying formats (TriG/N-Quads) keep their own."""
+    import os
+
+    from .sources.rdf_text import parse_rdf_text
+
+    with open(filepath, encoding="utf-8") as f:
+        t = parse_rdf_text(f.read())
+    if os.path.splitext(filepath)[1] not in _GRAPHED_EXTS:
+        idx = t.column_names.index("graph")
+        t = t.set_column(
+            idx, "graph", pa.nulls(t.num_rows, pa.string()).fill_null(graph_uri)
+        )
+    return t
+
+
+def _append_quads(base: pa.Table, add: pa.Table) -> pa.Table:
+    """Concat new quad rows onto the served snapshot, aligning columns the
+    snapshot has that a text parse lacks (annotations, …) with nulls."""
+    for name in base.column_names:
+        if name not in add.column_names:
+            add = add.append_column(
+                name, pa.nulls(add.num_rows, base.schema.field(name).type)
+            )
+    return pa.concat_tables([base, add.select(base.column_names)])
+
+
 def make_server(
-    quads, host: str = "127.0.0.1", port: int = 0
+    quads, host: str = "127.0.0.1", port: int = 0, input_dir: str | None = None
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free
     ephemeral port (``server.server_address[1]`` after construction).
@@ -71,8 +127,14 @@ def make_server(
     query runs DuckDB directly over the files with projection/filter
     pushdown, nothing held resident.
 
+    ``input_dir`` opts in to the reference's graph-management verbs
+    (``POST /api/graphs/load`` / ``reload``, rdf-workbench.py:656-718):
+    RDF text files under it can be (re)loaded into named graphs of the
+    served snapshot. Without it the server stays strictly read-only.
+
     The startup snapshot statistics are exposed as ``server.stats``."""
     stats = _stats(quads)
+    state = {"quads": quads}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -93,7 +155,7 @@ def make_server(
                 self._send_json(400, {"error": "missing query"})
                 return
             try:
-                doc = sparql_query_json(query, quads)
+                doc = sparql_query_json(query, state["quads"])
             except SparqlError as e:
                 self._send_json(400, {"error": str(e)})
                 return
@@ -107,15 +169,29 @@ def make_server(
                 "application/sparql-results+json",
             )
 
+        def _explore(self, fn, *args) -> None:
+            """Run an explorer lookup; shape errors as JSON (the reference
+            maps exceptions to HTTPException detail strings)."""
+            from .explorer import ExplorerError
+
+            try:
+                self._send_json(200, fn(state["quads"], *args))
+            except (ExplorerError, SparqlError) as e:
+                self._send_json(400, {"error": str(e)})
+            except Exception as e:
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
         def do_GET(self) -> None:
+            from . import explorer
+
             url = urlparse(self.path)
+            qs = parse_qs(url.query)
             if url.path == "/":
                 self._send(
                     200, _HOME_HTML.format(**stats).encode(), "text/html"
                 )
             elif url.path == "/sparql":
-                q = parse_qs(url.query).get("query", [""])[0]
-                self._run_query(q)
+                self._run_query(qs.get("query", [""])[0])
             elif url.path == "/stats":
                 self._send_json(200, stats)
             elif url.path == "/health":
@@ -123,11 +199,127 @@ def make_server(
                     200,
                     {"status": "healthy", "total_quads": stats["total_quads"]},
                 )
+            elif url.path == "/api/graphs":
+                self._explore(explorer.list_graphs)
+            elif url.path == "/batches":
+                self._explore(explorer.list_batches)
+            elif url.path == "/ontologies":
+                self._explore(explorer.ontology_index)
+            elif url.path in _CLASS_ROUTES:
+                uri = unquote(qs.get("uri", [""])[0])
+                if not uri:
+                    self._send_json(400, {"error": "missing uri parameter"})
+                    return
+                fn = getattr(explorer, _CLASS_ROUTES[url.path])
+                if url.path == "/api/class/individuals":
+                    try:
+                        limit = int(qs.get("limit", ["20"])[0])
+                    except ValueError:
+                        self._send_json(400, {"error": "bad limit"})
+                        return
+                    self._explore(fn, uri, limit)
+                else:
+                    self._explore(fn, uri)
             else:
                 self._send_json(404, {"error": "not found"})
 
+        def _materialized(self) -> pa.Table:
+            if not isinstance(state["quads"], pa.Table):
+                from .sparql import load_quads_table
+
+                state["quads"] = load_quads_table(state["quads"])
+            return state["quads"]
+
+        def _graph_load(self, qs: dict) -> None:
+            import os
+
+            rel = qs.get("file", [""])[0]
+            if not rel:
+                self._send_json(400, {"error": "missing file parameter"})
+                return
+            filepath = os.path.abspath(os.path.join(input_dir, rel))
+            if not filepath.startswith(os.path.abspath(input_dir) + os.sep):
+                self._send_json(400, {"error": "invalid file path"})
+                return
+            if not os.path.isfile(filepath):
+                self._send_json(404, {"error": f"file not found: {rel}"})
+                return
+            graph_uri = qs.get("graph", [None])[0] or _graph_uri_from_path(
+                os.path.relpath(filepath, input_dir)
+            )
+            try:
+                add = _load_rdf_as_quads(filepath, graph_uri)
+            except Exception as e:
+                self._send_json(400, {"error": f"unsupported or bad RDF: {e}"})
+                return
+            import pyarrow.compute as pc
+
+            state["quads"] = _append_quads(self._materialized(), add)
+            count = pc.sum(
+                pc.equal(state["quads"].column("graph"), graph_uri)
+            ).as_py() or 0
+            self._send_json(
+                200,
+                {
+                    "message": f"Loaded {rel} into <{graph_uri}>",
+                    "graph": graph_uri,
+                    "tripleCount": int(count),
+                },
+            )
+
+        def _graph_reload(self) -> None:
+            import os
+
+            # full reset then re-walk the input dir — the reference's
+            # reload builds a fresh Store() (rdf-workbench.py:692-718)
+            base = self._materialized()
+            tables = [base.schema.empty_table()]
+            for dirpath, _dirs, files in os.walk(input_dir):
+                for name in sorted(files):
+                    if not name.endswith(_RDF_EXTS):
+                        continue
+                    fp = os.path.join(dirpath, name)
+                    g = _graph_uri_from_path(os.path.relpath(fp, input_dir))
+                    try:
+                        tables.append(
+                            _append_quads(
+                                base.schema.empty_table(),
+                                _load_rdf_as_quads(fp, g),
+                            )
+                        )
+                    except Exception:
+                        continue  # reference skips unparseable files
+            fresh = pa.concat_tables(tables)
+            state["quads"] = fresh
+            graphs = {
+                g for g in fresh.column("graph").to_pylist() if g is not None
+            }
+            self._send_json(
+                200,
+                {
+                    "message": "Reloaded all files",
+                    "totalQuads": fresh.num_rows,
+                    "namedGraphs": len(graphs),
+                },
+            )
+
         def do_POST(self) -> None:
-            if urlparse(self.path).path != "/sparql":
+            url = urlparse(self.path)
+            if url.path in ("/api/graphs/load", "/api/graphs/reload"):
+                if input_dir is None:
+                    self._send_json(
+                        403,
+                        {
+                            "error": "graph management disabled: server "
+                            "started without an input_dir (read-only)"
+                        },
+                    )
+                elif url.path == "/api/graphs/load":
+                    self._graph_load(parse_qs(url.query))
+                else:
+                    self._graph_reload()
+                return
+            if url.path != "/sparql":
                 self._send_json(404, {"error": "not found"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -151,10 +343,13 @@ def make_server(
 
 
 def serve_background(
-    quads: pa.Table, host: str = "127.0.0.1", port: int = 0
+    quads: pa.Table,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    input_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, int]:
     """Start the server on a daemon thread; returns (server, bound_port).
     Call ``server.shutdown()`` to stop."""
-    srv = make_server(quads, host, port)
+    srv = make_server(quads, host, port, input_dir=input_dir)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, srv.server_address[1]

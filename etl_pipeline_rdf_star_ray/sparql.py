@@ -168,6 +168,10 @@ class SelectQuery:
     form: str = "SELECT"
     #: CONSTRUCT template triples (vars must be bound by the WHERE group)
     template: list[TriplePattern] = field(default_factory=list)
+    #: inline VALUES blocks: (vars, rows of Iri|Literal|None-for-UNDEF)
+    values: list[tuple[list[Var], list[list[object]]]] = field(
+        default_factory=list
+    )
 
 
 class SparqlError(ValueError):
@@ -229,6 +233,8 @@ _FUNC_ARITY = {
     "REGEX": (2, 3), "BOUND": (1, 1), "IF": (3, 3), "NOW": (0, 0),
     "FLOOR": (1, 1), "COUNT": (1, 1), "SUM": (1, 1), "AVG": (1, 1),
     "MIN": (1, 1), "MAX": (1, 1),
+    "ISBLANK": (1, 1), "ISIRI": (1, 1), "ISURI": (1, 1),
+    "ISLITERAL": (1, 1),
 }
 _FUNCS = set(_FUNC_ARITY)
 
@@ -530,14 +536,17 @@ class _Parser:
                 q.binds.append(Bind(expr, Var(v.text[1:])))
             elif self.at_word("OPTIONAL"):
                 self.next()
-                self.eat("{")
-                pats: list[TriplePattern] = []
-                while self.peek().text != "}":
-                    pats.extend(self.parse_triples_block())
-                    if self.peek().text == ".":
-                        self.next()
+                g = self._fresh_group()
+                self.parse_group(g)
+                if g.binds or g.optionals or g.unions or g.values:
+                    raise SparqlError(
+                        "OPTIONAL groups support triple patterns, GRAPH "
+                        "blocks and FILTERs only"
+                    )
+                q.optionals.append(g)
+            elif self.at_word("VALUES"):
                 self.next()
-                q.optionals.append(pats)
+                q.values.append(self._parse_values())
             elif self.at_word("GRAPH"):
                 self.next()
                 q.patterns.extend(self.parse_graph_block())
@@ -580,6 +589,55 @@ class _Parser:
         return [
             TriplePattern(p.s, p.p, p.o, graph=g) for p in pats
         ]
+
+    def _parse_values(self) -> tuple[list[Var], list[list[object]]]:
+        """Inline data: ``VALUES ?x { t… }`` / ``VALUES (?x ?y) { (t t) … }``.
+        Terms are constants (IRI / literal) or ``UNDEF``; compiled to a
+        ``(VALUES …)`` relation joined on the block's variables (the
+        reference explorer's subclass-fan-out idiom,
+        ``rdf-workbench.py:1128-1135``)."""
+        vars_: list[Var] = []
+        multi = False
+        if self.peek().text == "(":
+            self.next()
+            multi = True
+            while self.peek().kind == "var":
+                vars_.append(Var(self.next().text[1:]))
+            self.eat(")")
+        elif self.peek().kind == "var":
+            vars_.append(Var(self.next().text[1:]))
+        if not vars_:
+            raise SparqlError("VALUES needs at least one variable")
+
+        def cell():
+            if self.at_word("UNDEF"):
+                self.next()
+                return None
+            t = self.parse_term()
+            if not isinstance(t, (Iri, Literal)):
+                raise SparqlError("VALUES terms must be constants or UNDEF")
+            return t
+
+        rows: list[list[object]] = []
+        self.eat("{")
+        while self.peek().text != "}":
+            if multi:
+                self.eat("(")
+                row = []
+                while self.peek().text != ")":
+                    row.append(cell())
+                self.next()
+            else:
+                row = [cell()]
+            if len(row) != len(vars_):
+                raise SparqlError(
+                    f"VALUES row has {len(row)} terms for {len(vars_)} vars"
+                )
+            rows.append(row)
+        self.next()
+        if not rows:
+            raise SparqlError("VALUES needs at least one row")
+        return vars_, rows
 
     def parse_exists(self) -> Exists:
         negated = False
@@ -996,6 +1054,26 @@ class _Compiler:
                 return f"(CASE WHEN {c} THEN {t} ELSE {f} END)"
             if e.name == "NOW":
                 return "now()"
+            if e.name == "ISBLANK":
+                # blank nodes carry the standard `_:` lexical prefix in the
+                # term columns (sources/rdf_text.py keeps labels verbatim)
+                return f"starts_with({self.expr_sql(e.args[0])}, '_:')"
+            if e.name in {"ISIRI", "ISURI", "ISLITERAL"}:
+                want_lit = e.name == "ISLITERAL"
+                a0 = e.args[0]
+                if isinstance(a0, Var) and a0.name in self.term_cols:
+                    col = f"{self.term_cols[a0.name]}.object_type"
+                    kind = "literal" if want_lit else "iri"
+                    return f"({col} = '{kind}')"
+                if isinstance(a0, Var) and self.kind.get(a0.name) == "iri":
+                    if want_lit:
+                        return "FALSE"
+                    return f"(NOT starts_with({self.expr_sql(a0)}, '_:'))"
+                sql = self.expr_sql(a0)
+                shape = f"regexp_matches({sql}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
+                if want_lit:
+                    return f"(NOT {shape} AND NOT starts_with({sql}, '_:'))"
+                return shape
             if e.name == "FLOOR":
                 return f"floor({self.expr_sql(e.args[0], numeric_hint=True)})"
             if e.name in _AGG_FUNCS:
@@ -1107,7 +1185,10 @@ class _Compiler:
     # -- full query ---------------------------------------------------------
     def compile(self, *, term_info: bool = False) -> tuple[str, dict[str, str]]:
         q = self.q
-        if not q.patterns and not q.optionals and not q.unions:
+        if (
+            not q.patterns and not q.optionals and not q.unions
+            and not q.values
+        ):
             raise SparqlError("empty WHERE block")
 
         # Constant BINDs (no variable deps) establish bindings BEFORE the
@@ -1125,6 +1206,40 @@ class _Compiler:
         for i, u in enumerate(q.unions):
             self._add_union(u, i)
 
+        # inline VALUES data: one (VALUES …) relation per block, joined on
+        # the block's variables (UNDEF = NULL matches anything)
+        for vi, (vals_vars, rows) in enumerate(q.values):
+            al = f"val{vi}"
+            cols = ", ".join(f"c{i}" for i in range(len(vals_vars)))
+            row_sqls = [
+                "("
+                + ", ".join(
+                    "NULL" if t is None else _sq(t.value) for t in row
+                )
+                + ")"
+                for row in rows
+            ]
+            self.aliases.append(
+                (f"(VALUES {', '.join(row_sqls)})", f"{al}({cols})")
+            )
+            for i, v in enumerate(vals_vars):
+                col = f"{al}.c{i}"
+                if v.name in self.bind:
+                    self.conds.append(
+                        f"({col} IS NULL OR {col} = {self.bind[v.name]})"
+                    )
+                else:
+                    self.bind[v.name] = col
+                    self.kind[v.name] = (
+                        "iri"
+                        if all(
+                            isinstance(r[i], Iri)
+                            for r in rows
+                            if r[i] is not None
+                        )
+                        else "unknown"
+                    )
+
         # OPTIONAL groups -> LEFT JOIN subselects on shared variables
         left_joins: list[str] = []
         for gi, group in enumerate(q.optionals):
@@ -1137,8 +1252,14 @@ class _Compiler:
                 self.counter,
                 self.ctes,
             )
-            for pat in group:
+            group_pats = (
+                group.patterns if isinstance(group, SelectQuery) else group
+            )
+            for pat in group_pats:
                 sub.add_pattern(pat)
+            if isinstance(group, SelectQuery):
+                for f in group.filters:
+                    sub.conds.append(sub.expr_sql(f))
             shared = [v for v in sub.bind if v in self.bind]
             if not shared:
                 raise SparqlError("OPTIONAL shares no variable with the group")
@@ -1295,7 +1416,7 @@ def _all_patterns(q: SelectQuery) -> list[TriplePattern]:
     filter expressions — pruning must keep candidate rows for all of them."""
     out = list(q.patterns)
     for g in q.optionals:
-        out.extend(g)
+        out.extend(g.patterns if isinstance(g, SelectQuery) else g)
     for u in q.unions:
         for branch in u.branches:
             out.extend(_all_patterns(branch))

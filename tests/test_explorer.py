@@ -1,0 +1,355 @@
+"""Class-explorer / graph-management layer tests.
+
+Fixture: a small OWL-ish ontology (two classes with a subclass, object +
+datatype properties, a qualified-cardinality restriction behind a blank
+node, a value-constraint RDF list, disjoint classes) plus individuals —
+the structures the reference workbench's explorer endpoints walk
+(``rdf-workbench.py:474-1385``)."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pyarrow as pa
+import pytest
+
+from etl_pipeline_rdf_star_ray import explorer
+from etl_pipeline_rdf_star_ray.explorer import (
+    OWL,
+    RDF,
+    RDFS,
+    XSD,
+    ExplorerError,
+    label_from_uri,
+)
+from etl_pipeline_rdf_star_ray.schema import ANNOTATIONS_TYPE
+
+EX = "http://example.org/"
+RDF_TYPE = RDF + "type"
+
+_SCHEMA = pa.schema(
+    [
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object_value", pa.string()),
+        ("object_type", pa.string()),
+        ("object_datatype", pa.string()),
+        ("object_lang", pa.string()),
+        ("graph", pa.string()),
+        ("annotations", ANNOTATIONS_TYPE),
+    ]
+)
+
+
+def _onto() -> pa.Table:
+    rows = []
+
+    def t(s, p, o, ot="iri", dt=None, g=EX + "graph/onto"):
+        rows.append(
+            {
+                "subject": s, "predicate": p, "object_value": o,
+                "object_type": ot, "object_datatype": dt,
+                "object_lang": None, "graph": g, "annotations": [],
+            }
+        )
+
+    person, employee, org = EX + "Person", EX + "Employee", EX + "Org"
+    works_for, name, age = EX + "worksFor", EX + "name", EX + "age"
+    # classes
+    t(person, RDF_TYPE, OWL + "Class")
+    t(person, RDFS + "label", "Person", "literal")
+    t(person, RDFS + "comment", "A human being", "literal")
+    t(employee, RDF_TYPE, OWL + "Class")
+    t(employee, RDFS + "subClassOf", person)
+    t(org, RDF_TYPE, RDFS + "Class")
+    # object property person -> org
+    t(works_for, RDF_TYPE, OWL + "ObjectProperty")
+    t(works_for, RDFS + "domain", person)
+    t(works_for, RDFS + "range", org)
+    t(works_for, RDF_TYPE, OWL + "FunctionalProperty")
+    t(works_for, OWL + "inverseOf", EX + "employs")
+    # datatype properties
+    t(name, RDF_TYPE, OWL + "DatatypeProperty")
+    t(name, RDFS + "domain", person)
+    t(name, RDFS + "range", XSD + "string")
+    t(age, RDF_TYPE, RDF + "Property")
+    # qualified-cardinality restriction behind a blank node
+    t(person, RDFS + "subClassOf", "_:r1")
+    t("_:r1", RDF_TYPE, OWL + "Restriction")
+    t("_:r1", OWL + "onProperty", works_for)
+    t("_:r1", OWL + "qualifiedCardinality", "1", "literal")
+    t("_:r1", OWL + "onClass", org)
+    # value constraint: age range via withRestrictions RDF list
+    t(person, RDFS + "subClassOf", "_:r2")
+    t("_:r2", RDF_TYPE, OWL + "Restriction")
+    t("_:r2", OWL + "onProperty", age)
+    t("_:r2", OWL + "minCardinality", "0", "literal")
+    t("_:r2", OWL + "onDataRange", "_:dr")
+    t("_:dr", OWL + "withRestrictions", "_:l1")
+    t("_:l1", RDF + "first", "_:c1")
+    t("_:l1", RDF + "rest", "_:l2")
+    t("_:l2", RDF + "first", "_:c2")
+    t("_:l2", RDF + "rest", RDF + "nil")
+    t("_:c1", XSD + "minInclusive", "0", "literal")
+    t("_:c2", XSD + "maxInclusive", "150", "literal")
+    # disjointness
+    t("_:dj", RDF_TYPE, OWL + "AllDisjointClasses")
+    t("_:dj", OWL + "members", "_:m1")
+    t("_:m1", RDF + "first", person)
+    t("_:m1", RDF + "rest", "_:m2")
+    t("_:m2", RDF + "first", org)
+    t("_:m2", RDF + "rest", RDF + "nil")
+    # individuals (employee instance must surface under Person via closure)
+    alice, acme = EX + "alice", EX + "acme"
+    t(alice, RDF_TYPE, employee, g=EX + "graph/data")
+    t(alice, RDFS + "label", "Alice", "literal", g=EX + "graph/data")
+    t(alice, name, "Alice A.", "literal", g=EX + "graph/data")
+    t(alice, works_for, acme, g=EX + "graph/data")
+    t(acme, RDF_TYPE, org, g=EX + "graph/data")
+    t(acme, RDFS + "label", "ACME", "literal", g=EX + "graph/data")
+    # batch metadata entity (reference /batches shape)
+    b = EX + "batch/1"
+    t(b, RDF_TYPE, EX + "Batch", g=EX + "graph/metadata")
+    t(b, EX + "batchNumber", "1", "literal", g=EX + "graph/metadata")
+    t(b, EX + "status", "loaded", "literal", g=EX + "graph/metadata")
+    t(
+        b, "http://purl.org/dc/terms/created", "2026-01-01T00:00:00Z",
+        "literal", g=EX + "graph/metadata",
+    )
+    return pa.Table.from_pylist(rows, schema=_SCHEMA)
+
+
+ONTO = _onto()
+
+
+def test_label_from_uri():
+    assert label_from_uri(EX + "Person") == "Person"
+    assert label_from_uri("http://x.org/v#frag") == "frag"
+    assert label_from_uri(None) is None
+
+
+def test_iri_guard_rejects_injection():
+    with pytest.raises(ExplorerError):
+        explorer.class_properties(ONTO, "urn:x> . ?s ?p ?o")
+    with pytest.raises(ExplorerError):
+        explorer.individual_details(ONTO, "")
+
+
+def test_list_graphs():
+    doc = explorer.list_graphs(ONTO)
+    assert doc["count"] == 3
+    uris = [g["uri"] for g in doc["graphs"]]
+    assert uris == sorted(uris)
+    onto = next(g for g in doc["graphs"] if g["uri"].endswith("onto"))
+    expected = ONTO.column("graph").to_pylist().count(EX + "graph/onto")
+    assert onto["tripleCount"] == expected
+
+
+def test_list_batches():
+    doc = explorer.list_batches(ONTO)
+    assert doc["count"] == 1
+    b = doc["batches"][0]
+    assert b["batchNumber"] == "1"
+    assert b["status"] == "loaded"
+    assert b["created"].startswith("2026-")
+    assert "description" not in b  # absent OPTIONAL is omitted
+
+
+def test_ontology_index():
+    doc = explorer.ontology_index(ONTO)
+    assert doc["counts"] == {
+        "classes": 3,
+        "objectProperties": 1,
+        "datatypeProperties": 2,  # name + rdf:Property age
+    }
+    person = next(c for c in doc["classes"] if c["uri"] == EX + "Person")
+    assert person["label"] == "Person"
+    assert person["comment"] == "A human being"
+    emp = next(c for c in doc["classes"] if c["uri"] == EX + "Employee")
+    assert emp["parent"] == EX + "Person"
+    assert emp["label"] == "Employee"  # URI fallback
+    wf = doc["objectProperties"][0]
+    assert (wf["domain"], wf["range"]) == (EX + "Person", EX + "Org")
+
+
+def test_class_neighbors():
+    doc = explorer.class_neighbors(ONTO, EX + "Person")
+    by_dir = {}
+    for n in doc["neighbors"]:
+        by_dir.setdefault(n["direction"], []).append(n)
+    assert [n["uri"] for n in by_dir["outgoing"]] == [EX + "Org"]
+    assert by_dir["outgoing"][0]["property"] == EX + "worksFor"
+    assert [n["uri"] for n in by_dir["subClass"]] == [EX + "Employee"]
+    # blank-node restriction superclasses are filtered out
+    assert "superClass" not in by_dir
+    # and from the Org side the link is incoming
+    doc2 = explorer.class_neighbors(ONTO, EX + "Org")
+    dirs = {n["direction"] for n in doc2["neighbors"]}
+    assert dirs == {"incoming"}
+
+
+def test_class_properties():
+    doc = explorer.class_properties(ONTO, EX + "Person")
+    assert [p["uri"] for p in doc["object"]] == [EX + "worksFor"]
+    assert [p["uri"] for p in doc["datatype"]] == [EX + "name"]
+    assert doc["datatype"][0]["range"] == XSD + "string"
+
+
+def test_class_restrictions():
+    doc = explorer.class_restrictions(ONTO, EX + "Person")
+    assert doc["description"] == "A human being"
+    cards = {r["property"]: r for r in doc["restrictions"]}
+    assert cards[EX + "worksFor"]["cardinality"] == "exactly 1"
+    assert cards[EX + "worksFor"]["onClass"] == EX + "Org"
+    # value constraints walked through the rdf:rest*/rdf:first list path
+    assert sorted(cards[EX + "age"]["valueConstraints"]) == [
+        "max: 150", "min: 0",
+    ]
+    funcs = {c["property"]: c for c in doc["characteristics"]}
+    assert funcs[EX + "worksFor"]["traits"] == ["Functional"]
+    assert funcs[EX + "worksFor"]["inverseOf"] == EX + "employs"
+    assert [d["uri"] for d in doc["disjointWith"]] == [EX + "Org"]
+
+
+def test_subclass_closure_uses_path():
+    assert explorer.subclass_closure(ONTO, EX + "Person") == [
+        EX + "Person", EX + "Employee",
+    ]
+    assert explorer.subclass_closure(ONTO, EX + "Org") == [EX + "Org"]
+
+
+def test_class_individuals_inferred_through_subclass():
+    doc = explorer.class_individuals(ONTO, EX + "Person")
+    assert doc["count"] == 1
+    ind = doc["individuals"][0]
+    assert ind["uri"] == EX + "alice"
+    assert ind["type"] == EX + "Employee"  # the asserted class
+    assert ind["label"] == "Alice"
+    assert {(p["uri"], p["value"]) for p in ind["properties"]} == {
+        (EX + "name", "Alice A.")
+    }
+    assert ind["objectProperties"][0]["target"] == EX + "acme"
+    assert ind["objectProperties"][0]["targetLabel"] == "ACME"
+    assert "Employee" in doc["inferredClasses"]
+
+
+def test_individual_details_incoming():
+    doc = explorer.individual_details(ONTO, EX + "acme")
+    assert doc["label"] == "ACME"
+    assert doc["type"] == EX + "Org"
+    inc = doc["incomingProperties"]
+    assert [(p["source"], p["uri"]) for p in inc] == [
+        (EX + "alice", EX + "worksFor")
+    ]
+    out = explorer.individual_details(ONTO, EX + "alice")
+    assert {p["value"] for p in out["dataProperties"]} == {"Alice A."}
+    assert out["objectProperties"][0]["targetLabel"] == "ACME"
+
+
+# ---------------------------------------------------------------------------
+# HTTP routes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def onto_endpoint(tmp_path_factory):
+    from etl_pipeline_rdf_star_ray.server import serve_background
+
+    input_dir = tmp_path_factory.mktemp("rdf-input")
+    (input_dir / "extra.ttl").write_text(
+        "<http://example.org/zoe> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        " <http://example.org/Employee> .\n"
+    )
+    srv, port = serve_background(ONTO, input_dir=str(input_dir))
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get_json(url: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post_json(url: str) -> tuple[int, dict]:
+    req = urllib.request.Request(url, data=b"", method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+import urllib.error  # noqa: E402
+
+
+def test_http_explorer_routes(onto_endpoint):
+    status, doc = _get_json(onto_endpoint + "/api/graphs")
+    assert status == 200 and doc["count"] == 3
+    status, doc = _get_json(onto_endpoint + "/ontologies")
+    assert status == 200 and doc["counts"]["classes"] == 3
+    status, doc = _get_json(onto_endpoint + "/batches")
+    assert status == 200 and doc["count"] == 1
+    uri = urllib.parse.quote(EX + "Person", safe="")
+    status, doc = _get_json(
+        onto_endpoint + f"/api/class/neighbors?uri={uri}"
+    )
+    assert status == 200 and doc["classUri"] == EX + "Person"
+    status, doc = _get_json(
+        onto_endpoint + f"/api/class/individuals?uri={uri}&limit=5"
+    )
+    assert status == 200 and doc["count"] == 1
+    status, doc = _get_json(
+        onto_endpoint + f"/api/class/restrictions?uri={uri}"
+    )
+    assert status == 200 and doc["restrictions"]
+    ind = urllib.parse.quote(EX + "acme", safe="")
+    status, doc = _get_json(
+        onto_endpoint + f"/api/individual/details?uri={ind}"
+    )
+    assert status == 200 and doc["label"] == "ACME"
+    # missing uri param
+    status, doc = _get_json(onto_endpoint + "/api/class/properties")
+    assert status == 400
+
+
+def test_http_graph_load_and_reload(onto_endpoint):
+    # load a new file into a derived named graph
+    status, doc = _post_json(
+        onto_endpoint + "/api/graphs/load?file=extra.ttl"
+    )
+    assert status == 200
+    assert doc["graph"] == "http://example.org/graph/extra"
+    assert doc["tripleCount"] == 1
+    # the new individual is now queryable through the explorer
+    uri = urllib.parse.quote(EX + "Person", safe="")
+    status, doc = _get_json(
+        onto_endpoint + f"/api/class/individuals?uri={uri}&limit=5"
+    )
+    assert status == 200 and doc["count"] == 2
+    # traversal guard
+    status, doc = _post_json(
+        onto_endpoint + "/api/graphs/load?file=../../etc/passwd"
+    )
+    assert status == 400
+    # reload = fresh store built only from the input dir
+    status, doc = _post_json(onto_endpoint + "/api/graphs/reload")
+    assert status == 200
+    assert doc["totalQuads"] == 1
+    assert doc["namedGraphs"] == 1
+
+
+def test_http_graph_management_disabled_without_input_dir():
+    from etl_pipeline_rdf_star_ray.server import serve_background
+
+    srv, port = serve_background(ONTO)
+    try:
+        status, doc = _post_json(
+            f"http://127.0.0.1:{port}/api/graphs/reload"
+        )
+        assert status == 403
+        assert "read-only" in doc["error"]
+    finally:
+        srv.shutdown()

@@ -879,3 +879,112 @@ def test_construct_ntriples_literal_escaping():
     assert _format_term("v", "literal", XSD_D, None) == f'"v"^^<{XSD_D}>'
     assert _format_term("bonjour", "literal", None, "fr") == '"bonjour"@fr'
     assert _format_term(EX + "x", "iri", None, None) == f"<{EX}x>"
+
+
+# ---------------------------------------------------------------------------
+# VALUES, is* term tests, OPTIONAL { GRAPH … FILTER … } (explorer idioms)
+# ---------------------------------------------------------------------------
+
+
+def test_values_single_var():
+    out = sparql_select(
+        PREFIXES
+        + f"""SELECT ?d ?t WHERE {{
+            VALUES ?d {{ <{EX}dataset/DS-000000> <{EX}dataset/DS-000002> }}
+            ?d dct:title ?t }} ORDER BY ?d""",
+        QUADS,
+    )
+    assert out.column("t").to_pylist() == ["Dataset 0", "Dataset 2"]
+
+
+def test_values_multi_var_and_undef():
+    out = sparql_select(
+        PREFIXES
+        + f"""SELECT ?d ?t WHERE {{
+            VALUES (?d ?t) {{
+              (<{EX}dataset/DS-000000> "Dataset 0")
+              (<{EX}dataset/DS-000001> UNDEF)
+              (<{EX}dataset/DS-000002> "WRONG TITLE")
+            }}
+            ?d dct:title ?t }} ORDER BY ?d""",
+        QUADS,
+    )
+    # row 0 matches its exact title, row 1 (UNDEF) matches any, row 2's
+    # constant disagrees with the data -> dropped
+    assert out.column("t").to_pylist() == ["Dataset 0", "Dataset 1"]
+
+
+def test_values_only_group():
+    out = sparql_select(
+        "SELECT ?x WHERE { VALUES ?x { <urn:a> <urn:b> } } ORDER BY ?x",
+        QUADS,
+    )
+    assert out.column("x").to_pylist() == ["urn:a", "urn:b"]
+
+
+def test_values_rejections():
+    with pytest.raises(SparqlError, match="at least one variable"):
+        parse_sparql("SELECT ?x WHERE { VALUES { <urn:a> } ?x ?p ?o }")
+    with pytest.raises(SparqlError, match="constants or UNDEF"):
+        parse_sparql("SELECT ?x WHERE { VALUES ?x { ?y } }")
+    with pytest.raises(SparqlError, match="row has"):
+        parse_sparql(
+            "SELECT ?x WHERE { VALUES (?x ?y) { (<urn:a>) } }"
+        )
+
+
+def test_isblank_isiri_isliteral():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_ask
+
+    # object-position var: term kind from object_type
+    n_lit = sparql_select(
+        PREFIXES
+        + "SELECT (COUNT(?o) AS ?n) WHERE { ?s dct:title ?o . "
+        + "FILTER(isLiteral(?o)) }",
+        QUADS,
+    ).column("n")[0].as_py()
+    assert n_lit == 6
+    n_iri = sparql_select(
+        PREFIXES
+        + "SELECT (COUNT(?o) AS ?n) WHERE { ?s dcat:theme ?o . "
+        + "FILTER(isIRI(?o)) }",
+        QUADS,
+    ).column("n")[0].as_py()
+    assert n_iri == 6
+    # subject-position var: IRIs, never blank in this fixture
+    assert sparql_ask(
+        PREFIXES + "ASK { ?s a dcat:Dataset . FILTER(!isBlank(?s)) }", QUADS
+    )
+    assert not sparql_ask(
+        PREFIXES + "ASK { ?s a dcat:Dataset . FILTER(isBlank(?s)) }", QUADS
+    )
+    assert not sparql_ask(
+        PREFIXES + "ASK { ?s a dcat:Dataset . FILTER(isLiteral(?s)) }", QUADS
+    )
+
+
+def test_optional_with_graph_and_filter():
+    # the explorer idiom: OPTIONAL { GRAPH ?g2 { ?d … } FILTER(...) } —
+    # only the dcat:Dataset class node has an rdfs:label in the fixture
+    out = sparql_select(
+        PREFIXES
+        + """SELECT ?d ?lbl WHERE {
+             ?d a dcat:Dataset .
+             OPTIONAL { GRAPH ?g2 { ?d dct:title ?lbl }
+                        FILTER(CONTAINS(?lbl, "0")) }
+           } ORDER BY ?d ?lbl""",
+        QUADS,
+    )
+    assert out.num_rows == 7
+    rows = out.to_pylist()
+    # only DS-000000's title contains "0"; everything else keeps NULL
+    assert [r["lbl"] for r in rows].count("Dataset 0") == 1
+    assert sum(1 for r in rows if r["lbl"] is None) == 6
+
+
+def test_optional_rejects_nested_forms():
+    with pytest.raises(SparqlError, match="OPTIONAL groups support"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s ?p ?o . "
+            "OPTIONAL { ?s ?p2 ?x . BIND(1 AS ?y) } }"
+        )
