@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from ..sources import read_parquet_clean
 from ray.data.aggregate import Count, Max, Sum
 
 
@@ -30,7 +32,7 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
     """TPC-H Q1-shaped pricing summary with partial aggregation: each batch
     collapses to one row per (returnflag, linestatus) BEFORE the shuffle, so
     the groupby moves O(groups × blocks) rows instead of O(rows)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -97,7 +99,7 @@ def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
     pre-aggregate per batch → small groupby → customer names looked up from
     a ``ray.put`` dict inside the final map (no shuffle join; customer is the
     small side)."""
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     ).to_pandas()
     lookup = ray.put(
@@ -108,7 +110,7 @@ def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
             )
         }
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -155,7 +157,7 @@ def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
 def top_orders(sf_dir: str, *, k: int = 10) -> "rd.Dataset":
     """Global top-k by sort+limit (distributed sort, tiny result)."""
     return (
-        rd.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
         )
@@ -167,7 +169,7 @@ def top_orders(sf_dir: str, *, k: int = 10) -> "rd.Dataset":
 def event_type_counts(sf_dir: str) -> "rd.Dataset":
     """Distinct event types with counts (groupby-count over a pruned read)."""
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
         .groupby("event_type")
         .aggregate(Count(alias_name="n"))
     )
@@ -181,7 +183,7 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
     tiny per-user rows produces the window rows. Both shuffles move only
     pre-aggregated partials (round-1 verdict fix: the old per-group
     ``map_groups`` ran one Python call per window — millions at scale)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id", "value"]
     )
 
@@ -260,7 +262,7 @@ def _sessionize(g: "pd.DataFrame", gap: "np.timedelta64") -> "pd.DataFrame":
 
 
 def _events_by_user(sf_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -349,7 +351,7 @@ def event_sessions(sf_dir: str, *, gap_minutes: int = 30) -> "rd.Dataset":
             }
         )
     )
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return range_join_broadcast(
@@ -501,7 +503,7 @@ def grouped_quantiles(
     from .dedup import sharded_groups
     from ..functions.hashing import xxh64_column
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -584,7 +586,7 @@ def pivot_counts(
 def lineitem_filter_stats(sf_dir: str, *, returnflag: str = "R") -> pa.Table:
     """Filter+project with pushdown: row-group filter at the read, partial
     sums per batch, single-row result."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity"],
         filter=pc.field("l_returnflag") == returnflag,

@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
+from .sources import read_parquet_clean
+
 from .functions.text import (
     LANG_PATTERNS,
     fingerprint_md5,
@@ -420,7 +422,7 @@ def q_annotation_join(sf_dir: str):
     from .mapping import parse_yarrrml
 
     spec = parse_yarrrml(_ANNOTATION_YAML)
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment", "c_nationkey"]
     )
     triples = lift_dataset(
@@ -491,7 +493,7 @@ def q_sparql_star_nation(sf_dir: str):
     from .sparql import sparql_select
 
     spec = parse_yarrrml(_ANNOTATION_YAML)
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment", "c_nationkey"],
     )
@@ -513,13 +515,10 @@ GROUP BY n.n_name ORDER BY nation
 """
 
 
-def q_sparql_path_located(sf_dir: str):
-    """SPARQL property-path transitive closure (``p+`` → recursive CTE):
-    ``locatedIn`` edges lifted from customer→nation and nation→region, then
-    ``?x <urn:locatedIn>+ ?y`` reaches customers' regions through the
-    2-level hierarchy. Scale note: the closure runs over the EDGE relation
-    only (edges ≪ facts); the edge build itself streams via map_batches."""
-    from .sparql import sparql_select
+def _located_in_edges(sf_dir: str) -> "rd.Dataset":
+    """``urn:locatedIn`` edge relation lifted from customer→nation and
+    nation→region via streaming map_batches (shared by the path /
+    CONSTRUCT SPARQL driver queries)."""
 
     def cust_edges(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -549,16 +548,72 @@ def q_sparql_path_located(sf_dir: str):
             }
         )
 
-    edges = rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(cust_edges, batch_format="pyarrow").union(
-        rd.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
         ).map_batches(nation_edges, batch_format="pyarrow")
     )
+
+
+def q_sparql_path_located(sf_dir: str):
+    """SPARQL property-path transitive closure (``p+`` → recursive CTE):
+    ``locatedIn`` edges lifted from customer→nation and nation→region, then
+    ``?x <urn:locatedIn>+ ?y`` reaches customers' regions through the
+    2-level hierarchy. Scale note: the closure runs over the EDGE relation
+    only (edges ≪ facts); the edge build itself streams via map_batches."""
+    from .sparql import sparql_select
+
     return sparql_select(
-        "SELECT ?x ?y WHERE { ?x <urn:locatedIn>+ ?y } ORDER BY ?x ?y", edges
+        "SELECT ?x ?y WHERE { ?x <urn:locatedIn>+ ?y } ORDER BY ?x ?y",
+        _located_in_edges(sf_dir),
     )
+
+
+def q_sparql_construct_regions(sf_dir: str):
+    """SPARQL CONSTRUCT + property path + VALUES in one driver-checked
+    query: materialize ``?c <urn:inRegion> ?r`` triples for customers whose
+    locatedIn closure reaches one of two fixed regions. The engine returns
+    the deduplicated triple set shaped like the quads relation
+    (subject / predicate / object_value / object_type / …)."""
+    from .sparql import sparql_construct
+
+    return sparql_construct(
+        """CONSTRUCT { ?c <urn:inRegion> ?r }
+           WHERE {
+             VALUES ?r { <reg:0> <reg:3> }
+             ?c <urn:locatedIn>+ ?r .
+             FILTER(STRSTARTS(STR(?c), "cust:"))
+           }""",
+        _located_in_edges(sf_dir),
+    )
+
+
+ORACLE_SPARQL_CONSTRUCT = """
+WITH RECURSIVE edges AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+         'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+  UNION ALL
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR),
+         'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+reach AS (
+  SELECT s, o FROM edges
+  UNION
+  SELECT r.s, e.o FROM reach r JOIN edges e ON e.s = r.o
+)
+SELECT DISTINCT
+  s AS subject,
+  'urn:inRegion' AS predicate,
+  o AS object_value,
+  CAST(NULL AS VARCHAR) AS object_type,
+  CAST(NULL AS VARCHAR) AS object_datatype,
+  CAST(NULL AS VARCHAR) AS object_lang
+FROM reach
+WHERE o IN ('reg:0', 'reg:3') AND s LIKE 'cust:%'
+ORDER BY subject, predicate, object_value
+"""
 
 
 ORACLE_SPARQL_PATH = """
@@ -771,7 +826,7 @@ def q_streaming_rollup(sf_dir: str):
     state = tempfile.mkdtemp(prefix="rollup_")
 
     def seg(lo: int, hi: int):
-        return rd.read_parquet(
+        return read_parquet_clean(
             f"{sf_dir}/events.parquet",
             columns=["event_type", "ts", "user_id", "value"],
             filter=(pc.field("event_id") >= lo) & (pc.field("event_id") < hi),
@@ -803,7 +858,7 @@ def q_sketch_distinct_users(sf_dir: str):
     counts is asserted in tests/test_sketch.py)."""
     from .functions.sketch import hll_distinct_grouped
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return hll_distinct_grouped(ds, "event_type", "user_id", p=12)
@@ -814,7 +869,7 @@ def q_asof_events_orders(sf_dir: str):
     event timestamp (broadcast dimension-history path, stages/asof.py)."""
     from .stages.asof import asof_join_broadcast
 
-    events = rd.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     orders = pq.read_table(
@@ -851,7 +906,7 @@ def q_text_decontaminate(sf_dir: str):
     bench_texts = bench_tbl.filter(
         pc.less(bench_tbl.column("doc_id"), 50)
     ).column("text").to_pylist()
-    corpus = rd.read_parquet(
+    corpus = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         filter=pc.field("doc_id") >= 50,
@@ -895,12 +950,12 @@ FROM documents
 
 
 def q_text_quality(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(quality_features, batch_format="pyarrow")
 
 
 def q_text_token_count(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -915,12 +970,12 @@ def q_text_token_count(sf_dir: str):
 
 
 def q_text_langid(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(langid, batch_format="pyarrow").drop_columns(["text"])
 
 
 def q_text_fingerprint(sf_dir: str):
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fingerprint_md5, batch_format="pyarrow").drop_columns(
         ["text"]
     )
@@ -934,7 +989,7 @@ def q_similarity_topk(sf_dir: str):
         .as_py()
     )
     return similarity.cosine_topk(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet"), q, k=10
     )
 
 
@@ -946,13 +1001,13 @@ def q_similarity_topk_lsh(sf_dir: str):
         .as_py()
     )
     return similarity.cosine_topk_lsh(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet"), q, k=10
     )
 
 
 def q_multimodal_meta(sf_dir: str):
     media = multimodal.to_media_dataset(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
     def meta(batch: pa.Table) -> pa.Table:
@@ -969,7 +1024,7 @@ def q_multimodal_meta(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     media = multimodal.to_media_dataset(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
     return multimodal.decode_media(media).drop_columns(["media_meta", "feature"])
 
@@ -984,7 +1039,7 @@ def _doc_pairs(sf_dir: str) -> pa.Table:
     """Exact near-dup candidate pairs (the oracle-checkable detector) as a
     driver-side table — the small edge set the cluster ops consume."""
     pairs = dedup.ngram_jaccard_pairs(
-        rd.read_parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+        read_parquet_clean(f"{sf_dir}/documents.parquet"), threshold=0.5
     )
     return pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
 
@@ -995,7 +1050,7 @@ def q_dedup_clusters(sf_dir: str):
     streaming per-doc cluster id (pipelines/corpus.cluster_assign)."""
     from .pipelines import corpus
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return corpus.cluster_assign(docs, _doc_pairs(sf_dir))
 
 
@@ -1027,7 +1082,7 @@ def q_dedup_fuzzy_keep(sf_dir: str):
     non-representative member of a near-dup component."""
     from .pipelines import corpus
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet")
     return corpus.fuzzy_dedup(docs, _doc_pairs(sf_dir))
 
 
@@ -1043,7 +1098,7 @@ def q_top_terms(sf_dir: str):
     partial counts (pipelines/corpus.top_terms)."""
     from .pipelines import corpus
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     return corpus.top_terms(docs, k=50)
 
 
@@ -1060,7 +1115,7 @@ def q_sample_hash(sf_dir: str):
     """Deterministic md5-keyed row sample (reproducible subset, ≈1/8)."""
     from .pipelines import corpus
 
-    return corpus.sample_hash(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    return corpus.sample_hash(read_parquet_clean(f"{sf_dir}/documents.parquet"))
 
 
 ORACLE_SAMPLE_HASH = """
@@ -1125,7 +1180,7 @@ def q_text_normalize(sf_dir: str):
     pure Arrow kernels — functions/text.normalize_text)."""
     from .functions.text import normalize_text
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda b: normalize_text(b), batch_format="pyarrow"
     ).select_columns(["doc_id", "text_norm"])
@@ -1159,7 +1214,7 @@ def q_user_event_matrix(sf_dir: str):
     """Pivot: per-user wide count matrix over the event types (partial
     crosstab per batch, one groupby of wide partials —
     analytics.pivot_counts)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return analytics.pivot_counts(
@@ -1182,7 +1237,7 @@ def q_json_props(sf_dir: str):
     JSON column per event (functions/text.json_int_field, one RE2 pass)."""
     from .functions.text import json_int_field
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "props"]
     )
     return ds.map_batches(
@@ -1223,6 +1278,7 @@ def build_queries() -> dict:
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
         "sparql_path_located": q_sparql_path_located,
+        "sparql_construct_regions": q_sparql_construct_regions,
         # analytics
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
@@ -1234,19 +1290,19 @@ def build_queries() -> dict:
         "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
         # training-data ops
         "dedup_exact": lambda sf: dedup.dedup_exact(
-            rd.read_parquet(f"{sf}/documents.parquet")
+            read_parquet_clean(f"{sf}/documents.parquet")
         ),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
-            rd.read_parquet(f"{sf}/documents.parquet"), threshold=0.5
+            read_parquet_clean(f"{sf}/documents.parquet"), threshold=0.5
         ),
         "dedup_minhash_lsh": lambda sf: dedup.dedup_minhash_lsh(
-            rd.read_parquet(f"{sf}/documents.parquet")
+            read_parquet_clean(f"{sf}/documents.parquet")
         ),
         "dedup_simhash": lambda sf: dedup.dedup_simhash(
-            rd.read_parquet(f"{sf}/documents.parquet")
+            read_parquet_clean(f"{sf}/documents.parquet")
         ),
         "dedup_embedding": lambda sf: dedup.embedding_neardup(
-            rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.35
+            read_parquet_clean(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
         "dedup_clusters": q_dedup_clusters,
         "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
@@ -1292,6 +1348,7 @@ def build_oracles() -> dict[str, str]:
         "sparql_roles": ORACLE_SPARQL_ROLES,
         "sparql_star_nation": ORACLE_SPARQL_NATION,
         "sparql_path_located": ORACLE_SPARQL_PATH,
+        "sparql_construct_regions": ORACLE_SPARQL_CONSTRUCT,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

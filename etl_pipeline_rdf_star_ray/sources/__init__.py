@@ -93,6 +93,24 @@ def read_parquet_clean(path: str, **kwargs) -> "rd.Dataset":
         schema = pq.read_schema(first).remove_metadata()
         cols = kwargs.get("columns")
         if cols is not None:
+            flt = kwargs.get("filter")
+            if flt is not None:
+                # the scanner needs every filter-referenced column in its
+                # schema; with an explicit pruned schema a filter on a
+                # non-selected column raises ArrowInvalid. Detect via the
+                # expression's string form and fall back to schema
+                # inference for that read (block-concat warning possible,
+                # correctness unaffected).
+                import re as _re
+
+                expr = str(flt)
+                referenced = {
+                    f
+                    for f in schema.names
+                    if _re.search(rf"\b{_re.escape(f)}\b", expr)
+                }
+                if not referenced <= set(cols):
+                    return rd.read_parquet(path, **kwargs)
             # the explicit schema must match the pruned batches the
             # fragment reader emits
             schema = pa.schema([schema.field(c) for c in cols])

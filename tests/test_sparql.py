@@ -988,3 +988,14 @@ def test_optional_rejects_nested_forms():
             "SELECT ?s WHERE { ?s ?p ?o . "
             "OPTIONAL { ?s ?p2 ?x . BIND(1 AS ?y) } }"
         )
+
+
+def test_sparql_construct_regions_matches_oracle():
+    """Driver-registered CONSTRUCT+path+VALUES query: materialized
+    urn:inRegion triples equal the DuckDB recursive-CTE oracle."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.oracle_harness import run as oracle_run
+
+    assert oracle_run("/root/testdata/sf0.001", ["sparql_construct_regions"]) == 0
