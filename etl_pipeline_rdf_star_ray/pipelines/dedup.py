@@ -64,17 +64,37 @@ def sharded_groups(
     Outputs convert to Arrow blocks (metadata-stripped) so every block
     carries an identical hashable schema — pandas blocks make Ray's
     schema-dedup log ``Failed to hash the schemas`` warnings (round-1
-    verdict hygiene item)."""
+    verdict hygiene item).
 
-    def run(g: pd.DataFrame) -> pa.Table:
+    Shuffle plane: routed over the block exchange
+    (``stages/exchange.exchange_apply``) instead of Ray's sort-based
+    ``groupby`` — the sort shuffle costs ~3 s fixed at ANY input size on
+    this node (round-3 profile), the exchange routes block refs
+    driver-side in milliseconds and each shard task slices its rows
+    zero-copy. ``shard_fn`` still receives the pandas shard WITH its
+    ``shard`` column, exactly as the groupby path passed groups."""
+    from ..stages.exchange import exchange_apply
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        h = splitmix64(key_source(batch))
+        return batch.append_column(
+            "partition_id",
+            pa.array((h % np.uint64(num_shards)).astype(np.int32)),
+        ).replace_schema_metadata(None)
+
+    def run(t: pa.Table) -> pa.Table:
+        names = [
+            "shard" if c == "partition_id" else c for c in t.column_names
+        ]
+        g = t.rename_columns(names).to_pandas()
         return pa.Table.from_pandas(
             shard_fn(g), preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
-        ds.map_batches(_with_shard(key_source, num_shards), batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(run, batch_format="pandas")
+    return exchange_apply(
+        ds.map_batches(add_pid, batch_format="pyarrow"), run
     )
 
 
@@ -382,26 +402,20 @@ def dedup_minhash_lsh(
         shard_candidates,
     )
 
-    # the same pair can surface from several bands → global pair dedup,
-    # again sharded (not per-group tasks)
-    def dedup_shard(shard: pd.DataFrame) -> pd.DataFrame:
-        out = shard.drop_duplicates(["id_a", "id_b"]).drop(columns=["shard"])
-        return out.astype({"id_a": shard["id_a"].dtype, "id_b": shard["id_b"].dtype})
-
-    unique_pairs = sharded_groups(
-        candidates,
-        lambda b: combine64(
-            b.column("id_a").to_numpy().astype(np.uint64),
-            b.column("id_b").to_numpy().astype(np.uint64),
-        ),
-        dedup_shard,
-    ).materialize()
-
-    # ---- verification: re-join texts for the surviving candidates only ----
+    # the same pair can surface from several bands → global pair dedup.
+    # Candidate pairs are tiny by design (the documented bound: a small
+    # fraction of the corpus for any sane threshold) and the verification
+    # round planner below needs them driver-side anyway — so dedup runs on
+    # the materialized pair table with one Arrow group_by instead of paying
+    # a second full shuffle (measured: the extra sharded_groups round cost
+    # more than the whole signing stage at bench scale).
     # (skip the schema-less empty blocks Ray's map_groups emits for empty
     # shuffle partitions — concat would reject them)
     blocks = [
-        t for t in (ray.get(ref) for ref in unique_pairs.to_arrow_refs())
+        t
+        for t in (
+            ray.get(ref) for ref in candidates.materialize().to_arrow_refs()
+        )
         if t.num_rows
     ]
     if not blocks:
@@ -415,8 +429,11 @@ def dedup_minhash_lsh(
                 }
             )
         )
-    pair_tbl = pa.concat_tables(blocks).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
+    pair_tbl = (
+        pa.concat_tables(blocks)
+        .group_by(["id_a", "id_b"], use_threads=False)
+        .aggregate([])
+        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     )
 
     def make_verify(lookup_ref):
@@ -511,7 +528,7 @@ def dedup_minhash_lsh(
     if len(rounds) == 1:  # fast path: everything fits one broadcast
         texts_df = fetch_texts(need)
         lookup_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
-        return unique_pairs.map_batches(
+        return rd.from_arrow(pair_tbl).map_batches(
             make_verify(lookup_ref), batch_format="pyarrow"
         )
 

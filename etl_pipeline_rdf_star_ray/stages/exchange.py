@@ -253,6 +253,41 @@ def _merge_only_task(chunk_slices: list) -> pa.Table:
     )
 
 
+@ray.remote(num_cpus=1)
+def _apply_task(chunk_slices: list, fn) -> pa.Table:
+    """Generic shard-apply: concat one partition's slices (zero-copy views
+    single-node) and run ``fn`` on the assembled Arrow table."""
+    return fn(concat_evolving(_fetch_slices(chunk_slices)))
+
+
+def exchange_apply(
+    partitioned, fn, *, presorted: bool = False, transport: str = "auto"
+) -> "ray.data.Dataset":
+    """Generic grouped-shard primitive over the exchange's data plane:
+    route blocks by their ``partition_id`` column (metadata-only
+    single-node; per-pid slice objects multi-node), then run
+    ``fn(shard_table) -> pa.Table`` once per partition.
+
+    This replaces ``groupby("shard").map_groups(fn)`` for the
+    hash-sharded-group pattern (``pipelines/dedup.sharded_groups``): Ray
+    Data's sort shuffle costs ~3 s fixed on this node at ANY input size
+    (round-3 profile: an empty-work sharded group over 320k slim rows spent
+    3.16 s in the shuffle alone), while the exchange routes the same blocks
+    driver-side in milliseconds and each shard task slices its rows
+    zero-copy. Same colocation guarantee: every row of a partition lands in
+    exactly one ``fn`` call."""
+    import ray.data as rd
+
+    pid_slices = _route(partitioned, presorted, _resolve_transport(transport))
+    refs = [
+        _apply_task.remote(slices, fn)
+        for _pid, slices in sorted(pid_slices.items())
+    ]
+    if not refs:
+        return rd.from_items([]).limit(0)
+    return rd.from_arrow_refs(refs)
+
+
 def _resolve_transport(transport: str) -> str:
     if transport == "auto":
         try:
