@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_column
+from .exchange import exchange_apply
 
 
 def _temporal_i64(col, target_type=None) -> np.ndarray:
@@ -172,13 +173,14 @@ def asof_join_sharded(
 
     def _shard_col(key_arr) -> pa.Array:
         h = hash64_column(key_arr.cast(pa.string()))
-        return pa.array((h % num_shards).astype(np.int64), pa.int64())
+        # int32 "partition_id": the block exchange's routing column
+        return pa.array((h % num_shards).astype(np.int32), pa.int32())
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in left_names}
         for c in value_cols:
             cols[c] = pa.nulls(batch.num_rows, vtypes[c])
-        cols["__shard"] = _shard_col(batch.column(by))
+        cols["partition_id"] = _shard_col(batch.column(by))
         cols["__side"] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
         return pa.table(cols)
 
@@ -192,7 +194,7 @@ def asof_join_sharded(
             )
         for c in value_cols:
             cols[c] = src[c]
-        cols["__shard"] = _shard_col(src[by])
+        cols["partition_id"] = _shard_col(src[by])
         cols["__side"] = pa.nulls(batch.num_rows, pa.int8()).fill_null(1)
         return pa.table(cols)
 
@@ -201,7 +203,7 @@ def asof_join_sharded(
     )
 
     def join_shard(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0].drop(columns=["__side", "__shard", *value_cols])
+        lf = g[g["__side"] == 0].drop(columns=["__side", "partition_id", *value_cols])
         rf = (
             g[g["__side"] == 1]
             .sort_values([by, on, tiebreak])
@@ -213,7 +215,14 @@ def asof_join_sharded(
             lf, rf, on=on, by=by, direction="backward", allow_exact_matches=True
         )
 
-    return unioned.groupby("__shard").map_groups(join_shard, batch_format="pandas")
+    def run(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            join_shard(t.to_pandas()), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    # one task per shard over the exchange's data plane (metadata-only
+    # routing; Ray's sort groupby pays ~3s fixed per call — round-3 profile)
+    return exchange_apply(unioned, run)
 
 
 # ---------------------------------------------------------------------------
