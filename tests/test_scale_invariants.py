@@ -214,3 +214,55 @@ def test_resalt_migrates_late_hot_conversation(tmp_path):
     )
     pd.testing.assert_frame_equal(got2, oracle(full), check_dtype=False)
     assert hot_partitions() > 1
+
+
+def test_exchange_apply_colocates_groups(ray_session):
+    """exchange_apply (the sharded_groups shuffle plane) must deliver EVERY
+    row of a partition to exactly ONE fn call, preserve total rows, and
+    never split a key across calls — the colocation contract the old
+    groupby('shard').map_groups path guaranteed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.stages.exchange import exchange_apply
+
+    n, shards = 10_000, 7
+    keys = np.arange(n, dtype=np.int64) % 23
+    t = pa.table(
+        {
+            "k": pa.array(keys),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+            "partition_id": pa.array((keys % shards).astype(np.int32)),
+        }
+    )
+    ds = rd.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow")
+
+    def summarize(shard: pa.Table) -> pa.Table:
+        ks = sorted(set(shard.column("k").to_pylist()))
+        pids = set(shard.column("partition_id").to_pylist())
+        assert len(pids) == 1  # one partition per call
+        return pa.table(
+            {
+                "pid": pa.array([pids.pop()] * len(ks), pa.int32()),
+                "k": pa.array(ks, pa.int64()),
+                "rows": pa.array(
+                    [shard.filter(pc.equal(shard.column("k"), k)).num_rows
+                     for k in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = pa.concat_tables(
+        [b for b in ray.get(
+            exchange_apply(ds, summarize).to_arrow_refs()
+        ) if b.num_rows]
+    )
+    # every key appears in exactly one shard's output
+    assert out.num_rows == 23
+    assert pc.sum(out.column("rows")).as_py() == n
+    # and each key landed in its hash shard
+    for r in out.to_pylist():
+        assert r["pid"] == r["k"] % shards
