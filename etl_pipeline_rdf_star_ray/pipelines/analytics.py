@@ -28,6 +28,29 @@ def _cents(col) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
 
 
+def _group_key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """uint64 hash of a (possibly composite) group key — the shard key for
+    the exchange-backed final combine (``dedup.sharded_groups``). Ray's
+    sort-based ``groupby().aggregate()`` pays ~3 s of fixed shuffle cost at
+    any size on this node (round-3 profile); the partial rows these
+    finishes move are tiny, so the combine now rides the same block
+    exchange as every other sharded group."""
+    from ..functions.hashing import combine64, hash64_column, splitmix64
+
+    h = None
+    for c in key_cols:
+        col = batch.column(c)
+        if pa.types.is_integer(col.type):
+            hc = splitmix64(
+                col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+        else:
+            hc = hash64_column(col.cast(pa.string()))
+        h = hc if h is None else combine64(h, hc)
+    return h
+
+
 def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
     """TPC-H Q1-shaped pricing summary with partial aggregation: each batch
     collapses to one row per (returnflag, linestatus) BEFORE the shuffle, so
@@ -71,14 +94,26 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from .dedup import sharded_groups
+
+    def combine(shard: pd.DataFrame) -> pd.DataFrame:
+        return (
+            shard.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("sum_qty", "sum"),
+                sum_base_c=("sum_base_c", "sum"),
+                sum_disc_c=("sum_disc_c", "sum"),
+                count_order=("n", "sum"),
+            )
+            .reset_index()
+        )
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_c", alias_name="sum_base_c"),
-            Sum("sum_disc_c", alias_name="sum_disc_c"),
-            Sum("n", alias_name="count_order"),
+        sharded_groups(
+            partials,
+            lambda b: _group_key_hash(b, ["l_returnflag", "l_linestatus"]),
+            combine,
         )
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
@@ -124,10 +159,14 @@ def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
         g = df.groupby("o_custkey", sort=False)["total_c"].sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("total_c", alias_name="total_c"))
+    from .dedup import sharded_groups
+
+    per_cust = sharded_groups(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["o_custkey"]),
+        lambda s: s.groupby("o_custkey", sort=False)
+        .agg(total_c=("total_c", "sum"))
+        .reset_index(),
     )
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -167,11 +206,27 @@ def top_orders(sf_dir: str, *, k: int = 10) -> "rd.Dataset":
 
 
 def event_type_counts(sf_dir: str) -> "rd.Dataset":
-    """Distinct event types with counts (groupby-count over a pruned read)."""
-    return (
-        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+    """Distinct event types with counts: per-batch value_counts partials,
+    exchange-backed combine — only (type, partial_n) rows move."""
+    from .dedup import sharded_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("event_type").combine_chunks().value_counts()
+        return pa.table(
+            {
+                "event_type": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return sharded_groups(
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet", columns=["event_type"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type"]),
+        lambda s: s.groupby("event_type", sort=False)
+        .agg(n=("n", "sum"))
+        .reset_index(),
     )
 
 
@@ -205,12 +260,14 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_user = (
-        ds.map_batches(per_user_partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour", "user_id"])
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c")
-        )
+    from .dedup import sharded_groups
+
+    per_user = sharded_groups(
+        ds.map_batches(per_user_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type", "hour", "user_id"]),
+        lambda s: s.groupby(["event_type", "hour", "user_id"], sort=False)
+        .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
+        .reset_index(),
     )
 
     def per_window_partial(batch: pa.Table) -> pa.Table:
@@ -235,16 +292,17 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
             i, "hour", pc.cast(batch.column("hour"), pa.timestamp("us"))
         )
 
-    return (
-        per_user.map_batches(per_window_partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("n_users", alias_name="n_users"),
-            Sum("sum_value_c", alias_name="sum_value_c"),
+    return sharded_groups(
+        per_user.map_batches(per_window_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type", "hour"]),
+        lambda s: s.groupby(["event_type", "hour"], sort=False)
+        .agg(
+            n=("n", "sum"),
+            n_users=("n_users", "sum"),
+            sum_value_c=("sum_value_c", "sum"),
         )
-        .map_batches(cast_hour, batch_format="pyarrow")
-    )
+        .reset_index(),
+    ).map_batches(cast_hour, batch_format="pyarrow")
 
 
 def _sessionize(g: "pd.DataFrame", gap: "np.timedelta64") -> "pd.DataFrame":
@@ -393,14 +451,14 @@ def conv_stats(state: "rd.Dataset") -> "rd.Dataset":
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_role = (
-        state.map_batches(per_role_partial, batch_format="pyarrow")
-        .groupby(["conv_id", "role"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("chars", alias_name="chars"),
-            Max("last_ts", alias_name="last_ts"),
-        )
+    from .dedup import sharded_groups
+
+    per_role = sharded_groups(
+        state.map_batches(per_role_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["conv_id", "role"]),
+        lambda s: s.groupby(["conv_id", "role"], sort=False)
+        .agg(n=("n", "sum"), chars=("chars", "sum"), last_ts=("last_ts", "max"))
+        .reset_index(),
     )
 
     def per_conv_partial(batch: pa.Table) -> pa.Table:
@@ -427,17 +485,18 @@ def conv_stats(state: "rd.Dataset") -> "rd.Dataset":
             i, "last_ts", pc.cast(batch.column("last_ts"), pa.timestamp("us"))
         )
 
-    return (
-        per_role.map_batches(per_conv_partial, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(
-            Sum("n_turns", alias_name="n_turns"),
-            Sum("n_roles", alias_name="n_roles"),
-            Sum("n_chars", alias_name="n_chars"),
-            Max("last_ts", alias_name="last_ts"),
+    return sharded_groups(
+        per_role.map_batches(per_conv_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["conv_id"]),
+        lambda s: s.groupby("conv_id", sort=False)
+        .agg(
+            n_turns=("n_turns", "sum"),
+            n_roles=("n_roles", "sum"),
+            n_chars=("n_chars", "sum"),
+            last_ts=("last_ts", "max"),
         )
-        .map_batches(cast_ts, batch_format="pyarrow")
-    )
+        .reset_index(),
+    ).map_batches(cast_ts, batch_format="pyarrow")
 
 
 def turn_gaps(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Dataset":
