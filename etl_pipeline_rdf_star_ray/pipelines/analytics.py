@@ -19,7 +19,7 @@ import ray
 import ray.data as rd
 
 from ..sources import read_parquet_clean
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Sum
 
 
 def _cents(col) -> pa.Array:
@@ -581,10 +581,14 @@ def grouped_quantiles(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["event_type", "value_c"])
-        .aggregate(Sum("n", alias_name="n"))
+    from .dedup import sharded_groups
+
+    hist = sharded_groups(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type", "value_c"]),
+        lambda s: s.groupby(["event_type", "value_c"], sort=False)
+        .agg(n=("n", "sum"))
+        .reset_index(),
     )
 
     qs = list(quantiles)
@@ -635,10 +639,14 @@ def pivot_counts(
             wide.reset_index(), preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(row_key)
-        .aggregate(*[Sum(v, alias_name=v) for v in values])
+    from .dedup import sharded_groups
+
+    return sharded_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, [row_key]),
+        lambda s: s.groupby(row_key, sort=False)
+        .agg({v: "sum" for v in values})
+        .reset_index(),
     )
 
 
