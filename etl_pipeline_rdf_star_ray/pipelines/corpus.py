@@ -253,14 +253,29 @@ def top_terms(
             }
         )
 
-    merged = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "token"], descending=[True, False])
-        .limit(k)
+    from ..functions.hashing import xxh64_column
+    from .dedup import sharded_groups
+
+    def shard_topk(s: pd.DataFrame) -> pd.DataFrame:
+        g = s.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    # tokens are colocated by hash, so any global top-k token is in its
+    # shard's local top-k: the driver only ever merges ≤ k×shards rows —
+    # no sort shuffle (the exchange routes the slim partials; Ray's
+    # sort-based groupby+sort pays its ~3 s fixed cost twice here)
+    survivors = sharded_groups(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda b: xxh64_column(b.column("token")),
+        shard_topk,
+    ).to_pandas()
+    survivors = survivors.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.Table.from_pandas(
+        survivors.reset_index(drop=True), preserve_index=False
     )
-    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -101,18 +102,32 @@ def diff(lake_dir: str, lsn_a: int, lsn_b: int) -> "rd.Dataset":
 
 def diff_summary(lake_dir: str, lsn_a: int, lsn_b: int) -> dict[str, int]:
     """Counts per change type (the reference's DIFF_SUMMARY form,
-    ``sparql/batch_queries.rq:369-478``). Distributed: the O(keys) diff rows
-    reduce to ≤4 counter rows via ``groupby.count`` — the driver only ever
-    sees the counters (round-1 verdict fix: no full-diff ``to_pandas``)."""
-    from ray.data.aggregate import Count
+    ``sparql/batch_queries.rq:369-478``). Distributed: each diff block
+    collapses to ≤4 ``(change_type, n)`` partial rows via a vectorized
+    ``value_counts`` inside ``map_batches``, and the driver sums the tiny
+    partials — no shuffle at all (round-3: replaced the sort-based
+    ``groupby().aggregate(Count)``, which paid its ~3 s fixed cost to count
+    four groups; round-1 fix already kept the full diff off the driver)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("change_type"))
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                "change_type": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
 
     rows = (
         diff(lake_dir, lsn_a, lsn_b)
-        .groupby("change_type")
-        .aggregate(Count(alias_name="n"))
+        .map_batches(partial, batch_format="pyarrow")
         .take_all()
     )
-    counts = {r["change_type"]: int(r["n"]) for r in rows}
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["change_type"]] = counts.get(r["change_type"], 0) + int(r["n"])
     return {
         k: counts.get(k, 0)
         for k in (CHANGE_ADDED, CHANGE_REMOVED, CHANGE_MODIFIED, CHANGE_UNCHANGED)
@@ -125,12 +140,19 @@ def value_history(changelog: "rd.Dataset", *, num_partitions: int = 64) -> "rd.D
     the reference's track-value-across-batches query
     (``sparql/batch_queries.rq:482-530``) at row granularity.
 
-    One hash shuffle on the partition key, then a vectorized pandas
-    aggregation per partition."""
+    Rides the block exchange: the partition stage pid-sorts each block in
+    the fused read task, ``exchange_apply`` routes block slices by
+    ``partition_id`` driver-side, and one task per partition runs the
+    vectorized pandas aggregation (round-3: replaced the sort-based
+    ``groupby(partition_id).map_groups`` and its ~3 s fixed shuffle)."""
+    from ..stages.exchange import exchange_apply
     from ..stages.partition import make_partition_stage
 
     stage = make_partition_stage(
-        num_partitions=num_partitions, salt_buckets=1, hot_convs=frozenset()
+        num_partitions=num_partitions,
+        salt_buckets=1,
+        hot_convs=frozenset(),
+        sort_output=True,
     )
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -160,10 +182,12 @@ def value_history(changelog: "rd.Dataset", *, num_partitions: int = 64) -> "rd.D
             None
         )
 
-    return (
-        changelog.map_batches(stage, batch_format="pyarrow")
-        .groupby("partition_id")
-        .map_groups(per_partition, batch_format="pandas")
+    partitioned = changelog.map_batches(
+        # whole-block batches: one pid-sorted run per block (exchange-ready)
+        stage, batch_format="pyarrow", batch_size=None
+    )
+    return exchange_apply(
+        partitioned, lambda t: per_partition(t.to_pandas()), presorted=True
     )
 
 
