@@ -130,21 +130,16 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
 
 
 def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
-    """Revenue per customer with a broadcast dimension join: orders
-    pre-aggregate per batch → small groupby → customer names looked up from
-    a ``ray.put`` dict inside the final map (no shuffle join; customer is the
-    small side)."""
+    """Revenue per customer: orders pre-aggregate per batch → exchange-backed
+    per-shard combine with a LOCAL top-k (customers are hash-colocated, so
+    any global top-k customer is in its shard's top-k) → the driver merges
+    ≤ k·shards survivors and joins the k winners against the customer
+    dimension locally (round-3: replaced the global ``sort().limit()`` over
+    every customer and the broadcast name-lookup map stage — only k rows
+    ever need the dimension columns)."""
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
     ).to_pandas()
-    lookup = ray.put(
-        {
-            int(k_): (n_, s_)
-            for k_, n_, s_ in zip(
-                cust["c_custkey"], cust["c_name"], cust["c_mktsegment"]
-            )
-        }
-    )
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
@@ -161,47 +156,50 @@ def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
 
     from .dedup import sharded_groups
 
-    per_cust = sharded_groups(
+    def shard_topk(s: pd.DataFrame) -> pd.DataFrame:
+        g = s.groupby("o_custkey", sort=False).agg(total_c=("total_c", "sum")).reset_index()
+        return g.sort_values(
+            ["total_c", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    survivors = sharded_groups(
         orders.map_batches(partial, batch_format="pyarrow"),
         lambda b: _group_key_hash(b, ["o_custkey"]),
-        lambda s: s.groupby("o_custkey", sort=False)
-        .agg(total_c=("total_c", "sum"))
-        .reset_index(),
-    )
+        shard_topk,
+    ).to_pandas()
 
-    def attach(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup)
-        keys = batch.column("o_custkey").to_pylist()
-        names = [lk.get(int(x), (None, None))[0] for x in keys]
-        segs = [lk.get(int(x), (None, None))[1] for x in keys]
-        return pa.table(
-            {
-                "c_custkey": batch.column("o_custkey"),
-                "c_name": pa.array(names, pa.string()),
-                "c_mktsegment": pa.array(segs, pa.string()),
-                "revenue": pc.divide(
-                    pc.cast(batch.column("total_c"), pa.float64()), 100.0
-                ),
-            }
-        )
-
-    top = (
-        per_cust.map_batches(attach, batch_format="pyarrow")
-        .sort(["revenue", "c_custkey"], descending=[True, False])
-        .limit(k)
-    )
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    top = survivors.sort_values(
+        ["total_c", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+    out["revenue"] = out["total_c"].astype("float64") / 100.0
+    out = out[["c_custkey", "c_name", "c_mktsegment", "revenue"]].reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def top_orders(sf_dir: str, *, k: int = 10) -> "rd.Dataset":
-    """Global top-k by sort+limit (distributed sort, tiny result)."""
-    return (
-        read_parquet_clean(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
-        )
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(k)
+    """Global top-k WITHOUT a global sort: each batch keeps its local top-k
+    (vectorized pandas sort over one batch), the driver merges the
+    ≤ k·num_blocks survivors (round-3: replaced ``sort().limit(k)``, which
+    full-sorts the entire table — an all-to-all shuffle — to pick 10 rows)."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    survivors = (
+        read_parquet_clean(f"{sf_dir}/orders.parquet", columns=cols)
+        .map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = survivors.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return rd.from_arrow(
+        pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+        .replace_schema_metadata(None)
     )
 
 

@@ -30,9 +30,11 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> "rd.Dataset":
     """Brute-force cosine top-k against one query vector. Per batch: keep
-    that batch's local top-k (numpy argpartition), then a global
-    ``sort(cosine desc, id asc).limit(k)`` over ≤ k·num_blocks survivors —
-    the full corpus is never collected anywhere.
+    that batch's local top-k (numpy argpartition); the ≤ k·num_blocks
+    survivors are merged on the driver (round-3: replaced the global
+    ``sort().limit()`` — Ray's sort shuffle pays a fixed multi-second cost
+    at any size, and the survivor set is k·blocks rows by construction).
+    The full corpus is never collected anywhere.
 
     Cosines are floored to 4 decimals — DuckDB's list_cosine_similarity
     accumulates in float32 order and differs from numpy by ~1e-7, so 6-decimal
@@ -60,10 +62,12 @@ def cosine_topk(
             }
         )
 
-    return (
-        ds.map_batches(score, batch_format="pyarrow")
-        .sort(["cosine", id_col], descending=[True, False])
-        .limit(k)
+    survivors = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    top = survivors.sort_values(
+        ["cosine", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return rd.from_arrow(
+        pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
     )
 
 
