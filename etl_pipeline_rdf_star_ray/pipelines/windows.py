@@ -1,0 +1,128 @@
+"""Grouped window operators: per-group top-k (ranking), running cumulative
+aggregates, stratified deterministic sampling.
+
+All three ride the hash-sharded-group plane (``dedup.sharded_groups`` over
+the block exchange): groups are colocated by key hash, ONE task per shard
+does the window work for every group of the shard in a single vectorized
+pandas pass — no per-group task, no sort shuffle. The only rows that move
+are the input rows themselves, once.
+
+SQL mirrors (the driver oracles): ``row_number() OVER (PARTITION BY …
+ORDER BY …)`` / ``SUM(…) OVER (PARTITION BY … ORDER BY … ROWS UNBOUNDED
+PRECEDING)`` — the window-function family the reference's SPARQL surface
+cannot express at all (SURVEY.md §2.7 note).
+
+Scale note: a shard task holds only its shard's rows (corpus / num_shards);
+a single GROUP must fit a worker's heap — true for per-user event streams
+and per-conversation transcripts (the 100-TB dimension is group COUNT).
+Skewed groups: salt hot keys upstream (``stages/partition.py`` pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd  # noqa: F401  (type refs in docstrings)
+
+from .dedup import sharded_groups
+
+
+def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    from .analytics import _group_key_hash
+
+    return _group_key_hash(batch, cols)
+
+
+def rank_within_groups(
+    ds: "rd.Dataset",
+    *,
+    group_cols: list[str],
+    order_by: list[str],
+    ascending: list[bool],
+    k: int,
+    rank_col: str = "rn",
+) -> "rd.Dataset":
+    """Top-k rows per group with their 1-based rank: the distributed
+    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY …) <= k``.
+    ``order_by``/``ascending`` must make the order total (include a unique
+    tiebreak column) for deterministic output."""
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        s = s.drop(columns=["shard"]).sort_values(
+            order_by, ascending=ascending, kind="mergesort"
+        )
+        grp = s.groupby(group_cols, sort=False)
+        s = s.assign(**{rank_col: grp.cumcount() + 1})
+        return s[s[rank_col] <= k]
+
+    return sharded_groups(ds, lambda b: _key_hash(b, group_cols), per_shard)
+
+
+def running_totals(
+    ds: "rd.Dataset",
+    *,
+    key_cols: list[str],
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "running",
+) -> "rd.Dataset":
+    """Per-key running cumulative sum in ``order_by`` order — the
+    distributed ``SUM(value) OVER (PARTITION BY key ORDER BY … ROWS
+    UNBOUNDED PRECEDING)``. ``value_col`` should already be exact-typed
+    (int64 cents for money — see ``analytics._cents``)."""
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        s = s.drop(columns=["shard"]).sort_values(
+            key_cols + order_by, kind="mergesort"
+        )
+        s[out_col] = s.groupby(key_cols, sort=False)[value_col].cumsum()
+        return s
+
+    return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)
+
+
+def stratified_sample(
+    ds: "rd.Dataset",
+    *,
+    stratum_cols: list[str],
+    id_col: str,
+    n_per_stratum: int,
+) -> "rd.Dataset":
+    """Deterministic stratified sample: the ``n`` rows per stratum whose
+    ``md5(str(id))`` sorts lowest — reproducible across runs, processes and
+    engines (same property as ``corpus.sample_hash``, but with an exact
+    per-stratum quota instead of a global rate). SQL mirror:
+    ``QUALIFY row_number() OVER (PARTITION BY stratum
+    ORDER BY md5(CAST(id AS VARCHAR)), id) <= n``.
+
+    Composition: one streaming stage attaches the vectorized md5 order key
+    (DuckDB C++ kernel, zero-copy Arrow in/out), then this IS
+    :func:`rank_within_groups` on (md5, id) — the rank column and order key
+    are dropped from the output."""
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        import duckdb
+
+        ids_tbl = pa.table({"id": batch.column(id_col)})  # noqa: F841 (scan)
+        h = (
+            duckdb.execute("SELECT md5(CAST(id AS VARCHAR)) AS h FROM ids_tbl")
+            .arrow()
+            .column("h")
+        )
+        return batch.append_column("__h", h).replace_schema_metadata(None)
+
+    ranked = rank_within_groups(
+        ds.map_batches(add_md5, batch_format="pyarrow"),
+        group_cols=stratum_cols,
+        order_by=["__h", id_col],
+        ascending=[True, True],
+        k=n_per_stratum,
+        rank_col="__rn",
+    )
+    drop = ["__h", "__rn"]
+    return ranked.map_batches(
+        lambda b: b.drop_columns(drop).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )

@@ -1327,6 +1327,11 @@ def build_queries() -> dict:
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        # joins / windows / sampling
+        "join_lineitem_orders": q_join_lineitem_orders,
+        "rank_events_per_type": q_rank_events_per_type,
+        "running_order_totals": q_running_order_totals,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1381,10 +1386,137 @@ def build_oracles() -> dict[str, str]:
         "similarity_topk": ORACLE_SIM_TOPK,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+        "join_lineitem_orders": ORACLE_JOIN_LINEITEM_ORDERS,
+        "rank_events_per_type": ORACLE_RANK_EVENTS,
+        "running_order_totals": ORACLE_RUNNING_TOTALS,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)
     }
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """General large×large equi-join: lineitem ⋈ orders on the order key —
+    both sides stream through the tagging stage, the block exchange
+    colocates each key's rows, one pandas merge per shard
+    (stages/join.hash_join_sharded). Neither side is broadcast or
+    materialized."""
+    from .stages.join import hash_join_sharded
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return hash_join_sharded(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+
+
+ORACLE_JOIN_LINEITEM_ORDERS = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_rank_events_per_type(sf_dir: str):
+    """Grouped top-k with rank: the 3 highest-value events per event type
+    (distributed row_number() — pipelines/windows.rank_within_groups)."""
+    from .pipelines.windows import rank_within_groups
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "value"],
+    )
+    return rank_within_groups(
+        ds,
+        group_cols=["event_type"],
+        order_by=["value", "event_id"],
+        ascending=[False, True],
+        k=3,
+    )
+
+
+ORACLE_RANK_EVENTS = """
+SELECT event_id, event_type, user_id, value, rn FROM (
+  SELECT event_id, event_type, user_id, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id
+         ) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q_running_order_totals(sf_dir: str):
+    """Per-customer running order-value total in order-date order — the
+    distributed cumulative window (pipelines/windows.running_totals);
+    int64 cents end-to-end for exactness."""
+    from .pipelines.windows import running_totals
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "total_c": pc.cast(
+                    pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = running_totals(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key_cols=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        value_col="total_c",
+        out_col="running_c",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "running_c"])
+
+
+ORACLE_RUNNING_TOTALS = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM orders
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per language, picked by
+    lowest md5(doc_id) — exact per-stratum quotas, reproducible across
+    engines (pipelines/windows.stratified_sample)."""
+    from .pipelines.windows import stratified_sample
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return stratified_sample(
+        ds, stratum_cols=["lang"], id_col="doc_id", n_per_stratum=5
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents) WHERE rn <= 5
+"""
 
 
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):

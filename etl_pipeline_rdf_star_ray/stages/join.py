@@ -1,0 +1,193 @@
+"""General distributed equi-join over the block exchange.
+
+Two shapes, picked by the size of the build side:
+
+- :func:`hash_join_broadcast` — right side fits a worker: ``ray.put`` the
+  right table once, every left batch probes it with a vectorized pandas
+  merge. No shuffle; the canonical dimension-join shape.
+- :func:`hash_join_sharded` — both sides large: union the two sides into one
+  tagged common-schema stream, hash-shard on the join key, one pandas
+  ``merge`` per shard over the exchange's data plane (driver-routed block
+  slices; Ray's sort-based ``groupby`` pays a multi-second fixed shuffle
+  cost per call — see ``stages/exchange.py``). Each shard task sees every
+  row of its keys from BOTH sides (the exchange's colocation contract), so
+  inner/left/right/full-outer semantics are local to the shard.
+
+The reference has no general join operator (its engines join only the
+quoted-triple annotation path, ``rdf-workbench.py``); this is engine
+completeness for the 100-TB pipeline target: fact×fact joins (lineitem ⋈
+orders) can't broadcast and must colocate.
+
+Null keys follow SQL semantics: a null join key matches nothing (rows with
+null keys are dropped from inner joins and pass through with null
+right-columns in left joins) — pandas ``merge`` would otherwise pair NaN
+keys with each other.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64_column
+from .exchange import exchange_apply
+
+_SIDE = "__side"
+_PID = "partition_id"
+
+
+def _shard_col(key_arr, num_shards: int) -> pa.Array:
+    h = hash64_column(key_arr.cast(pa.string()))
+    return pa.array((h % num_shards).astype(np.int32), pa.int32())
+
+
+def hash_join_broadcast(
+    left,  # rd.Dataset
+    right: pa.Table,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Broadcast equi-join: ``right`` (small side) is shipped to the object
+    store once; each left batch probes it with one vectorized pandas merge.
+    ``how`` ∈ {"inner", "left"}."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join_broadcast supports inner/left, got {how!r}")
+    right_on = right_on or on
+    rdf = right.to_pandas()
+    # null build keys never match — drop them from the probe table
+    rdf = rdf[rdf[right_on].notna()]
+    ref = ray.put(rdf)
+    r_types = {f.name: f.type for f in right.schema}
+
+    def stage(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        l_types = {f.name: f.type for f in batch.schema}
+        ldf = batch.to_pandas()
+        out = ldf.merge(
+            r,
+            left_on=on,
+            right_on=right_on,
+            how=how,
+            suffixes=("", suffix),
+        )
+        if how == "inner":
+            out = out[out[on].notna()]
+        # left-join misses float pandas int columns — cast back to the
+        # declared Arrow types (NaN → null)
+        cols = {}
+        for c in out.columns:
+            t = l_types.get(c) or r_types.get(
+                c[: -len(suffix)] if c.endswith(suffix) else c
+            )
+            cols[c] = (
+                pa.Array.from_pandas(out[c], type=t)
+                if t is not None
+                else pa.Array.from_pandas(out[c])
+            )
+        return pa.table(cols)
+
+    return left.map_batches(stage, batch_format="pyarrow")
+
+
+def hash_join_sharded(
+    left,  # rd.Dataset
+    right,  # rd.Dataset
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_shards: int = 64,
+    suffix: str = "_r",
+):
+    """Sharded equi-join for two large sides. Joins on a single key column;
+    ``how`` ∈ {"inner", "left", "right", "outer"}.
+
+    Scale shape: both inputs stream through a cheap tagging ``map_batches``
+    (append ``partition_id`` = hash(key) % shards and a side flag, null-fill
+    the other side's columns so the union has ONE schema), the exchange
+    colocates each key's rows from both sides into one shard task, and the
+    per-shard pandas ``merge`` runs at C speed. Nothing materializes the
+    inputs; the join output streams out as Arrow blocks. Skewed keys: a hot
+    join key lands in one shard — salt the key upstream (the CDC partition
+    stage's salt pattern, ``stages/partition.py``) when one key's rows
+    exceed a worker's heap."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"unsupported how={how!r}")
+    right_on = right_on or on
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_names = [c for c in r_schema.names if c != right_on]
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    # right non-key columns that collide with a left name get the suffix
+    # (pandas-merge convention), and the right key column is exposed under
+    # the LEFT key name for inner/left joins — callers of right/outer joins
+    # still see one unified key column
+    out_r_names = {c: (c + suffix if c in l_names else c) for c in r_names}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in l_names}
+        for c in r_names:
+            cols[out_r_names[c]] = pa.nulls(batch.num_rows, r_types[c])
+        cols[_PID] = _shard_col(batch.column(on), num_shards)
+        cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in l_names:
+            if c == on:
+                cols[c] = batch.column(right_on).cast(l_types[on])
+            else:
+                cols[c] = pa.nulls(batch.num_rows, l_types[c])
+        for c in r_names:
+            cols[out_r_names[c]] = batch.column(c)
+        cols[_PID] = _shard_col(batch.column(right_on), num_shards)
+        cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(1)
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    rcols = [out_r_names[c] for c in r_names]
+
+    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g[_SIDE] == 0].drop(columns=[_SIDE, _PID, *rcols])
+        rf = g[g[_SIDE] == 1][[on, *rcols]]
+        # SQL null semantics: null keys never match. Null-key left rows
+        # re-enter below for left/outer; null-key right rows for right/outer.
+        lf_null = lf[lf[on].isna()]
+        rf_null = rf[rf[on].isna()]
+        lf = lf[lf[on].notna()]
+        rf = rf[rf[on].notna()]
+        out = lf.merge(rf, on=on, how=how)
+        if how in ("left", "outer") and len(lf_null):
+            out = pd.concat([out, lf_null], ignore_index=True)
+        if how in ("right", "outer") and len(rf_null):
+            out = pd.concat([out, rf_null], ignore_index=True)
+        return out
+
+    # declared output types: the tagged union null-fills each side's missing
+    # columns, which floats pandas int columns (NaN) — cast every output
+    # column back to its source Arrow type (NaN → null) so join output
+    # schema matches the inputs regardless of match rate
+    out_types = {c: l_types[c] for c in l_names}
+    for c in r_names:
+        out_types[out_r_names[c]] = r_types[c]
+
+    def run(t: pa.Table) -> pa.Table:
+        df = join_shard(t.to_pandas())
+        return pa.table(
+            {c: pa.Array.from_pandas(df[c], type=out_types[c]) for c in df.columns}
+        )
+
+    return exchange_apply(unioned, run)

@@ -1,0 +1,168 @@
+"""General equi-join (stages/join.py) and grouped-window operators
+(pipelines/windows.py): hand-computed semantics vs DuckDB on small frames —
+inner/left/right/outer, SQL null-key semantics, name collisions, rank ties,
+running totals, stratified quotas."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from etl_pipeline_rdf_star_ray.pipelines.windows import (
+    rank_within_groups,
+    running_totals,
+    stratified_sample,
+)
+from etl_pipeline_rdf_star_ray.stages.join import (
+    hash_join_broadcast,
+    hash_join_sharded,
+)
+
+LEFT = pa.table(
+    {
+        "k": pa.array([1, 1, 2, 3, None, 5], pa.int64()),
+        "lv": pa.array([10, 11, 20, 30, 40, 50], pa.int64()),
+        "name": pa.array(["a", "b", "c", "d", "e", "f"], pa.string()),
+    }
+)
+# key 1 matches twice on the right (fan-out), key 2 once, key 3 missing,
+# null keys on both sides must never match, key 9 is right-only
+RIGHT = pa.table(
+    {
+        "rk": pa.array([1, 1, 2, None, 9], pa.int64()),
+        "rv": pa.array([100, 101, 200, 300, 900], pa.int64()),
+        "name": pa.array(["x", "y", "z", "n", "w"], pa.string()),
+    }
+)
+
+
+def _sql(how: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("l", LEFT.to_pandas())
+    con.register("r", RIGHT.to_pandas())
+    join_kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+               "outer": "FULL OUTER JOIN"}[how]
+    return con.execute(
+        f"""SELECT COALESCE(l.k, r.rk) AS k, l.lv, l.name AS name,
+                   r.rv, r.name AS name_r
+            FROM l {join_kw} r ON l.k = r.rk"""
+    ).fetchdf()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype("object").where(df[c].notna(), None)
+    return df.sort_values(
+        list(df.columns), key=lambda s: s.map(lambda v: (v is None, v))
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+def test_sharded_join_matches_sql(ray_session, how):
+    got = hash_join_sharded(
+        rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
+        on="k", right_on="rk", how=how, num_shards=4,
+    ).to_pandas()
+    # unified key column: the sharded join exposes the right key under the
+    # left name — mirror COALESCE(l.k, r.rk) from the SQL
+    want = _sql(how).rename(columns={"rk": "k"})
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_sharded_join_schema_stays_typed(ray_session):
+    out = hash_join_sharded(
+        rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
+        on="k", right_on="rk", how="left", num_shards=4,
+    )
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    # unmatched rows introduce nulls, but int columns must stay int64
+    assert types["rv"] == pa.int64()
+    assert types["lv"] == pa.int64()
+
+
+def test_broadcast_join_matches_sharded(ray_session):
+    for how in ("inner", "left"):
+        a = hash_join_broadcast(
+            rd.from_arrow(LEFT), RIGHT, on="k", right_on="rk", how=how
+        ).to_pandas()
+        b = hash_join_sharded(
+            rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
+            on="k", right_on="rk", how=how, num_shards=4,
+        ).to_pandas()
+        # broadcast keeps both key columns (pandas merge) — align on the
+        # shared ones
+        a = a.drop(columns=["rk"])
+        pd.testing.assert_frame_equal(_norm(a), _norm(b), check_dtype=False)
+
+
+EVENTS = pa.table(
+    {
+        "eid": pa.array(list(range(8)), pa.int64()),
+        "g": pa.array(["a", "a", "a", "a", "b", "b", "b", "b"], pa.string()),
+        "v": pa.array([5.0, 5.0, 3.0, 9.0, 1.0, 2.0, 2.0, 0.5], pa.float64()),
+    }
+)
+
+
+def test_rank_within_groups_ties_and_k(ray_session):
+    got = (
+        rank_within_groups(
+            rd.from_arrow(EVENTS),
+            group_cols=["g"], order_by=["v", "eid"],
+            ascending=[False, True], k=2,
+        )
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    # group a: v=9 (eid 3) then the v=5 TIE broken by eid → eid 0
+    # group b: v=2 tie broken by eid → eids 5 then 6
+    assert got["eid"].tolist() == [3, 0, 5, 6]
+    assert got["rn"].tolist() == [1, 2, 1, 2]
+
+
+def test_running_totals_matches_window_sql(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([3, 1, 2, 1, 2], pa.int64()),
+            "v": pa.array([10, 1, 100, 7, 8], pa.int64()),
+        }
+    )
+    got = (
+        running_totals(
+            rd.from_arrow(t), key_cols=["k"], order_by=["o"],
+            value_col="v", out_col="run",
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert got["run"].tolist() == [1, 101, 111, 7, 15]
+
+
+def test_stratified_sample_quota_and_determinism(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "lang": pa.array(["en", "de"] * 20, pa.string()),
+        }
+    )
+    a = stratified_sample(
+        rd.from_arrow(docs), stratum_cols=["lang"], id_col="doc_id",
+        n_per_stratum=3,
+    ).to_pandas()
+    assert a.groupby("lang").size().tolist() == [3, 3]
+    con = duckdb.connect()
+    con.register("docs", docs.to_pandas())
+    want = con.execute(
+        """SELECT doc_id, lang FROM (
+             SELECT doc_id, lang, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM docs) WHERE rn <= 3"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(_norm(a), _norm(want), check_dtype=False)
