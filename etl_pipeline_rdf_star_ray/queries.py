@@ -1329,6 +1329,7 @@ def build_queries() -> dict:
         "multimodal_decode": q_multimodal_decode,
         # joins / windows / sampling
         "join_lineitem_orders": q_join_lineitem_orders,
+        "join_events_customers": q_join_events_customers,
         "rank_events_per_type": q_rank_events_per_type,
         "running_order_totals": q_running_order_totals,
         "stratified_sample": q_stratified_sample,
@@ -1387,6 +1388,7 @@ def build_oracles() -> dict[str, str]:
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
         "join_lineitem_orders": ORACLE_JOIN_LINEITEM_ORDERS,
+        "join_events_customers": ORACLE_JOIN_EVENTS_CUSTOMERS,
         "rank_events_per_type": ORACLE_RANK_EVENTS,
         "running_order_totals": ORACLE_RUNNING_TOTALS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
@@ -1420,6 +1422,30 @@ def q_join_lineitem_orders(sf_dir: str):
 ORACLE_JOIN_LINEITEM_ORDERS = """
 SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, o.o_totalprice
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_join_events_customers(sf_dir: str):
+    """Broadcast dimension join: events pick up the customer segment via
+    the ray.put small side (stages/join.hash_join_broadcast, left join —
+    events with no matching customer keep null dimension columns)."""
+    from .stages.join import hash_join_broadcast
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    out = hash_join_broadcast(
+        events, cust, on="user_id", right_on="c_custkey", how="left"
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "c_mktsegment"])
+
+
+ORACLE_JOIN_EVENTS_CUSTOMERS = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
