@@ -723,7 +723,18 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return ds.groupby(block_col).map_groups(block, batch_format="pandas")
+    def shard_fn(s: pd.DataFrame) -> pd.DataFrame:
+        outs = [block(g) for _, g in s.groupby(block_col, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    from ..functions.hashing import hash64_column
+
+    # blocks are hash-colocated over the exchange (one task per shard, the
+    # O(n²)-within-block loop runs per block inside) — replaces
+    # groupby(block).map_groups and its sort shuffle (round-3)
+    return sharded_groups(
+        ds, lambda b: hash64_column(b.column(block_col)), shard_fn
+    )
 
 
 # ---------------------------------------------------------------------------
