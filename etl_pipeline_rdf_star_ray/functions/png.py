@@ -134,6 +134,42 @@ def decode_png(data: bytes) -> np.ndarray:
     return out
 
 
+def png_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR chunk — no pixel decode."""
+    if not is_png(data):
+        raise ValueError("not a PNG payload (bad signature)")
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            return int(w), int(h)
+    raise ValueError("PNG without IHDR")
+
+
+def split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG container (frames back-to-back, each a
+    complete signature→IEND stream — the MJPEG idea with PNG frames) into
+    its individual frames. A single PNG yields one frame. This is the
+    'video' container the frame-sample stage decodes for real in this
+    environment: chunk walking is pure stdlib, no codec needed."""
+    frames: list[bytes] = []
+    i, n = 0, len(data)
+    while i < n:
+        if bytes(data[i : i + 8]) != PNG_MAGIC:
+            raise ValueError(f"bad frame signature at byte {i}")
+        j = i + 8
+        while True:
+            if j + 8 > n:
+                raise ValueError("truncated PNG frame")
+            (length,) = struct.unpack(">I", data[j : j + 4])
+            ctype = data[j + 4 : j + 8]
+            j += 12 + length
+            if ctype == b"IEND":
+                break
+        frames.append(bytes(data[i:j]))
+        i = j
+    return frames
+
+
 def encode_png(arr: np.ndarray) -> bytes:
     """``(h, w[, c])`` uint8 array → PNG bytes (8-bit, filter 0)."""
     a = np.asarray(arr, dtype=np.uint8)

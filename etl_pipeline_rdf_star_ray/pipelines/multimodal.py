@@ -217,28 +217,58 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Actor-pool video frame sampler (every ``stride``-th frame as a new
-    media row). No video codec is available in this environment — real
-    decode raises via :func:`require_codecs`; the fake derives a
-    deterministic frame count from the payload digest so the fan-out
-    plumbing (one input row → k frame rows) is real and testable."""
+    """Actor-pool video frame sampler: every ``stride``-th frame becomes its
+    own media row with the frame's encoded bytes and dims.
+
+    REAL path: concatenated-PNG containers (``functions/png.py:
+    split_png_stream`` — frames back-to-back, the MJPEG idea with PNG
+    frames) are split by pure-stdlib chunk walking, sampled, and each
+    sampled frame emitted with its single-frame PNG payload and IHDR dims.
+    No external codec needed. Other container formats (mp4 etc.) have no
+    codec in this environment: they raise via :func:`require_codecs`
+    unless ``allow_fake=True``, in which case a clearly-marked fake derives
+    a deterministic frame count from the payload digest (payload passes
+    through untouched, sha256-derived dims) — output schema is identical
+    either way, so downstream stages are codec-agnostic."""
 
     def __init__(self, stride: int = 10, *, allow_fake: bool = False):
-        if not allow_fake:
-            require_codecs()
+        from ..functions import png as _png
+
         self.stride = stride
+        self.allow_fake = allow_fake
+        self.png = _png
+
+    def _sample(self, p: bytes) -> tuple[list[bytes], list[int], list[int], list[int]]:
+        """One payload → (frame payloads, frame indices, widths, heights)."""
+        if self.png.is_png(p):
+            frames = self.png.split_png_stream(p)
+            idx = list(range(0, len(frames), self.stride)) or [0]
+            outs = [frames[i] for i in idx]
+            dims = [self.png.png_dims(f) for f in outs]
+            return outs, idx, [d[0] for d in dims], [d[1] for d in dims]
+        if not self.allow_fake:
+            require_codecs()
+        digest = hashlib.blake2b(p or b"", digest_size=2).digest()
+        n_frames = 1 + (digest[0] % 8)
+        idx = list(range(0, n_frames, self.stride)) or [0]
+        d = hashlib.sha256(p or b"").digest()
+        w, h = 16 + d[0] % 64, 16 + d[1] % 64
+        return [p] * len(idx), idx, [w] * len(idx), [h] * len(idx)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        n_frames = np.array(
-            [
-                1 + (hashlib.blake2b(p or b"", digest_size=2).digest()[0] % 8)
-                for p in payloads
-            ],
-            dtype=np.int64,
-        )
-        k = np.maximum(1, n_frames // self.stride + 1)
-        take = np.repeat(np.arange(batch.num_rows), k)
-        frame_idx = np.concatenate([np.arange(x) * self.stride for x in k])
-        out = batch.take(pa.array(take))
-        return out.append_column("frame_idx", pa.array(frame_idx, pa.int32()))
+        take, f_payload, f_idx, f_w, f_h = [], [], [], [], []
+        for row, p in enumerate(payloads):
+            outs, idx, ws, hs = self._sample(p or b"")
+            take.extend([row] * len(idx))
+            f_payload.extend(outs)
+            f_idx.extend(idx)
+            f_w.extend(ws)
+            f_h.extend(hs)
+        out = batch.drop_columns(
+            [c for c in ("payload", "width", "height") if c in batch.column_names]
+        ).take(pa.array(take, pa.int64()))
+        out = out.append_column("payload", pa.array(f_payload, pa.binary()))
+        out = out.append_column("frame_idx", pa.array(f_idx, pa.int32()))
+        out = out.append_column("width", pa.array(f_w, pa.int32()))
+        return out.append_column("height", pa.array(f_h, pa.int32()))

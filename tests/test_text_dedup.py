@@ -293,6 +293,41 @@ def test_resize_and_frame_sample_stubs():
     assert len(frames) == len(again)
 
 
+def test_frame_sample_real_png_stream():
+    """REAL frame sampling: a concatenated-PNG 'video' container is split by
+    chunk walking, every stride-th frame comes back as its own row with the
+    frame's exact bytes and IHDR dims — no codec library involved."""
+    import numpy as np
+
+    from etl_pipeline_rdf_star_ray.functions import png as p
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 255, size=(8 + i, 6, 3), dtype=np.uint8).astype(np.uint8)
+        for i in range(7)
+    ]
+    container = b"".join(p.encode_png(f) for f in frames)
+    assert len(p.split_png_stream(container)) == 7
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([container], pa.binary()),
+        }
+    )
+    # strict mode (allow_fake=False): PNG streams are a real path, no raise
+    out = mm.FrameSampleStage(stride=3)(batch)
+    assert out.column("frame_idx").to_pylist() == [0, 3, 6]
+    assert out.column("width").to_pylist() == [6, 6, 6]
+    assert out.column("height").to_pylist() == [8, 11, 14]
+    # sampled payloads are the exact original frame bytes, decodable
+    for row, fi in enumerate([0, 3, 6]):
+        got = out.column("payload")[row].as_py()
+        assert got == p.encode_png(frames[fi])
+        assert np.array_equal(p.decode_png(got), frames[fi])
+
+
 def test_cosine_topk_ivf_contains_query():
     import pyarrow.parquet as pq
 
