@@ -1330,6 +1330,7 @@ def build_queries() -> dict:
         # joins / windows / sampling
         "join_lineitem_orders": q_join_lineitem_orders,
         "join_events_customers": q_join_events_customers,
+        "antijoin_inactive_customers": q_antijoin_inactive_customers,
         "rank_events_per_type": q_rank_events_per_type,
         "running_order_totals": q_running_order_totals,
         "stratified_sample": q_stratified_sample,
@@ -1389,6 +1390,7 @@ def build_oracles() -> dict[str, str]:
         "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
         "join_lineitem_orders": ORACLE_JOIN_LINEITEM_ORDERS,
         "join_events_customers": ORACLE_JOIN_EVENTS_CUSTOMERS,
+        "antijoin_inactive_customers": ORACLE_ANTIJOIN_CUSTOMERS,
         "rank_events_per_type": ORACLE_RANK_EVENTS,
         "running_order_totals": ORACLE_RUNNING_TOTALS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
@@ -1446,6 +1448,28 @@ def q_join_events_customers(sf_dir: str):
 ORACLE_JOIN_EVENTS_CUSTOMERS = """
 SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_antijoin_inactive_customers(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS): customers who produced no events
+    — the large×large exclusion-filter shape (decontamination when the
+    exclusion set is too big to broadcast); the right side ships key-only
+    rows through the exchange."""
+    from .stages.join import hash_join_sharded
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    events = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hash_join_sharded(
+        cust, events, on="c_custkey", right_on="user_id", how="anti"
+    )
+
+
+ORACLE_ANTIJOIN_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 """
 
 

@@ -107,7 +107,10 @@ def hash_join_sharded(
     suffix: str = "_r",
 ):
     """Sharded equi-join for two large sides. Joins on a single key column;
-    ``how`` ∈ {"inner", "left", "right", "outer"}.
+    ``how`` ∈ {"inner", "left", "right", "outer", "semi", "anti"}.
+    ``semi``/``anti`` return LEFT rows only (filtered by right-key
+    existence — the ``WHERE [NOT] EXISTS`` shape; anti is the large×large
+    decontamination filter when the exclusion set is too big to broadcast).
 
     Scale shape: both inputs stream through a cheap tagging ``map_batches``
     (append ``partition_id`` = hash(key) % shards and a side flag, null-fill
@@ -118,15 +121,18 @@ def hash_join_sharded(
     join key lands in one shard — salt the key upstream (the CDC partition
     stage's salt pattern, ``stages/partition.py``) when one key's rows
     exceed a worker's heap."""
-    if how not in ("inner", "left", "right", "outer"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
+    semi_anti = how in ("semi", "anti")
 
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
-    r_names = [c for c in r_schema.names if c != right_on]
+    # semi/anti only test key existence — the right side ships key-only
+    # rows through the exchange (no value bytes move)
+    r_names = [] if semi_anti else [c for c in r_schema.names if c != right_on]
     r_types = dict(zip(r_schema.names, r_schema.types))
     # right non-key columns that collide with a left name get the suffix
     # (pandas-merge convention), and the right key column is exposed under
@@ -169,6 +175,12 @@ def hash_join_sharded(
         rf_null = rf[rf[on].isna()]
         lf = lf[lf[on].notna()]
         rf = rf[rf[on].notna()]
+        if semi_anti:
+            hit = lf[on].isin(rf[on].unique())
+            if how == "semi":
+                return lf[hit]
+            # anti: null-key left rows never match, so NOT EXISTS keeps them
+            return pd.concat([lf[~hit], lf_null], ignore_index=True)
         out = lf.merge(rf, on=on, how=how)
         if how in ("left", "outer") and len(lf_null):
             out = pd.concat([out, lf_null], ignore_index=True)

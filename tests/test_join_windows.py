@@ -71,6 +71,24 @@ def test_sharded_join_matches_sql(ray_session, how):
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
 
 
+def test_sharded_semi_anti_join(ray_session):
+    semi = hash_join_sharded(
+        rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
+        on="k", right_on="rk", how="semi", num_shards=4,
+    ).to_pandas()
+    anti = hash_join_sharded(
+        rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
+        on="k", right_on="rk", how="anti", num_shards=4,
+    ).to_pandas()
+    # semi: left rows whose key exists on the right (no fan-out, left cols only)
+    assert sorted(semi["lv"].tolist()) == [10, 11, 20]
+    assert sorted(semi.columns) == sorted(LEFT.column_names)
+    # anti = NOT EXISTS: unmatched keys AND the null-key left row survive
+    assert sorted(anti["lv"].tolist()) == [30, 40, 50]
+    # partition: every left row in exactly one of semi/anti
+    assert len(semi) + len(anti) == LEFT.num_rows
+
+
 def test_sharded_join_schema_stays_typed(ray_session):
     out = hash_join_sharded(
         rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
