@@ -648,6 +648,36 @@ def pivot_counts(
     )
 
 
+def unpivot(
+    ds: "rd.Dataset",
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "rd.Dataset":
+    """Unpivot (melt) a wide table back to long ``(id_cols…, variable,
+    value)`` rows — the inverse of :func:`pivot_counts`. Purely per-batch
+    (one vectorized ``pd.melt`` per block, rows multiply by
+    ``len(value_cols)``), no shuffle at any point. SQL mirror: ``UNPIVOT``
+    / a ``UNION ALL`` over the value columns."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        df = batch.select([*id_cols, *value_cols]).to_pandas()
+        long = pd.melt(
+            df,
+            id_vars=id_cols,
+            value_vars=value_cols,
+            var_name=var_name,
+            value_name=value_name,
+        )
+        return pa.Table.from_pandas(long, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def lineitem_filter_stats(sf_dir: str, *, returnflag: str = "R") -> pa.Table:
     """Filter+project with pushdown: row-group filter at the read, partial
     sums per batch, single-row result."""

@@ -1334,6 +1334,7 @@ def build_queries() -> dict:
         "rank_events_per_type": q_rank_events_per_type,
         "running_order_totals": q_running_order_totals,
         "stratified_sample": q_stratified_sample,
+        "unpivot_user_matrix": q_unpivot_user_matrix,
     }
 
 
@@ -1394,10 +1395,38 @@ def build_oracles() -> dict[str, str]:
         "rank_events_per_type": ORACLE_RANK_EVENTS,
         "running_order_totals": ORACLE_RUNNING_TOTALS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "unpivot_user_matrix": ORACLE_UNPIVOT,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)
     }
+
+
+def q_unpivot_user_matrix(sf_dir: str):
+    """Unpivot (melt): the wide per-user event-count matrix back to long
+    ``(user_id, variable, value)`` rows — zero-count cells included, the
+    exact inverse of the pivot (analytics.unpivot; per-batch pd.melt, no
+    shuffle)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    wide = analytics.pivot_counts(
+        ds, row_key="user_id", col_key="event_type", values=_EVENT_TYPES
+    )
+    return analytics.unpivot(
+        wide, id_cols=["user_id"], value_cols=_EVENT_TYPES
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY user_id, event_type)
+SELECT u.user_id, t.variable, COALESCE(c.n, 0)::BIGINT AS value
+FROM u
+CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in _EVENT_TYPES)}) t(variable)
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.variable
+"""
 
 
 def q_join_lineitem_orders(sf_dir: str):
