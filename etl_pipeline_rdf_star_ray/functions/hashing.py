@@ -123,3 +123,27 @@ def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
     a = np.asarray(a, dtype=_U64)
     b = np.asarray(b, dtype=_U64) if not np.isscalar(b) else _U64(b)
     return splitmix64(a ^ (b * _U64(0xC2B2AE3D27D4EB4F)))
+
+
+def key_hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 hash of a join/shard key column, dispatched on type:
+    integers mix directly through splitmix64 (no string round-trip —
+    casting int64 keys to strings before hashing cost ~2 s per million
+    keys in the sharded-join profile), temporal types hash their int64
+    storage view, everything else goes through the dictionary-encoded
+    string hash. Null keys hash to 0 (they never match anyway — SQL
+    semantics enforced by the consumers)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
+        storage = arr.cast(pa.int64()) if not pa.types.is_integer(t) else arr
+        vals = storage.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if arr.null_count:
+            mask = np.asarray(arr.is_null())
+            vals = np.where(mask, 0, vals)
+            out = splitmix64(vals.astype(_U64))
+            out[mask] = 0
+            return out
+        return splitmix64(vals.astype(_U64))
+    return hash64_column(arr.cast(pa.string()))

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash64_column
+from ..functions.hashing import key_hash_column
 from .exchange import exchange_apply
 
 _SIDE = "__side"
@@ -39,8 +39,8 @@ _PID = "partition_id"
 
 
 def _shard_col(key_arr, num_shards: int) -> pa.Array:
-    h = hash64_column(key_arr.cast(pa.string()))
-    return pa.array((h % num_shards).astype(np.int32), pa.int32())
+    h = key_hash_column(key_arr)
+    return pa.array((h % np.uint64(num_shards)).astype(np.int32), pa.int32())
 
 
 def hash_join_broadcast(
@@ -140,13 +140,26 @@ def hash_join_sharded(
     # still see one unified key column
     out_r_names = {c: (c + suffix if c in l_names else c) for c in r_names}
 
+    def _pid_sorted(cols: dict) -> pa.Table:
+        # pid-sort inside the tag task (stable argsort on the int32 shard
+        # column) so every block is exchange-ready: the presorted exchange
+        # routes run slices with NO clustering copy — one fewer task wave
+        # and each row hits the object store exactly once (the CDC ingest
+        # pattern, stages/partition.py sort_output)
+        t = pa.table(cols)
+        pid = t.column(_PID).to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        if np.array_equal(order, np.arange(len(order))):
+            return t
+        return t.take(pa.array(order, pa.int64()))
+
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in l_names}
         for c in r_names:
             cols[out_r_names[c]] = pa.nulls(batch.num_rows, r_types[c])
         cols[_PID] = _shard_col(batch.column(on), num_shards)
         cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
-        return pa.table(cols)
+        return _pid_sorted(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -159,10 +172,12 @@ def hash_join_sharded(
             cols[out_r_names[c]] = batch.column(c)
         cols[_PID] = _shard_col(batch.column(right_on), num_shards)
         cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(1)
-        return pa.table(cols)
+        return _pid_sorted(cols)
 
-    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow")
+    unioned = left.map_batches(
+        tag_left, batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", batch_size=None)
     )
     rcols = [out_r_names[c] for c in r_names]
 
@@ -202,4 +217,4 @@ def hash_join_sharded(
             {c: pa.Array.from_pandas(df[c], type=out_types[c]) for c in df.columns}
         )
 
-    return exchange_apply(unioned, run)
+    return exchange_apply(unioned, run, presorted=True)
