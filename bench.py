@@ -203,6 +203,26 @@ def run_bench() -> dict:
     sec, _ = timed(lambda: q_sparql_star_nation(SF_DIR).num_rows)
     queries["sparql_star_nation"] = sec
 
+    # general large×large equi-join over the presorted exchange
+    from etl_pipeline_rdf_star_ray.stages.join import hash_join_sharded
+
+    sec, _ = timed(
+        lambda: hash_join_sharded(
+            read_parquet_clean(
+                f"{SF_DIR}/lineitem.parquet",
+                columns=["l_orderkey", "l_linenumber", "l_quantity"],
+            ),
+            read_parquet_clean(
+                f"{SF_DIR}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            ),
+            on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+        ).count()
+    )
+    queries["join_lineitem_orders"] = sec
+
     st = ops.status(lake)
     ray.shutdown()
 
