@@ -847,3 +847,60 @@ def decontaminate(
         )
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def decontaminate_bloom(
+    docs: "rd.Dataset",
+    benchmark_texts,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    fp_rate: float = 1e-4,
+) -> "rd.Dataset":
+    """Sketch-broadcast decontamination: same contract as
+    :func:`decontaminate` but the exclusion side ships as a Bloom FILTER
+    (``functions/bloom.py``) instead of the full gram set — ~1.8 MB per
+    million grams at fp=1e-4, the shape that still broadcasts when the
+    exclusion corpus is billions of grams (all prior training shards).
+
+    Guarantee: ZERO false negatives — every document the exact path flags
+    is flagged here; a clean document is wrongly flagged with probability
+    ≈ ``n_grams(doc) × fp_rate``. Output: ``(id_col, n_hits,
+    contaminated)`` where ``n_hits`` counts probe HITS (≥ true overlap)."""
+    import ray
+
+    from ..functions.bloom import bloom_build, bloom_contains, bloom_params
+
+    bench: set[str] = set()
+    for t in benchmark_texts:
+        bench |= _word_grams(t, shingle_k)
+    m, k = bloom_params(len(bench), fp_rate)
+    bits = bloom_build(pa.array(sorted(bench), pa.string()), m, k)
+    ref = ray.put((bits, m, k))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        b, m_, k_ = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        grams: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            g = _word_grams(t, shingle_k)
+            counts[i] = len(g)
+            grams.extend(g)
+        hit = bloom_contains(b, pa.array(grams, pa.string()), m_, k_)
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        # per-doc hit count: segment sum over the flat gram axis
+        seg = np.zeros(len(texts), dtype=np.int64)
+        nz = counts > 0
+        if hit.size:
+            seg[nz] = np.add.reduceat(hit.astype(np.int64), offs[nz])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_hits": pa.array(seg, pa.int64()),
+                "contaminated": pa.array(seg >= 1, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(stage, batch_format="pyarrow")
