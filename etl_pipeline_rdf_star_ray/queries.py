@@ -1335,6 +1335,7 @@ def build_queries() -> dict:
         "running_order_totals": q_running_order_totals,
         "stratified_sample": q_stratified_sample,
         "unpivot_user_matrix": q_unpivot_user_matrix,
+        "model_scores": q_model_scores,
     }
 
 
@@ -1396,10 +1397,32 @@ def build_oracles() -> dict[str, str]:
         "running_order_totals": ORACLE_RUNNING_TOTALS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "unpivot_user_matrix": ORACLE_UNPIVOT,
+        "model_scores": ORACLE_MODEL_SCORES,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)
     }
+
+
+def q_model_scores(sf_dir: str):
+    """Batched model inference over the corpus: actor-pool stage, weights
+    loaded once per actor, one vectorized forward per batch
+    (pipelines/scoring.py). The stub model is a logistic over exact text
+    statistics so every score is recomputable in SQL — the inference path
+    is hash-checked, not just smoke-tested."""
+    from .pipelines.scoring import score_documents
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return score_documents(docs)
+
+
+ORACLE_MODEL_SCORES = f"""
+SELECT doc_id,
+  floor((1.0 / (1.0 + exp(-(-1.0 + 0.25 * (length(text)::DOUBLE / 100.0)
+                                 + 0.8 * ({_N_TOKENS_SQL}::DOUBLE / 10.0))))
+         + 1e-9) * 10000) / 10000 AS score
+FROM documents
+"""
 
 
 def q_unpivot_user_matrix(sf_dir: str):
