@@ -71,7 +71,10 @@ def running_totals(
     """Per-key running cumulative sum in ``order_by`` order — the
     distributed ``SUM(value) OVER (PARTITION BY key ORDER BY … ROWS
     UNBOUNDED PRECEDING)``. ``value_col`` should already be exact-typed
-    (int64 cents for money — see ``analytics._cents``)."""
+    (int64 cents for money — see ``analytics._cents``). ``order_by`` must
+    be total within each key (include a unique tiebreak column): with ties,
+    per-row running values depend on tie order in ANY engine (the SQL
+    window is equally non-deterministic there)."""
 
     def per_shard(s: pd.DataFrame) -> pd.DataFrame:
         s = s.drop(columns=["shard"]).sort_values(
