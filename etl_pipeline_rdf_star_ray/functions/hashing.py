@@ -137,13 +137,22 @@ def key_hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_integer(t) or pa.types.is_temporal(t):
-        storage = arr.cast(pa.int64()) if not pa.types.is_integer(t) else arr
-        vals = storage.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        storage = arr
+        if not pa.types.is_integer(t):
+            # 32-bit temporal storage (date32/time32) has no direct ->int64
+            # cast in Arrow: hop through its bit-width integer first
+            if t.bit_width == 32:
+                storage = storage.cast(pa.int32())
+            storage = storage.cast(pa.int64())
+        elif t != pa.int64():
+            storage = storage.cast(pa.int64())
+        # fill_null BEFORE to_numpy: a null-bearing int64 column would
+        # otherwise round-trip through float64 and corrupt keys >= 2^53
+        # (batch-dependent hashes break the exchange colocation contract)
+        vals = storage.fill_null(0).to_numpy(zero_copy_only=False).astype(_U64)
+        out = splitmix64(vals)
         if arr.null_count:
-            mask = np.asarray(arr.is_null())
-            vals = np.where(mask, 0, vals)
-            out = splitmix64(vals.astype(_U64))
-            out[mask] = 0
-            return out
-        return splitmix64(vals.astype(_U64))
+            out = np.asarray(out)
+            out[np.asarray(arr.is_null())] = 0
+        return out
     return hash64_column(arr.cast(pa.string()))

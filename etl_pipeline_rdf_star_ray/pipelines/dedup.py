@@ -724,7 +724,12 @@ def ngram_jaccard_pairs(
         )
 
     def shard_fn(s: pd.DataFrame) -> pd.DataFrame:
-        outs = [block(g) for _, g in s.groupby(block_col, sort=False)]
+        # dropna=False: a null blocking value is its own block (Ray's
+        # groupby kept null keys; pandas' default would silently skip
+        # null-source docs and never report their duplicate pairs)
+        outs = [
+            block(g) for _, g in s.groupby(block_col, sort=False, dropna=False)
+        ]
         return pd.concat(outs, ignore_index=True)
 
     from ..functions.hashing import hash64_column

@@ -241,12 +241,19 @@ class FrameSampleStage:
     def _sample(self, p: bytes) -> tuple[list[bytes], list[int], list[int], list[int]]:
         """One payload → (frame payloads, frame indices, widths, heights)."""
         if self.png.is_png(p):
-            frames = self.png.split_png_stream(p)
-            idx = list(range(0, len(frames), self.stride)) or [0]
-            outs = [frames[i] for i in idx]
-            dims = [self.png.png_dims(f) for f in outs]
-            return outs, idx, [d[0] for d in dims], [d[1] for d in dims]
-        if not self.allow_fake:
+            try:
+                frames = self.png.split_png_stream(p)
+                idx = list(range(0, len(frames), self.stride)) or [0]
+                outs = [frames[i] for i in idx]
+                dims = [self.png.png_dims(f) for f in outs]
+                return outs, idx, [d[0] for d in dims], [d[1] for d in dims]
+            except ValueError:
+                # corrupt/truncated PNG stream: permissive mode falls
+                # through to the fake (its contract: never raise); strict
+                # mode surfaces the parse error below via require_codecs
+                if not self.allow_fake:
+                    raise
+        elif not self.allow_fake:
             require_codecs()
         digest = hashlib.blake2b(p or b"", digest_size=2).digest()
         n_frames = 1 + (digest[0] % 8)

@@ -53,7 +53,10 @@ def rank_within_groups(
         s = s.drop(columns=["shard"]).sort_values(
             order_by, ascending=ascending, kind="mergesort"
         )
-        grp = s.groupby(group_cols, sort=False)
+        # dropna=False: SQL's PARTITION BY keeps NULL as its own partition;
+        # pandas' default would silently drop null-key rows AND float the
+        # rank column (NaN cumcount) in shards containing them
+        grp = s.groupby(group_cols, sort=False, dropna=False)
         s = s.assign(**{rank_col: grp.cumcount() + 1})
         return s[s[rank_col] <= k]
 
@@ -80,7 +83,11 @@ def running_totals(
         s = s.drop(columns=["shard"]).sort_values(
             key_cols + order_by, kind="mergesort"
         )
-        s[out_col] = s.groupby(key_cols, sort=False)[value_col].cumsum()
+        # dropna=False: null-key rows form their own partition (SQL window
+        # semantics) instead of getting NaN running values
+        s[out_col] = s.groupby(key_cols, sort=False, dropna=False)[
+            value_col
+        ].cumsum()
         return s
 
     return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)

@@ -80,12 +80,15 @@ def hash_join_broadcast(
         if how == "inner":
             out = out[out[on].notna()]
         # left-join misses float pandas int columns — cast back to the
-        # declared Arrow types (NaN → null)
+        # declared Arrow types (NaN → null). Lookup order matters: an
+        # unsuffixed match in either schema wins BEFORE suffix-stripping,
+        # so a right column natively named "foo_r" keeps its own type
+        # instead of stealing an unrelated "foo"'s.
         cols = {}
         for c in out.columns:
-            t = l_types.get(c) or r_types.get(
-                c[: -len(suffix)] if c.endswith(suffix) else c
-            )
+            t = l_types.get(c) or r_types.get(c)
+            if t is None and c.endswith(suffix):
+                t = r_types.get(c[: -len(suffix)])
             cols[c] = (
                 pa.Array.from_pandas(out[c], type=t)
                 if t is not None
@@ -163,14 +166,15 @@ def hash_join_sharded(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
+        # normalize the key to the LEFT type BEFORE hashing — hashing the
+        # raw right column would shard e.g. timestamp[ms] keys differently
+        # from the left's timestamp[s] storage ints and silently never join
+        key = batch.column(right_on).cast(l_types[on])
         for c in l_names:
-            if c == on:
-                cols[c] = batch.column(right_on).cast(l_types[on])
-            else:
-                cols[c] = pa.nulls(batch.num_rows, l_types[c])
+            cols[c] = key if c == on else pa.nulls(batch.num_rows, l_types[c])
         for c in r_names:
             cols[out_r_names[c]] = batch.column(c)
-        cols[_PID] = _shard_col(batch.column(right_on), num_shards)
+        cols[_PID] = _shard_col(key, num_shards)
         cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(1)
         return _pid_sorted(cols)
 
@@ -181,15 +185,15 @@ def hash_join_sharded(
     )
     rcols = [out_r_names[c] for c in r_names]
 
-    def join_shard(g: pd.DataFrame) -> pd.DataFrame:
+    def join_shard(g: pd.DataFrame, g_null: pd.DataFrame) -> pd.DataFrame:
         lf = g[g[_SIDE] == 0].drop(columns=[_SIDE, _PID, *rcols])
         rf = g[g[_SIDE] == 1][[on, *rcols]]
-        # SQL null semantics: null keys never match. Null-key left rows
-        # re-enter below for left/outer; null-key right rows for right/outer.
-        lf_null = lf[lf[on].isna()]
-        rf_null = rf[rf[on].isna()]
-        lf = lf[lf[on].notna()]
-        rf = rf[rf[on].notna()]
+        # SQL null semantics: null keys never match. Null-key rows arrive
+        # pre-split (g_null) so this frame's key column keeps its integer
+        # dtype — a mixed null/int64 pandas column floats to float64 and
+        # collides keys >= 2^53 inside the merge.
+        lf_null = g_null[g_null[_SIDE] == 0].drop(columns=[_SIDE, _PID, *rcols])
+        rf_null = g_null[g_null[_SIDE] == 1][[on, *rcols]]
         if semi_anti:
             hit = lf[on].isin(rf[on].unique())
             if how == "semi":
@@ -212,7 +216,11 @@ def hash_join_sharded(
         out_types[out_r_names[c]] = r_types[c]
 
     def run(t: pa.Table) -> pa.Table:
-        df = join_shard(t.to_pandas())
+        null_mask = pc.is_null(t.column(on))
+        df = join_shard(
+            t.filter(pc.invert(null_mask)).to_pandas(),
+            t.filter(null_mask).to_pandas(),
+        )
         return pa.table(
             {c: pa.Array.from_pandas(df[c], type=out_types[c]) for c in df.columns}
         )

@@ -1,0 +1,144 @@
+"""Regression tests for the round-3 review findings: typed key hashing
+(date32, mixed timestamp units, >=2^53 keys, null batches), null-group
+window semantics, broadcast suffix restore, truncated-PNG fallback."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from etl_pipeline_rdf_star_ray.functions.hashing import key_hash_column
+from etl_pipeline_rdf_star_ray.pipelines.windows import (
+    rank_within_groups,
+    running_totals,
+)
+from etl_pipeline_rdf_star_ray.stages.join import (
+    hash_join_broadcast,
+    hash_join_sharded,
+)
+
+BIG = 9007199254740993  # 2^53 + 1: not representable in float64
+
+
+def test_key_hash_date32_and_time32():
+    d = pa.array([18000, 18001, None], pa.date32())
+    h = key_hash_column(d)
+    assert len(h) == 3 and h[2] == 0 and h[0] != h[1]
+    t = pa.array([1000, 2000], pa.time32("s"))
+    assert len(key_hash_column(t)) == 2
+
+
+def test_key_hash_batch_independent_above_2_53():
+    clean = pa.array([BIG], pa.int64())
+    with_null = pa.array([BIG, None], pa.int64())
+    assert key_hash_column(clean)[0] == key_hash_column(with_null)[0]
+
+
+def test_join_mixed_timestamp_units(ray_session):
+    left = pa.table(
+        {
+            "k": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+            "lv": pa.array([1, 2], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1_000, 2_000, 3_000], pa.timestamp("ms")),
+            "rv": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=4,
+    ).to_pandas()
+    # same instants despite different units: both rows must join
+    assert sorted(out["rv"].tolist()) == [10, 20]
+
+
+def test_join_big_keys_with_null_in_same_shard(ray_session):
+    # BIG and BIG-1 collide in float64; a null-key row forces the pandas
+    # float path unless nulls are pre-split in Arrow
+    left = pa.table(
+        {
+            "k": pa.array([BIG, BIG - 1, None], pa.int64()),
+            "lv": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([BIG], pa.int64()),
+            "rv": pa.array([100], pa.int64()),
+        }
+    )
+    out = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="left", num_shards=1,
+    ).to_pandas()
+    by_lv = out.set_index("lv")["rv"]
+    assert by_lv[1] == 100  # exact BIG match
+    assert pd.isna(by_lv[2])  # BIG-1 must NOT float-collide into a match
+    assert pd.isna(by_lv[3])  # null key never matches
+
+
+def test_rank_and_running_keep_null_groups(ray_session):
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", None, None], pa.string()),
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([5, 6, 7, 8], pa.int64()),
+        }
+    )
+    ranked = rank_within_groups(
+        rd.from_arrow(t), group_cols=["g"], order_by=["v", "eid"],
+        ascending=[False, True], k=1,
+    ).to_pandas()
+    # the NULL group is its own partition (SQL semantics): its top row stays
+    assert len(ranked) == 2
+    assert ranked["rn"].dtype == np.int64
+    assert set(ranked["eid"]) == {2, 4}
+
+    run = running_totals(
+        rd.from_arrow(t), key_cols=["g"], order_by=["eid"], value_col="v",
+        out_col="run",
+    ).to_pandas().sort_values("eid")
+    assert run["run"].tolist() == [5, 11, 7, 15]
+
+
+def test_broadcast_native_suffix_column(ray_session):
+    left = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "lv": pa.array([1, 2], pa.int64())}
+    )
+    # right natively carries a column whose name ends with the suffix AND a
+    # 'foo' of a different type — the restore must not cross-type them
+    right = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "foo": pa.array(["x", "y"], pa.string()),
+            "foo_r": pa.array([10, 20], pa.int64()),
+        }
+    )
+    out = hash_join_broadcast(rd.from_arrow(left), right, on="k", how="inner")
+    types = dict(zip(out.schema().names, out.schema().types))
+    assert types["foo"] == pa.string()
+    assert types["foo_r"] == pa.int64()
+
+
+def test_frame_sample_truncated_png_fake_fallback():
+    import pytest
+
+    from etl_pipeline_rdf_star_ray.functions import png as p
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    truncated = p.PNG_MAGIC + b"\x00\x00\x00\x0dIHDR"  # cut mid-chunk
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([truncated], pa.binary()),
+        }
+    )
+    # permissive mode: never raises, emits deterministic fake frames
+    out = mm.FrameSampleStage(stride=3, allow_fake=True)(batch)
+    assert out.num_rows >= 1
+    # strict mode: the parse error surfaces
+    with pytest.raises(ValueError):
+        mm.FrameSampleStage(stride=3, allow_fake=False)(batch)
