@@ -125,6 +125,18 @@ def combine64(a: np.ndarray, b: np.ndarray | int) -> np.ndarray:
     return splitmix64(a ^ (b * _U64(0xC2B2AE3D27D4EB4F)))
 
 
+def shard_column(
+    arr: pa.ChunkedArray | pa.Array, num_shards: int
+) -> pa.Array:
+    """int32 ``partition_id`` column for the block exchange: typed key hash
+    mod shard count. The one shared implementation for every sharded
+    operator (equi-join, as-of join, sharded groups use their own composite
+    variants) — shard assignment must be bit-identical across call sites
+    or colocation silently breaks."""
+    h = key_hash_column(arr)
+    return pa.array((h % np.uint64(num_shards)).astype(np.int32), pa.int32())
+
+
 def key_hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """uint64 hash of a join/shard key column, dispatched on type:
     integers mix directly through splitmix64 (no string round-trip —

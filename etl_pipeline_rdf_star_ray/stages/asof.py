@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import key_hash_column
+from ..functions.hashing import shard_column
 from .exchange import exchange_apply
 
 
@@ -172,9 +172,8 @@ def asof_join_sharded(
     vtypes = {c: r_types[c] for c in value_cols}
 
     def _shard_col(key_arr) -> pa.Array:
-        h = key_hash_column(key_arr)
         # int32 "partition_id": the block exchange's routing column
-        return pa.array((h % num_shards).astype(np.int32), pa.int32())
+        return shard_column(key_arr, num_shards)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in left_names}

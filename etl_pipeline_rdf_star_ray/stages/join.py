@@ -31,16 +31,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import key_hash_column
+from ..functions.hashing import shard_column as _shard_col
 from .exchange import exchange_apply
 
 _SIDE = "__side"
 _PID = "partition_id"
-
-
-def _shard_col(key_arr, num_shards: int) -> pa.Array:
-    h = key_hash_column(key_arr)
-    return pa.array((h % np.uint64(num_shards)).astype(np.int32), pa.int32())
 
 
 def hash_join_broadcast(
