@@ -103,6 +103,8 @@ def hash_join_sharded(
     how: str = "inner",
     num_shards: int = 64,
     suffix: str = "_r",
+    hot_keys=None,
+    salt_buckets: int = 8,
 ):
     """Sharded equi-join for two large sides. Joins on a single key column;
     ``how`` ∈ {"inner", "left", "right", "outer", "semi", "anti"}.
@@ -115,14 +117,25 @@ def hash_join_sharded(
     the other side's columns so the union has ONE schema), the exchange
     colocates each key's rows from both sides into one shard task, and the
     per-shard pandas ``merge`` runs at C speed. Nothing materializes the
-    inputs; the join output streams out as Arrow blocks. Skewed keys: a hot
-    join key lands in one shard — salt the key upstream (the CDC partition
-    stage's salt pattern, ``stages/partition.py``) when one key's rows
-    exceed a worker's heap."""
+    inputs; the join output streams out as Arrow blocks.
+
+    Skew: pass ``hot_keys`` (the few keys whose rows would exceed a
+    worker's heap — detect like ``stages/partition.detect_hot_convs``) to
+    SALT them: a hot key's LEFT rows spread cyclically over
+    ``salt_buckets`` consecutive shards, and its RIGHT rows replicate into
+    all of them (broadcast-the-build-side-of-one-key, the standard skew
+    join). Supported for inner/left/semi/anti — right/outer would emit the
+    replicated right rows multiple times on misses and raises instead."""
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
     semi_anti = how in ("semi", "anti")
+    hot_list = list(hot_keys) if hot_keys else []
+    if hot_list and how in ("right", "outer"):
+        raise ValueError(
+            "hot-key salting replicates right rows; right/outer joins would "
+            "duplicate unmatched right output — use inner/left/semi/anti"
+        )
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -151,11 +164,24 @@ def hash_join_sharded(
             return t
         return t.take(pa.array(order, pa.int64()))
 
+    hot_arr = pa.array(hot_list, l_types[on]) if hot_list else None
+
+    def _salted_left_pid(key: pa.Array | pa.ChunkedArray, n: int) -> pa.Array:
+        base = _shard_col(key, num_shards)
+        if hot_arr is None:
+            return base
+        pid = base.to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = np.asarray(pc.is_in(key, value_set=hot_arr).fill_null(False))
+        # cyclic spread of a hot key's rows over salt_buckets consecutive
+        # shards — deterministic within a batch, even across batches
+        pid[hot] = (pid[hot] + np.arange(hot.sum()) % salt_buckets) % num_shards
+        return pa.array(pid.astype(np.int32), pa.int32())
+
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in l_names}
         for c in r_names:
             cols[out_r_names[c]] = pa.nulls(batch.num_rows, r_types[c])
-        cols[_PID] = _shard_col(batch.column(on), num_shards)
+        cols[_PID] = _salted_left_pid(batch.column(on), batch.num_rows)
         cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
         return _pid_sorted(cols)
 
@@ -165,12 +191,43 @@ def hash_join_sharded(
         # raw right column would shard e.g. timestamp[ms] keys differently
         # from the left's timestamp[s] storage ints and silently never join
         key = batch.column(right_on).cast(l_types[on])
+        tbl = pa.table(
+            {**{out_r_names[c]: batch.column(c) for c in r_names}, "__key": key}
+        )
+        if hot_arr is not None:
+            # replicate each hot-key right row into every salted shard
+            hot = pc.is_in(key, value_set=hot_arr).fill_null(False)
+            hot_rows = tbl.filter(hot)
+            if hot_rows.num_rows:
+                n = hot_rows.num_rows
+                take = np.repeat(np.arange(n), salt_buckets)
+                reps = hot_rows.take(pa.array(take, pa.int64()))
+                base = (
+                    _shard_col(reps.column("__key"), num_shards)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                offsets = np.tile(np.arange(salt_buckets), n)
+                rep_pid = ((base + offsets) % num_shards).astype(np.int32)
+                cold = tbl.filter(pc.invert(hot))
+                cold_pid = _shard_col(cold.column("__key"), num_shards)
+                tbl = pa.concat_tables([cold, reps])
+                pid = pa.concat_arrays(
+                    [cold_pid.combine_chunks() if isinstance(cold_pid, pa.ChunkedArray) else cold_pid,
+                     pa.array(rep_pid, pa.int32())]
+                )
+            else:
+                pid = _shard_col(tbl.column("__key"), num_shards)
+        else:
+            pid = _shard_col(tbl.column("__key"), num_shards)
+        key_out = tbl.column("__key")
+        n_out = tbl.num_rows
         for c in l_names:
-            cols[c] = key if c == on else pa.nulls(batch.num_rows, l_types[c])
+            cols[c] = key_out if c == on else pa.nulls(n_out, l_types[c])
         for c in r_names:
-            cols[out_r_names[c]] = batch.column(c)
-        cols[_PID] = _shard_col(key, num_shards)
-        cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(1)
+            cols[out_r_names[c]] = tbl.column(out_r_names[c])
+        cols[_PID] = pid
+        cols[_SIDE] = pa.nulls(n_out, pa.int8()).fill_null(1)
         return _pid_sorted(cols)
 
     unioned = left.map_batches(

@@ -89,6 +89,54 @@ def test_sharded_semi_anti_join(ray_session):
     assert len(semi) + len(anti) == LEFT.num_rows
 
 
+def test_sharded_join_hot_key_salting(ray_session):
+    """A skewed key joined with and without salting gives identical output;
+    salting spreads the hot key's left rows over salt_buckets shards and
+    replicates its right rows into each."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n = 5_000
+    # 60% of left rows share key 7 (the hot key)
+    keys = np.where(rng.uniform(size=n) < 0.6, 7, rng.integers(0, 200, n))
+    left = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "lv": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(list(range(200)), pa.int64()),
+            "rv": pa.array([x * 10 for x in range(200)], pa.int64()),
+        }
+    )
+    plain = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=8,
+    ).to_pandas()
+    salted = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=8,
+        hot_keys=[7], salt_buckets=4,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(plain), _norm(salted))
+    # semi/anti under salting too
+    s = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="anti", num_shards=8,
+        hot_keys=[7], salt_buckets=4,
+    ).to_pandas()
+    assert len(s) == 0  # every key 0..199 exists on the right
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_join_sharded(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on="k", right_on="rk", how="outer", hot_keys=[7],
+        )
+
+
 def test_sharded_join_schema_stays_typed(ray_session):
     out = hash_join_sharded(
         rd.from_arrow(LEFT), rd.from_arrow(RIGHT),
