@@ -104,3 +104,59 @@ def quantile_sketch(
             "value": pa.array(est, pa.float64()),
         }
     )
+
+
+def grouped_quantile_sketch(
+    ds: "rd.Dataset",  # noqa: F821
+    group_col: str,
+    col: str,
+    *,
+    B: int = 256,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> pa.Table:
+    """Per-group quantile estimation with rank error ≤ N_g/B per group:
+    each batch emits one equi-depth summary per group it contains
+    (``(group, v, w)`` rows, ≤ B per group per batch), the driver merges
+    per group. Groups stay unshuffled — the partials are the only rows
+    that move, ≤ B × groups × blocks. Returns ``(group, q, value)``."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        gs, vs, ws = [], [], []
+        for g, sub in df.groupby(group_col, sort=False, dropna=False):
+            v, w = batch_summary(
+                sub[col].to_numpy(dtype=np.float64, na_value=np.nan), B
+            )
+            gs.extend([g] * len(v))
+            vs.append(v)
+            ws.append(w)
+        return pa.table(
+            {
+                group_col: pa.array(gs, batch.column(group_col).type),
+                "v": pa.array(
+                    np.concatenate(vs) if vs else np.empty(0), pa.float64()
+                ),
+                "w": pa.array(
+                    np.concatenate(ws) if ws else np.empty(0), pa.float64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_g, out_q, out_v = [], [], []
+    for g, sub in parts.groupby(group_col, sort=True, dropna=False):
+        vals, wts = merge_summaries(
+            [(sub["v"].to_numpy(), sub["w"].to_numpy())]
+        )
+        est = summary_quantile(vals, wts, list(quantiles))
+        out_g.extend([g] * len(quantiles))
+        out_q.extend(quantiles)
+        out_v.extend(est)
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

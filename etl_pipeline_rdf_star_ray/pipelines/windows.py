@@ -93,6 +93,38 @@ def running_totals(
     return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)
 
 
+def rolling_window_sum(
+    ds: "rd.Dataset",
+    *,
+    key_cols: list[str],
+    order_by: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling",
+) -> "rd.Dataset":
+    """Per-key rolling sum over the last ``window`` rows in ``order_by``
+    order — the distributed ``SUM(value) OVER (PARTITION BY key ORDER BY …
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Vectorized pandas
+    ``groupby.rolling`` per shard; exact when ``value_col`` is integer
+    (cents). Same total-order requirement on ``order_by`` as
+    :func:`running_totals`."""
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        s = s.drop(columns=["shard"]).sort_values(
+            key_cols + order_by, kind="mergesort"
+        )
+        r = (
+            s.groupby(key_cols, sort=False, dropna=False)[value_col]
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+        )
+        s[out_col] = r.to_numpy().astype(np.int64)
+        return s
+
+    return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)
+
+
 def stratified_sample(
     ds: "rd.Dataset",
     *,

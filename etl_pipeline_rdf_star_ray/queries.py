@@ -1333,6 +1333,7 @@ def build_queries() -> dict:
         "antijoin_inactive_customers": q_antijoin_inactive_customers,
         "rank_events_per_type": q_rank_events_per_type,
         "running_order_totals": q_running_order_totals,
+        "rolling_order_sums": q_rolling_order_sums,
         "stratified_sample": q_stratified_sample,
         "unpivot_user_matrix": q_unpivot_user_matrix,
         "model_scores": q_model_scores,
@@ -1395,6 +1396,7 @@ def build_oracles() -> dict[str, str]:
         "antijoin_inactive_customers": ORACLE_ANTIJOIN_CUSTOMERS,
         "rank_events_per_type": ORACLE_RANK_EVENTS,
         "running_order_totals": ORACLE_RUNNING_TOTALS,
+        "rolling_order_sums": ORACLE_ROLLING_SUMS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "unpivot_user_matrix": ORACLE_UNPIVOT,
         "model_scores": ORACLE_MODEL_SCORES,
@@ -1592,6 +1594,50 @@ SELECT o_orderkey, o_custkey,
        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM orders
+"""
+
+
+def q_rolling_order_sums(sf_dir: str):
+    """Per-customer rolling 3-order value sum in order-date order — the
+    bounded-frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    int64 cents for exactness (pipelines/windows.rolling_window_sum)."""
+    from .pipelines.windows import rolling_window_sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "total_c": pc.cast(
+                    pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = rolling_window_sum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key_cols=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        value_col="total_c",
+        window=3,
+        out_col="rolling_c",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "rolling_c"])
+
+
+ORACLE_ROLLING_SUMS = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_c
 FROM orders
 """
 

@@ -64,6 +64,30 @@ def test_merge_matches_whole():
         assert _rank_err(s, eb, q * len(s)) <= 5 * len(s) / 256 + 6
 
 
+def test_grouped_bound(ray_session):
+    from etl_pipeline_rdf_star_ray.functions.qsketch import (
+        grouped_quantile_sketch,
+    )
+
+    rng = np.random.default_rng(17)
+    groups = np.repeat(["a", "b", "c"], 8_000)
+    vals = np.concatenate(
+        [
+            rng.uniform(0, 1, 8_000),
+            rng.normal(50, 5, 8_000),
+            rng.zipf(1.6, 8_000).astype(np.float64),
+        ]
+    )
+    ds = rd.from_arrow(pa.table({"g": groups, "x": vals})).repartition(16)
+    out = grouped_quantile_sketch(ds, "g", "x", B=256).to_pandas()
+    assert sorted(out["g"].unique()) == ["a", "b", "c"]
+    for g, start in (("a", 0), ("b", 8_000), ("c", 16_000)):
+        s = np.sort(vals[start : start + 8_000])
+        sub = out[out["g"] == g]
+        for q, est in zip(sub["q"], sub["value"]):
+            assert _rank_err(s, est, q * len(s)) <= len(s) / 256 + 17
+
+
 def test_small_and_nan_inputs(ray_session):
     ds = rd.from_arrow(
         pa.table({"x": pa.array([3.0, None, 1.0, 2.0], pa.float64())})
