@@ -38,6 +38,44 @@ _SIDE = "__side"
 _PID = "partition_id"
 
 
+def detect_hot_join_keys(
+    ds,
+    on: str,
+    *,
+    num_shards: int,
+    sample_rows: int | None = 200_000,
+    threshold: float | None = None,
+    seed: int = 42,
+) -> list:
+    """Cheap skew pre-pass for :func:`hash_join_sharded` — the join-key
+    analog of ``stages/partition.detect_hot_convs``: stratified sample
+    (randomized block order, then row cap), per-batch ``value_counts``
+    partials, keys whose sampled share exceeds half a shard's fair share
+    flagged. Bounded driver-side reduction, no shuffle."""
+    import pyarrow.compute as _pc
+
+    if threshold is None:
+        threshold = 0.5 / num_shards
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = _pc.value_counts(batch.column(on))
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {"k": vc.field("values"), "n": _pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    sampled = ds
+    if sample_rows is not None:
+        sampled = sampled.randomize_block_order(seed=seed).limit(sample_rows)
+    parts = sampled.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return []
+    counts = parts.groupby("k", sort=False, dropna=True)["n"].sum()
+    total = counts.sum()
+    return sorted(counts[counts / total > threshold].index.tolist())
+
+
 def hash_join_broadcast(
     left,  # rd.Dataset
     right: pa.Table,
@@ -130,6 +168,8 @@ def hash_join_sharded(
         raise ValueError(f"unsupported how={how!r}")
     right_on = right_on or on
     semi_anti = how in ("semi", "anti")
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        hot_keys = detect_hot_join_keys(left, on, num_shards=num_shards)
     hot_list = list(hot_keys) if hot_keys else []
     if hot_list and how in ("right", "outer"):
         raise ValueError(

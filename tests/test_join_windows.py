@@ -135,6 +135,15 @@ def test_sharded_join_hot_key_salting(ray_session):
             rd.from_arrow(left), rd.from_arrow(right),
             on="k", right_on="rk", how="outer", hot_keys=[7],
         )
+    # auto-detection finds the 60% key and gives identical output
+    from etl_pipeline_rdf_star_ray.stages.join import detect_hot_join_keys
+
+    assert detect_hot_join_keys(rd.from_arrow(left), "k", num_shards=8) == [7]
+    auto = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=8, hot_keys="auto",
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(plain), _norm(auto))
 
 
 def test_sharded_join_schema_stays_typed(ray_session):
