@@ -144,7 +144,10 @@ def hash_join_sharded(
     hot_keys=None,
     salt_buckets: int = 8,
 ):
-    """Sharded equi-join for two large sides. Joins on a single key column;
+    """Sharded equi-join for two large sides. ``on``/``right_on`` take one
+    column name or a list (composite keys: the shard hash chains the
+    per-column typed hashes with ``combine64``, SQL ``=`` semantics apply
+    per component — ANY null component means no match).
     ``how`` ∈ {"inner", "left", "right", "outer", "semi", "anti"}.
     ``semi``/``anti`` return LEFT rows only (filtered by right-key
     existence — the ``WHERE [NOT] EXISTS`` shape; anti is the large×large
@@ -166,16 +169,24 @@ def hash_join_sharded(
     replicated right rows multiple times on misses and raises instead."""
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    ons = [on] if isinstance(on, str) else list(on)
     right_on = right_on or on
+    r_ons = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(ons) != len(r_ons):
+        raise ValueError("on and right_on must name the same number of columns")
     semi_anti = how in ("semi", "anti")
     if isinstance(hot_keys, str) and hot_keys == "auto":
-        hot_keys = detect_hot_join_keys(left, on, num_shards=num_shards)
+        if len(ons) > 1:
+            raise ValueError("hot_keys='auto' supports single-column keys")
+        hot_keys = detect_hot_join_keys(left, ons[0], num_shards=num_shards)
     hot_list = list(hot_keys) if hot_keys else []
     if hot_list and how in ("right", "outer"):
         raise ValueError(
             "hot-key salting replicates right rows; right/outer joins would "
             "duplicate unmatched right output — use inner/left/semi/anti"
         )
+    if hot_list and len(ons) > 1:
+        raise ValueError("hot-key salting supports single-column keys")
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -183,8 +194,9 @@ def hash_join_sharded(
     l_types = dict(zip(l_schema.names, l_schema.types))
     # semi/anti only test key existence — the right side ships key-only
     # rows through the exchange (no value bytes move)
-    r_names = [] if semi_anti else [c for c in r_schema.names if c != right_on]
+    r_names = [] if semi_anti else [c for c in r_schema.names if c not in r_ons]
     r_types = dict(zip(r_schema.names, r_schema.types))
+    r_key_of = dict(zip(ons, r_ons))  # left key name -> right key name
     # right non-key columns that collide with a left name get the suffix
     # (pandas-merge convention), and the right key column is exposed under
     # the LEFT key name for inner/left joins — callers of right/outer joins
@@ -204,7 +216,21 @@ def hash_join_sharded(
             return t
         return t.take(pa.array(order, pa.int64()))
 
-    hot_arr = pa.array(hot_list, l_types[on]) if hot_list else None
+    hot_arr = pa.array(hot_list, l_types[ons[0]]) if hot_list else None
+
+    from ..functions.hashing import combine64, key_hash_column
+
+    def _composite_pid(key_cols: list) -> pa.Array:
+        h = None
+        for col in key_cols:
+            hc = key_hash_column(col)
+            h = hc if h is None else combine64(h, hc)
+        return pa.array(
+            (np.asarray(h, dtype=np.uint64) % np.uint64(num_shards)).astype(
+                np.int32
+            ),
+            pa.int32(),
+        )
 
     def _salted_left_pid(key: pa.Array | pa.ChunkedArray, n: int) -> pa.Array:
         base = _shard_col(key, num_shards)
@@ -221,20 +247,26 @@ def hash_join_sharded(
         cols = {c: batch.column(c) for c in l_names}
         for c in r_names:
             cols[out_r_names[c]] = pa.nulls(batch.num_rows, r_types[c])
-        cols[_PID] = _salted_left_pid(batch.column(on), batch.num_rows)
+        if hot_arr is not None:
+            cols[_PID] = _salted_left_pid(batch.column(ons[0]), batch.num_rows)
+        else:
+            cols[_PID] = _composite_pid([batch.column(c) for c in ons])
         cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
         return _pid_sorted(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
-        # normalize the key to the LEFT type BEFORE hashing — hashing the
-        # raw right column would shard e.g. timestamp[ms] keys differently
+        # normalize keys to the LEFT types BEFORE hashing — hashing raw
+        # right columns would shard e.g. timestamp[ms] keys differently
         # from the left's timestamp[s] storage ints and silently never join
-        key = batch.column(right_on).cast(l_types[on])
+        keys = {
+            c: batch.column(r_key_of[c]).cast(l_types[c]) for c in ons
+        }
         tbl = pa.table(
-            {**{out_r_names[c]: batch.column(c) for c in r_names}, "__key": key}
+            {**{out_r_names[c]: batch.column(c) for c in r_names}, **keys}
         )
         if hot_arr is not None:
+            key = tbl.column(ons[0])
             # replicate each hot-key right row into every salted shard
             hot = pc.is_in(key, value_set=hot_arr).fill_null(False)
             hot_rows = tbl.filter(hot)
@@ -243,27 +275,26 @@ def hash_join_sharded(
                 take = np.repeat(np.arange(n), salt_buckets)
                 reps = hot_rows.take(pa.array(take, pa.int64()))
                 base = (
-                    _shard_col(reps.column("__key"), num_shards)
+                    _shard_col(reps.column(ons[0]), num_shards)
                     .to_numpy(zero_copy_only=False)
                     .astype(np.int64)
                 )
                 offsets = np.tile(np.arange(salt_buckets), n)
                 rep_pid = ((base + offsets) % num_shards).astype(np.int32)
                 cold = tbl.filter(pc.invert(hot))
-                cold_pid = _shard_col(cold.column("__key"), num_shards)
+                cold_pid = _shard_col(cold.column(ons[0]), num_shards)
                 tbl = pa.concat_tables([cold, reps])
                 pid = pa.concat_arrays(
                     [cold_pid.combine_chunks() if isinstance(cold_pid, pa.ChunkedArray) else cold_pid,
                      pa.array(rep_pid, pa.int32())]
                 )
             else:
-                pid = _shard_col(tbl.column("__key"), num_shards)
+                pid = _shard_col(tbl.column(ons[0]), num_shards)
         else:
-            pid = _shard_col(tbl.column("__key"), num_shards)
-        key_out = tbl.column("__key")
+            pid = _composite_pid([tbl.column(c) for c in ons])
         n_out = tbl.num_rows
         for c in l_names:
-            cols[c] = key_out if c == on else pa.nulls(n_out, l_types[c])
+            cols[c] = tbl.column(c) if c in keys else pa.nulls(n_out, l_types[c])
         for c in r_names:
             cols[out_r_names[c]] = tbl.column(out_r_names[c])
         cols[_PID] = pid
@@ -279,20 +310,22 @@ def hash_join_sharded(
 
     def join_shard(g: pd.DataFrame, g_null: pd.DataFrame) -> pd.DataFrame:
         lf = g[g[_SIDE] == 0].drop(columns=[_SIDE, _PID, *rcols])
-        rf = g[g[_SIDE] == 1][[on, *rcols]]
+        rf = g[g[_SIDE] == 1][[*ons, *rcols]]
         # SQL null semantics: null keys never match. Null-key rows arrive
         # pre-split (g_null) so this frame's key column keeps its integer
         # dtype — a mixed null/int64 pandas column floats to float64 and
         # collides keys >= 2^53 inside the merge.
         lf_null = g_null[g_null[_SIDE] == 0].drop(columns=[_SIDE, _PID, *rcols])
-        rf_null = g_null[g_null[_SIDE] == 1][[on, *rcols]]
+        rf_null = g_null[g_null[_SIDE] == 1][[*ons, *rcols]]
         if semi_anti:
-            hit = lf[on].isin(rf[on].unique())
+            probe = rf[ons].drop_duplicates()
+            m = lf.merge(probe, on=ons, how="left", indicator=True)
+            hit = (m["_merge"] == "both").to_numpy()
             if how == "semi":
                 return lf[hit]
             # anti: null-key left rows never match, so NOT EXISTS keeps them
             return pd.concat([lf[~hit], lf_null], ignore_index=True)
-        out = lf.merge(rf, on=on, how=how)
+        out = lf.merge(rf, on=ons, how=how)
         if how in ("left", "outer") and len(lf_null):
             out = pd.concat([out, lf_null], ignore_index=True)
         if how in ("right", "outer") and len(rf_null):
@@ -308,7 +341,10 @@ def hash_join_sharded(
         out_types[out_r_names[c]] = r_types[c]
 
     def run(t: pa.Table) -> pa.Table:
-        null_mask = pc.is_null(t.column(on))
+        # ANY null key component → no match (SQL `=` semantics)
+        null_mask = pc.is_null(t.column(ons[0]))
+        for c in ons[1:]:
+            null_mask = pc.or_(null_mask, pc.is_null(t.column(c)))
         df = join_shard(
             t.filter(pc.invert(null_mask)).to_pandas(),
             t.filter(null_mask).to_pandas(),

@@ -158,6 +158,42 @@ def test_sharded_join_schema_stays_typed(ray_session):
     assert types["lv"] == pa.int64()
 
 
+def test_composite_key_join(ray_session):
+    left = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, None], pa.int64()),
+            "b": pa.array(["x", "y", "x", None, "x"], pa.string()),
+            "lv": pa.array([10, 11, 20, 21, 30], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "ra": pa.array([1, 2, 1], pa.int64()),
+            "rb": pa.array(["x", "x", "z"], pa.string()),
+            "rv": pa.array([100, 200, 300], pa.int64()),
+        }
+    )
+    got = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on=["a", "b"], right_on=["ra", "rb"], how="left", num_shards=4,
+    ).to_pandas()
+    by_lv = got.set_index("lv")["rv"]
+    assert by_lv[10] == 100 and by_lv[20] == 200
+    # (1,'y') unmatched; any-null key components never match
+    assert pd.isna(by_lv[11]) and pd.isna(by_lv[21]) and pd.isna(by_lv[30])
+    # semi/anti on composite keys
+    semi = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on=["a", "b"], right_on=["ra", "rb"], how="semi", num_shards=4,
+    ).to_pandas()
+    assert sorted(semi["lv"]) == [10, 20]
+    anti = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on=["a", "b"], right_on=["ra", "rb"], how="anti", num_shards=4,
+    ).to_pandas()
+    assert sorted(anti["lv"]) == [11, 21, 30]
+
+
 def test_broadcast_join_matches_sharded(ray_session):
     for how in ("inner", "left"):
         a = hash_join_broadcast(
