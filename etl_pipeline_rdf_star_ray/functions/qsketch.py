@@ -121,19 +121,38 @@ def grouped_quantile_sketch(
     that move, ≤ B × groups × blocks. Returns ``(group, q, value)``."""
     import pandas as pd
 
+    g_type = None
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([group_col, col]).to_pandas()
+        # split the null group in ARROW: pandas would float a null-bearing
+        # int64 group column (corrupting identities >= 2^53) and a NaN key
+        # can't convert back to the Arrow group type
+        gcol = batch.column(group_col)
+        nulls = pc.is_null(gcol)
+        nn = batch.filter(pc.invert(nulls))
+        nul = batch.filter(nulls)
+        df = nn.select([group_col, col]).to_pandas()
         gs, vs, ws = [], [], []
-        for g, sub in df.groupby(group_col, sort=False, dropna=False):
+        for g, sub in df.groupby(group_col, sort=False):
             v, w = batch_summary(
                 sub[col].to_numpy(dtype=np.float64, na_value=np.nan), B
             )
             gs.extend([g] * len(v))
             vs.append(v)
             ws.append(w)
+        if nul.num_rows:
+            v, w = batch_summary(
+                pc.cast(nul.column(col), pa.float64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                B,
+            )
+            gs.extend([None] * len(v))
+            vs.append(v)
+            ws.append(w)
         return pa.table(
             {
-                group_col: pa.array(gs, batch.column(group_col).type),
+                group_col: pa.array(gs, gcol.type),
                 "v": pa.array(
                     np.concatenate(vs) if vs else np.empty(0), pa.float64()
                 ),
@@ -143,9 +162,19 @@ def grouped_quantile_sketch(
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    import ray
+
+    parts_tbl = pa.concat_tables(
+        [ray.get(r) for r in parts_ds.to_arrow_refs()]
+    )
+    g_type = parts_tbl.schema.field(group_col).type
+    null_mask = pc.is_null(parts_tbl.column(group_col))
+    nn_tbl = parts_tbl.filter(pc.invert(null_mask))
+    nul_tbl = parts_tbl.filter(null_mask)
+    parts = nn_tbl.to_pandas()
     out_g, out_q, out_v = [], [], []
-    for g, sub in parts.groupby(group_col, sort=True, dropna=False):
+    for g, sub in parts.groupby(group_col, sort=True):
         vals, wts = merge_summaries(
             [(sub["v"].to_numpy(), sub["w"].to_numpy())]
         )
@@ -153,9 +182,22 @@ def grouped_quantile_sketch(
         out_g.extend([g] * len(quantiles))
         out_q.extend(quantiles)
         out_v.extend(est)
+    if nul_tbl.num_rows:
+        vals, wts = merge_summaries(
+            [
+                (
+                    nul_tbl.column("v").to_numpy(zero_copy_only=False),
+                    nul_tbl.column("w").to_numpy(zero_copy_only=False),
+                )
+            ]
+        )
+        est = summary_quantile(vals, wts, list(quantiles))
+        out_g.extend([None] * len(quantiles))
+        out_q.extend(quantiles)
+        out_v.extend(est)
     return pa.table(
         {
-            group_col: pa.array(out_g),
+            group_col: pa.array(out_g, g_type),
             "q": pa.array(out_q, pa.float64()),
             "value": pa.array(out_v, pa.float64()),
         }

@@ -16,6 +16,8 @@ rows; pair these stages with small ``batch_size`` (e.g. 64) and let
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -247,7 +249,7 @@ class FrameSampleStage:
                 outs = [frames[i] for i in idx]
                 dims = [self.png.png_dims(f) for f in outs]
                 return outs, idx, [d[0] for d in dims], [d[1] for d in dims]
-            except ValueError:
+            except (ValueError, struct.error, zlib.error):
                 # corrupt/truncated PNG stream: permissive mode falls
                 # through to the fake (its contract: never raise); strict
                 # mode surfaces the parse error below via require_codecs

@@ -113,13 +113,20 @@ def rolling_window_sum(
         s = s.drop(columns=["shard"]).sort_values(
             key_cols + order_by, kind="mergesort"
         )
-        r = (
+        vals = (
             s.groupby(key_cols, sort=False, dropna=False)[value_col]
             .rolling(window, min_periods=1)
             .sum()
             .reset_index(drop=True)
+            .to_numpy()
         )
-        s[out_col] = r.to_numpy().astype(np.int64)
+        if np.issubdtype(s[value_col].dtype, np.integer):
+            # SQL SUM OVER: all-null window → NULL. pandas gives NaN there;
+            # pd.array keeps it as NA instead of the INT64_MIN garbage a
+            # blind astype(int64) would produce
+            s[out_col] = pd.array(vals, dtype="Int64")
+        else:
+            s[out_col] = vals
         return s
 
     return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)

@@ -1555,6 +1555,23 @@ SELECT event_id, event_type, user_id, value, rn FROM (
 """
 
 
+def _orders_cents(b: pa.Table) -> pa.Table:
+    """orders batch -> (o_orderkey, o_custkey, o_orderdate, total_c) with the
+    price as exact int64 cents — shared by the running/rolling window
+    queries so the rounding convention lives in ONE place."""
+    return pa.table(
+        {
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "total_c": pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_running_order_totals(sf_dir: str):
     """Per-customer running order-value total in order-date order — the
     distributed cumulative window (pipelines/windows.running_totals);
@@ -1566,21 +1583,8 @@ def q_running_order_totals(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    def to_cents(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": b.column("o_orderkey"),
-                "o_custkey": b.column("o_custkey"),
-                "o_orderdate": b.column("o_orderdate"),
-                "total_c": pc.cast(
-                    pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
-                    pa.int64(),
-                ),
-            }
-        )
-
     out = running_totals(
-        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ds.map_batches(_orders_cents, batch_format="pyarrow"),
         key_cols=["o_custkey"],
         order_by=["o_orderdate", "o_orderkey"],
         value_col="total_c",
@@ -1609,21 +1613,8 @@ def q_rolling_order_sums(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    def to_cents(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": b.column("o_orderkey"),
-                "o_custkey": b.column("o_custkey"),
-                "o_orderdate": b.column("o_orderdate"),
-                "total_c": pc.cast(
-                    pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
-                    pa.int64(),
-                ),
-            }
-        )
-
     out = rolling_window_sum(
-        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ds.map_batches(_orders_cents, batch_format="pyarrow"),
         key_cols=["o_custkey"],
         order_by=["o_orderdate", "o_orderkey"],
         value_col="total_c",

@@ -58,7 +58,10 @@ def detect_hot_join_keys(
         threshold = 0.5 / num_shards
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = _pc.value_counts(batch.column(on))
+        # drop nulls BEFORE counting: value_counts emits a null row, and a
+        # null in the partial would float an int64 key column on the driver
+        # (corrupting keys >= 2^53 — the exact hazard key_hash_column guards)
+        vc = _pc.value_counts(batch.column(on).drop_null())
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         return pa.table(
@@ -187,6 +190,9 @@ def hash_join_sharded(
         )
     if hot_list and len(ons) > 1:
         raise ValueError("hot-key salting supports single-column keys")
+    # offsets wrap mod num_shards: more salt buckets than shards would land
+    # >=2 replicas of the same right row in one shard and DUPLICATE matches
+    salt_buckets = min(salt_buckets, num_shards)
 
     l_schema = left.schema()
     r_schema = right.schema()
@@ -232,15 +238,24 @@ def hash_join_sharded(
             pa.int32(),
         )
 
-    def _salted_left_pid(key: pa.Array | pa.ChunkedArray, n: int) -> pa.Array:
+    def _salted_left_pid(key: pa.Array | pa.ChunkedArray) -> pa.Array:
         base = _shard_col(key, num_shards)
         if hot_arr is None:
             return base
         pid = base.to_numpy(zero_copy_only=False).astype(np.int64)
         hot = np.asarray(pc.is_in(key, value_set=hot_arr).fill_null(False))
-        # cyclic spread of a hot key's rows over salt_buckets consecutive
-        # shards — deterministic within a batch, even across batches
-        pid[hot] = (pid[hot] + np.arange(hot.sum()) % salt_buckets) % num_shards
+        # cyclic spread PER HOT KEY (a shared counter would bias the spread
+        # when several hot keys interleave — e.g. strict alternation of two
+        # hot keys gives each only every other bucket); hot keys are few by
+        # construction so the per-key loop is over a handful of keys
+        keys_np = np.asarray(key.to_numpy(zero_copy_only=False))
+        for hk in hot_list:
+            rows = hot & (keys_np == hk)
+            cnt = int(rows.sum())
+            if cnt:
+                pid[rows] = (
+                    pid[rows] + np.arange(cnt) % salt_buckets
+                ) % num_shards
         return pa.array(pid.astype(np.int32), pa.int32())
 
     def tag_left(batch: pa.Table) -> pa.Table:
@@ -248,7 +263,7 @@ def hash_join_sharded(
         for c in r_names:
             cols[out_r_names[c]] = pa.nulls(batch.num_rows, r_types[c])
         if hot_arr is not None:
-            cols[_PID] = _salted_left_pid(batch.column(ons[0]), batch.num_rows)
+            cols[_PID] = _salted_left_pid(batch.column(ons[0]))
         else:
             cols[_PID] = _composite_pid([batch.column(c) for c in ons])
         cols[_SIDE] = pa.nulls(batch.num_rows, pa.int8()).fill_null(0)

@@ -123,6 +123,77 @@ def test_broadcast_native_suffix_column(ray_session):
     assert types["foo_r"] == pa.int64()
 
 
+def test_salting_more_buckets_than_shards_no_duplicates(ray_session):
+    # salt_buckets (default 8) > num_shards=4 must not wrap replicas onto
+    # the same shard and duplicate matches
+    left = pa.table(
+        {
+            "k": pa.array([7] * 50 + list(range(50)), pa.int64()),
+            "lv": pa.array(list(range(100)), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(list(range(51)), pa.int64()),
+            "rv": pa.array([x * 2 for x in range(51)], pa.int64()),
+        }
+    )
+    out = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=4,
+        hot_keys=[7], salt_buckets=8,
+    ).to_pandas()
+    assert len(out) == 100  # one match per left row, no duplicates
+
+
+def test_grouped_quantile_sketch_null_group(ray_session):
+    from etl_pipeline_rdf_star_ray.functions.qsketch import (
+        grouped_quantile_sketch,
+    )
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 50 + [None] * 50, pa.string()),
+            "x": pa.array(
+                [float(i) for i in range(50)] + [float(100 + i) for i in range(50)],
+                pa.float64(),
+            ),
+        }
+    )
+    out = grouped_quantile_sketch(
+        rd.from_arrow(t), "g", "x", B=64, quantiles=(0.5,)
+    ).to_pandas()
+    # the null group is kept as its own partition with its own quantiles
+    assert len(out) == 2
+    med_null = out[out["g"].isna()]["value"].iloc[0]
+    assert 120 <= med_null <= 130
+    med_a = out[out["g"] == "a"]["value"].iloc[0]
+    assert 20 <= med_a <= 30
+
+
+def test_rolling_all_null_window_is_null(ray_session):
+    from etl_pipeline_rdf_star_ray.pipelines.windows import rolling_window_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "o": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([None, 5, 7], pa.int64()),
+        }
+    )
+    out = (
+        rolling_window_sum(
+            rd.from_arrow(t), key_cols=["k"], order_by=["o"], value_col="v",
+            window=2, out_col="r",
+        )
+        .to_pandas()
+        .sort_values("o")
+    )
+    # first window is all-null -> NULL (SQL SUM semantics), not INT64_MIN
+    assert pd.isna(out["r"].iloc[0])
+    assert out["r"].iloc[1] == 5 and out["r"].iloc[2] == 12
+
+
 def test_frame_sample_truncated_png_fake_fallback():
     import pytest
 
@@ -130,15 +201,28 @@ def test_frame_sample_truncated_png_fake_fallback():
     from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
 
     truncated = p.PNG_MAGIC + b"\x00\x00\x00\x0dIHDR"  # cut mid-chunk
-    batch = pa.table(
-        {
-            "media_id": pa.array([1], pa.int64()),
-            "payload": pa.array([truncated], pa.binary()),
-        }
-    )
-    # permissive mode: never raises, emits deterministic fake frames
-    out = mm.FrameSampleStage(stride=3, allow_fake=True)(batch)
-    assert out.num_rows >= 1
-    # strict mode: the parse error surfaces
-    with pytest.raises(ValueError):
-        mm.FrameSampleStage(stride=3, allow_fake=False)(batch)
+    # a frame whose IHDR declares length 0: split succeeds, png_dims hits
+    # struct.unpack of empty bytes (struct.error, NOT a ValueError)
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(ctype, body):
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (
+            _struct.pack(">I", len(body)) + ctype + body + _struct.pack(">I", crc)
+        )
+
+    bad_ihdr = p.PNG_MAGIC + chunk(b"IHDR", b"") + chunk(b"IEND", b"")
+    for payload in (truncated, bad_ihdr):
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+        # permissive mode: never raises, emits deterministic fake frames
+        out = mm.FrameSampleStage(stride=3, allow_fake=True)(batch)
+        assert out.num_rows >= 1
+        # strict mode: the parse error surfaces
+        with pytest.raises((ValueError, _struct.error)):
+            mm.FrameSampleStage(stride=3, allow_fake=False)(batch)
