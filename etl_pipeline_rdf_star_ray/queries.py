@@ -1331,6 +1331,7 @@ def build_queries() -> dict:
         "join_lineitem_orders": q_join_lineitem_orders,
         "join_events_customers": q_join_events_customers,
         "antijoin_inactive_customers": q_antijoin_inactive_customers,
+        "join_composite_groupsize": q_join_composite_groupsize,
         "rank_events_per_type": q_rank_events_per_type,
         "running_order_totals": q_running_order_totals,
         "rolling_order_sums": q_rolling_order_sums,
@@ -1394,6 +1395,7 @@ def build_oracles() -> dict[str, str]:
         "join_lineitem_orders": ORACLE_JOIN_LINEITEM_ORDERS,
         "join_events_customers": ORACLE_JOIN_EVENTS_CUSTOMERS,
         "antijoin_inactive_customers": ORACLE_ANTIJOIN_CUSTOMERS,
+        "join_composite_groupsize": ORACLE_JOIN_COMPOSITE,
         "rank_events_per_type": ORACLE_RANK_EVENTS,
         "running_order_totals": ORACLE_RUNNING_TOTALS,
         "rolling_order_sums": ORACLE_ROLLING_SUMS,
@@ -1524,6 +1526,54 @@ def q_antijoin_inactive_customers(sf_dir: str):
 ORACLE_ANTIJOIN_CUSTOMERS = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+def q_join_composite_groupsize(sf_dir: str):
+    """Composite-key join: every document picks up its (lang, source)
+    group's size — fact-to-aggregate on a two-column key through the
+    sharded join (combine64-chained typed hashes)."""
+    from .pipelines import corpus as _corpus  # noqa: F401 (doc pointer)
+    from .stages.join import hash_join_sharded
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "source"]).to_pandas()
+        g = df.groupby(["lang", "source"], sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    from .pipelines.dedup import sharded_groups
+
+    counts = sharded_groups(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash_docs(b),
+        lambda s: s.groupby(["lang", "source"], sort=False)
+        .agg(n=("n", "sum"))
+        .reset_index(),
+    )
+    return hash_join_sharded(
+        docs, counts, on=["lang", "source"], how="inner", num_shards=16
+    ).select_columns(["doc_id", "lang", "source", "n"])
+
+
+def _group_key_hash_docs(b: pa.Table):
+    from .pipelines.analytics import _group_key_hash
+
+    return _group_key_hash(b, ["lang", "source"])
+
+
+ORACLE_JOIN_COMPOSITE = """
+SELECT d.doc_id, d.lang, d.source, c.n
+FROM documents d
+JOIN (SELECT lang, source, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang, source) c
+  ON d.lang = c.lang AND d.source = c.source
 """
 
 
