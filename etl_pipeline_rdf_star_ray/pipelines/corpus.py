@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 # ---------------------------------------------------------------------------
 # connected components over candidate pairs
@@ -85,6 +85,9 @@ def cc_label_propagation(
     Returns ``(node, label)`` for every node that appears in an edge.
     Raises if not converged within ``max_rounds``."""
 
+    from ..stages.join import hash_join_sharded
+    from .dedup import sharded_groups
+
     def bidirect(batch: pa.Table) -> pa.Table:
         fwd = pa.table(
             {"src": batch.column(a_col), "dst": batch.column(b_col)}
@@ -99,33 +102,48 @@ def cc_label_propagation(
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("src"), "label": batch.column("src")})
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    def min_label(s: pd.DataFrame) -> pd.DataFrame:
+        return (
+            s.groupby("node", sort=False)
+            .agg(label=("label", "min"))
+            .reset_index()
+        )
+
+    def _node_hash(b: pa.Table) -> np.ndarray:
+        from ..functions.hashing import key_hash_column
+
+        return key_hash_column(b.column("node"))
+
+    # every per-round step rides this repo's own exchange plane (round-3:
+    # the previous Ray-native join + sort-groupby paid three fixed
+    # multi-second shuffles PER ROUND; hash_join_sharded + sharded_groups
+    # route the same edge-sized data in milliseconds)
+    labels = sharded_groups(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        _node_hash,
+        lambda s: min_label(s.drop(columns=["shard"])),
+    ).materialize()
 
     for _ in range(max_rounds):
         # neighbor labels: edges ⋈ labels on src → (dst, label-of-src)
-        nbr = edges.join(
-            labels.rename_columns({"node": "src"}),
-            join_type="inner",
-            num_partitions=max(edges.num_blocks(), 2),
-            on=("src",),
-        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
-        new_labels = (
-            labels.union(nbr)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
+        nbr = (
+            hash_join_sharded(
+                edges, labels, on="src", right_on="node", how="inner"
+            )
+            .select_columns(["dst", "label"])
+            .rename_columns({"dst": "node"})
         )
+        new_labels = sharded_groups(
+            labels.union(nbr),
+            _node_hash,
+            lambda s: min_label(s.drop(columns=["shard"])),
+        ).materialize()
         # convergence check: join old/new, count changed labels (edge-sized)
-        joined = new_labels.rename_columns({"label": "new_label"}).join(
+        joined = hash_join_sharded(
+            new_labels.rename_columns({"label": "new_label"}),
             labels,
-            join_type="inner",
-            num_partitions=max(edges.num_blocks(), 2),
-            on=("node",),
+            on="node",
+            how="inner",
         )
         changed = joined.map_batches(
             lambda b: pa.table(
