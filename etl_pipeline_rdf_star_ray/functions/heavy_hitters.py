@@ -53,7 +53,9 @@ def mg_merge(
         np.concatenate([c for _, c in partials]),
         index=np.concatenate([i for i, _ in partials]),
     )
-    g = s.groupby(level=0, sort=False).sum()
+    # dropna=False: defensive — partials from heavy_hitters never carry a
+    # null item (dropped at the source), but a caller-built summary might
+    g = s.groupby(level=0, sort=False, dropna=False).sum()
     return mg_compress(g.index.to_numpy(), g.to_numpy(), m)
 
 
@@ -71,7 +73,11 @@ def heavy_hitters(
     (default: all surviving counters)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column(col))
+        # drop nulls BEFORE counting: value_counts emits a null row whose
+        # count the pandas driver merge would silently drop (groupby's
+        # default dropna), wasting a counter and violating the presence
+        # guarantee; the sketch is defined over non-null items
+        vc = pc.value_counts(batch.column(col).drop_null())
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         items = vc.field("values").to_numpy(zero_copy_only=False)

@@ -119,10 +119,6 @@ def grouped_quantile_sketch(
     (``(group, v, w)`` rows, ≤ B per group per batch), the driver merges
     per group. Groups stay unshuffled — the partials are the only rows
     that move, ≤ B × groups × blocks. Returns ``(group, q, value)``."""
-    import pandas as pd
-
-    g_type = None
-
     def partial(batch: pa.Table) -> pa.Table:
         # split the null group in ARROW: pandas would float a null-bearing
         # int64 group column (corrupting identities >= 2^53) and a NaN key

@@ -34,19 +34,18 @@ def _group_key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     sort-based ``groupby().aggregate()`` pays ~3 s of fixed shuffle cost at
     any size on this node (round-3 profile); the partial rows these
     finishes move are tiny, so the combine now rides the same block
-    exchange as every other sharded group."""
-    from ..functions.hashing import combine64, hash64_column, splitmix64
+    exchange as every other sharded group.
+
+    Per-column hashing delegates to ``key_hash_column`` — the ONE
+    implementation with the null-safe integer path (fill_null before
+    to_numpy; a null-bearing int64 column would otherwise round-trip
+    through float64 and hash keys >= 2^53 batch-dependently, splitting one
+    group across shards)."""
+    from ..functions.hashing import combine64, key_hash_column
 
     h = None
     for c in key_cols:
-        col = batch.column(c)
-        if pa.types.is_integer(col.type):
-            hc = splitmix64(
-                col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
-            )
-        else:
-            hc = hash64_column(col.cast(pa.string()))
+        hc = key_hash_column(batch.column(c))
         h = hc if h is None else combine64(h, hc)
     return h
 
@@ -172,6 +171,10 @@ def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
         ["total_c", "o_custkey"], ascending=[False, True], kind="mergesort"
     ).head(k)
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+    # keep the FACT key: an orders row whose custkey is missing from the
+    # dimension (dirty data) must not lose its identity to the merge's
+    # null right-side key — dimension columns stay null, key survives
+    out["c_custkey"] = out["o_custkey"]
     out["revenue"] = out["total_c"].astype("float64") / 100.0
     out = out[["c_custkey", "c_name", "c_mktsegment", "revenue"]].reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -578,8 +581,6 @@ def grouped_quantiles(
             .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    from .dedup import sharded_groups
 
     hist = sharded_groups(
         ds.map_batches(hist_partial, batch_format="pyarrow"),

@@ -68,6 +68,7 @@ def cosine_topk(
     ).head(k)
     return rd.from_arrow(
         pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+        .replace_schema_metadata(None)
     )
 
 

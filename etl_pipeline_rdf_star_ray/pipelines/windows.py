@@ -77,7 +77,15 @@ def running_totals(
     (int64 cents for money — see ``analytics._cents``). ``order_by`` must
     be total within each key (include a unique tiebreak column): with ties,
     per-row running values depend on tie order in ANY engine (the SQL
-    window is equally non-deterministic there)."""
+    window is equally non-deterministic there).
+
+    Null semantics match SQL: a null value contributes nothing but the row
+    still carries the running sum of PRIOR non-null values (leading null
+    rows get NULL); integer value columns yield a nullable int64 output in
+    EVERY shard (pandas would float null-bearing shards, giving one
+    Dataset blocks with disagreeing schemas)."""
+    sch = ds.schema()
+    int_out = pa.types.is_integer(dict(zip(sch.names, sch.types))[value_col])
 
     def per_shard(s: pd.DataFrame) -> pd.DataFrame:
         s = s.drop(columns=["shard"]).sort_values(
@@ -85,9 +93,16 @@ def running_totals(
         )
         # dropna=False: null-key rows form their own partition (SQL window
         # semantics) instead of getting NaN running values
-        s[out_col] = s.groupby(key_cols, sort=False, dropna=False)[
-            value_col
-        ].cumsum()
+        grp = s.groupby(key_cols, sort=False, dropna=False)
+        run = grp[value_col].cumsum()
+        # SQL SUM OVER skips NULL values but still reports the running sum
+        # on their rows — pandas cumsum leaves NaN there; forward-fill
+        # within the key (leading nulls stay NULL, as in SQL)
+        run = run.groupby(
+            [s[c] for c in key_cols], sort=False, dropna=False
+        ).ffill()
+        vals = run.to_numpy(dtype=np.float64, na_value=np.nan)
+        s[out_col] = pd.array(vals, dtype="Int64") if int_out else vals
         return s
 
     return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)
@@ -108,6 +123,11 @@ def rolling_window_sum(
     ``groupby.rolling`` per shard; exact when ``value_col`` is integer
     (cents). Same total-order requirement on ``order_by`` as
     :func:`running_totals`."""
+    # output dtype decided from the DECLARED Arrow type, not the shard's
+    # pandas dtype: a null-bearing shard floats to float64 and would emit a
+    # different block schema than its null-free siblings
+    sch = ds.schema()
+    int_out = pa.types.is_integer(dict(zip(sch.names, sch.types))[value_col])
 
     def per_shard(s: pd.DataFrame) -> pd.DataFrame:
         s = s.drop(columns=["shard"]).sort_values(
@@ -120,7 +140,7 @@ def rolling_window_sum(
             .reset_index(drop=True)
             .to_numpy()
         )
-        if np.issubdtype(s[value_col].dtype, np.integer):
+        if int_out:
             # SQL SUM OVER: all-null window → NULL. pandas gives NaN there;
             # pd.array keeps it as NA instead of the INT64_MIN garbage a
             # blind astype(int64) would produce

@@ -247,14 +247,19 @@ def hash_join_sharded(
         # cyclic spread PER HOT KEY (a shared counter would bias the spread
         # when several hot keys interleave — e.g. strict alternation of two
         # hot keys gives each only every other bucket); hot keys are few by
-        # construction so the per-key loop is over a handful of keys
+        # construction so the per-key loop is over a handful of keys.
+        # The phase seeds from the batch's base-pid sum so blocks carrying
+        # only a FEW hot rows each don't all restart at offset 0 and pile
+        # the hot key back onto its base shard (correctness is placement-
+        # independent: the right side replicates into every salted shard).
+        phase = int(pid.sum()) % salt_buckets
         keys_np = np.asarray(key.to_numpy(zero_copy_only=False))
         for hk in hot_list:
             rows = hot & (keys_np == hk)
             cnt = int(rows.sum())
             if cnt:
                 pid[rows] = (
-                    pid[rows] + np.arange(cnt) % salt_buckets
+                    pid[rows] + (phase + np.arange(cnt)) % salt_buckets
                 ) % num_shards
         return pa.array(pid.astype(np.int32), pa.int32())
 

@@ -34,6 +34,45 @@ def test_key_hash_batch_independent_above_2_53():
     assert key_hash_column(clean)[0] == key_hash_column(with_null)[0]
 
 
+def test_group_key_hash_batch_independent_above_2_53():
+    # the sharded-combine hash must agree between null-free and null-bearing
+    # batches (same hazard as key_hash_column; _group_key_hash delegates)
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import _group_key_hash
+
+    clean = pa.table({"k": pa.array([BIG], pa.int64())})
+    with_null = pa.table({"k": pa.array([BIG, None], pa.int64())})
+    assert (
+        _group_key_hash(clean, ["k"])[0] == _group_key_hash(with_null, ["k"])[0]
+    )
+
+
+def test_running_totals_null_value_sql_semantics(ray_session):
+    from etl_pipeline_rdf_star_ray.pipelines.windows import running_totals
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "o": pa.array([1, 2, 3, 1], pa.int64()),
+            "v": pa.array([10, None, 20, None], pa.int64()),
+        }
+    )
+    out = (
+        running_totals(
+            rd.from_arrow(t), key_cols=["k"], order_by=["o"], value_col="v",
+            out_col="run",
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # SQL SUM OVER: null contributes nothing, row carries prior running sum;
+    # leading null -> NULL
+    assert out["run"].tolist()[0] == 10
+    assert out["run"].tolist()[1] == 10
+    assert out["run"].tolist()[2] == 30
+    assert pd.isna(out["run"].iloc[3])
+
+
 def test_join_mixed_timestamp_units(ray_session):
     left = pa.table(
         {
