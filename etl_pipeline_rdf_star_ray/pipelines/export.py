@@ -113,6 +113,79 @@ DEFAULT_PREFIX_BLOCK = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-
 """
 
 
+def write_partitioned(
+    ds: "rd.Dataset",
+    root: str,
+    *,
+    partition_col: str,
+    num_shards: int = 64,
+    fs=None,
+) -> pa.Table:
+    """Resumable hive-style partitioned Parquet write: one directory per
+    distinct ``partition_col`` value (``root/<col>=<value>/part.parquet``),
+    each committed atomically (temp → fsync → rename via the injectable
+    commit filesystem, ``state/commitfs.py``) with a ``_SUCCESS`` marker —
+    re-running after a crash SKIPS every partition whose marker exists and
+    rewrites only the missing ones (the brief's "resumable output" rule:
+    never one giant file, never rewrite finished work).
+
+    Scale shape: partition values are hash-colocated over the block
+    exchange (``dedup.sharded_groups``), ONE task per shard writes all its
+    partitions' files. Returns manifest rows
+    ``(partition, path, rows, skipped)`` — tiny, driver-side."""
+    import json
+    import os
+
+    from ..functions.hashing import key_hash_column
+    from ..state.commitfs import PosixCommitFS
+    from .dedup import sharded_groups
+
+    fs = fs or PosixCommitFS()
+
+    def write_shard(s: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out = []
+        for value, g in s.drop(columns=["shard"]).groupby(
+            partition_col, sort=False, dropna=False
+        ):
+            key = "__NULL__" if pd.isna(value) else str(value)
+            pdir = os.path.join(root, f"{partition_col}={key}")
+            marker = os.path.join(pdir, "_SUCCESS")
+            path = os.path.join(pdir, "part.parquet")
+            if fs.exists(marker):
+                out.append((key, path, 0, True))
+                continue
+            import io
+
+            import pyarrow.parquet as pq
+
+            buf = io.BytesIO()
+            pq.write_table(
+                pa.Table.from_pandas(g, preserve_index=False)
+                .replace_schema_metadata(None),
+                buf,
+            )
+            fs.put_atomic(path, buf.getvalue())
+            fs.put_if_absent(
+                marker, json.dumps({"rows": len(g)}).encode()
+            )
+            out.append((key, path, len(g), False))
+        return pd.DataFrame(
+            out, columns=["partition", "path", "rows", "skipped"]
+        )
+
+    manifest = sharded_groups(
+        ds,
+        lambda b: key_hash_column(b.column(partition_col)),
+        write_shard,
+        num_shards=num_shards,
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        manifest.reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def format_trig(batch: pa.Table) -> pa.Table:
     """TriG lines: named-graph triples wrapped in ``GRAPH <g> { ... }``
     blocks (repeated blocks per graph are valid TriG), default-graph triples
