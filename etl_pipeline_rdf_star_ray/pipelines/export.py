@@ -113,6 +113,22 @@ DEFAULT_PREFIX_BLOCK = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-
 """
 
 
+def _encode_partition_value(value: str) -> str:
+    """Percent-encode a partition value for the hive ``col=value`` directory
+    name (Spark/Hive escaping convention): '/', '=', '%', '..' etc. all
+    become inert percent escapes, so a hostile value like ``a/../../x``
+    cannot escape the output root and every value maps to exactly one
+    directory. A literal string ``__NULL__`` is additionally escaped
+    (``%5F``-encoded underscores) so the null sentinel — reserved for actual
+    nulls — can never collide with real data."""
+    from urllib.parse import quote
+
+    key = quote(value, safe="")
+    if key == "__NULL__":
+        key = key.replace("_", "%5F")
+    return key
+
+
 def write_partitioned(
     ds: "rd.Dataset",
     root: str,
@@ -149,7 +165,9 @@ def write_partitioned(
         for value, g in s.drop(columns=["shard"]).groupby(
             partition_col, sort=False, dropna=False
         ):
-            key = "__NULL__" if pd.isna(value) else str(value)
+            key = "__NULL__" if pd.isna(value) else _encode_partition_value(
+                str(value)
+            )
             pdir = os.path.join(root, f"{partition_col}={key}")
             marker = os.path.join(pdir, "_SUCCESS")
             path = os.path.join(pdir, "part.parquet")

@@ -91,18 +91,21 @@ def running_totals(
         s = s.drop(columns=["shard"]).sort_values(
             key_cols + order_by, kind="mergesort"
         )
+        # integer inputs accumulate on pandas nullable Int64 — never through
+        # float64, so running totals beyond 2^53 stay exact (hash parity with
+        # the SQL SUM OVER oracle at any magnitude)
+        src = s[value_col].astype("Int64") if int_out else s[value_col]
+        keys = [s[c] for c in key_cols]
         # dropna=False: null-key rows form their own partition (SQL window
         # semantics) instead of getting NaN running values
-        grp = s.groupby(key_cols, sort=False, dropna=False)
-        run = grp[value_col].cumsum()
+        run = src.groupby(keys, sort=False, dropna=False).cumsum()
         # SQL SUM OVER skips NULL values but still reports the running sum
-        # on their rows — pandas cumsum leaves NaN there; forward-fill
+        # on their rows — pandas cumsum leaves NA there; forward-fill
         # within the key (leading nulls stay NULL, as in SQL)
-        run = run.groupby(
-            [s[c] for c in key_cols], sort=False, dropna=False
-        ).ffill()
-        vals = run.to_numpy(dtype=np.float64, na_value=np.nan)
-        s[out_col] = pd.array(vals, dtype="Int64") if int_out else vals
+        run = run.groupby(keys, sort=False, dropna=False).ffill()
+        s[out_col] = (
+            run if int_out else run.to_numpy(dtype=np.float64, na_value=np.nan)
+        )
         return s
 
     return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)

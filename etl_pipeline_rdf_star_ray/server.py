@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, unquote, urlparse
+from urllib.parse import parse_qs, urlparse
 
 import pyarrow as pa
 
@@ -135,6 +135,12 @@ def make_server(
     The startup snapshot statistics are exposed as ``server.stats``."""
     stats = _stats(quads)
     state = {"quads": quads}
+    # guards graph-management mutations (load/reload): ThreadingHTTPServer
+    # handles requests concurrently, and an unlocked read-modify-write of
+    # state["quads"] would let two /api/graphs/load calls both read the same
+    # base table and the second swap drop the first load's quads. Reads stay
+    # lock-free: pa.Table is immutable and the swap is one reference store.
+    mutate_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -206,7 +212,10 @@ def make_server(
             elif url.path == "/ontologies":
                 self._explore(explorer.ontology_index)
             elif url.path in _CLASS_ROUTES:
-                uri = unquote(qs.get("uri", [""])[0])
+                # parse_qs has already URL-decoded once; a second unquote()
+                # would double-decode IRIs that legitimately carry percent
+                # escapes (e.g. %2520 → '%20' → ' ') and miss the lookup
+                uri = qs.get("uri", [""])[0]
                 if not uri:
                     self._send_json(400, {"error": "missing uri parameter"})
                     return
@@ -254,9 +263,11 @@ def make_server(
                 return
             import pyarrow.compute as pc
 
-            state["quads"] = _append_quads(self._materialized(), add)
+            with mutate_lock:
+                state["quads"] = _append_quads(self._materialized(), add)
+                snapshot = state["quads"]
             count = pc.sum(
-                pc.equal(state["quads"].column("graph"), graph_uri)
+                pc.equal(snapshot.column("graph"), graph_uri)
             ).as_py() or 0
             self._send_json(
                 200,
@@ -271,26 +282,31 @@ def make_server(
             import os
 
             # full reset then re-walk the input dir — the reference's
-            # reload builds a fresh Store() (rdf-workbench.py:692-718)
-            base = self._materialized()
-            tables = [base.schema.empty_table()]
-            for dirpath, _dirs, files in os.walk(input_dir):
-                for name in sorted(files):
-                    if not name.endswith(_RDF_EXTS):
-                        continue
-                    fp = os.path.join(dirpath, name)
-                    g = _graph_uri_from_path(os.path.relpath(fp, input_dir))
-                    try:
-                        tables.append(
-                            _append_quads(
-                                base.schema.empty_table(),
-                                _load_rdf_as_quads(fp, g),
-                            )
+            # reload builds a fresh Store() (rdf-workbench.py:692-718).
+            # The whole materialize→rebuild→swap runs under the mutation
+            # lock so a concurrent /api/graphs/load cannot be lost.
+            with mutate_lock:
+                base = self._materialized()
+                tables = [base.schema.empty_table()]
+                for dirpath, _dirs, files in os.walk(input_dir):
+                    for name in sorted(files):
+                        if not name.endswith(_RDF_EXTS):
+                            continue
+                        fp = os.path.join(dirpath, name)
+                        g = _graph_uri_from_path(
+                            os.path.relpath(fp, input_dir)
                         )
-                    except Exception:
-                        continue  # reference skips unparseable files
-            fresh = pa.concat_tables(tables)
-            state["quads"] = fresh
+                        try:
+                            tables.append(
+                                _append_quads(
+                                    base.schema.empty_table(),
+                                    _load_rdf_as_quads(fp, g),
+                                )
+                            )
+                        except Exception:
+                            continue  # reference skips unparseable files
+                fresh = pa.concat_tables(tables)
+                state["quads"] = fresh
             graphs = {
                 g for g in fresh.column("graph").to_pylist() if g is not None
             }

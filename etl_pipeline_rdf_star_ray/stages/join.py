@@ -243,7 +243,6 @@ def hash_join_sharded(
         if hot_arr is None:
             return base
         pid = base.to_numpy(zero_copy_only=False).astype(np.int64)
-        hot = np.asarray(pc.is_in(key, value_set=hot_arr).fill_null(False))
         # cyclic spread PER HOT KEY (a shared counter would bias the spread
         # when several hot keys interleave — e.g. strict alternation of two
         # hot keys gives each only every other bucket); hot keys are few by
@@ -253,9 +252,15 @@ def hash_join_sharded(
         # the hot key back onto its base shard (correctness is placement-
         # independent: the right side replicates into every salted shard).
         phase = int(pid.sum()) % salt_buckets
-        keys_np = np.asarray(key.to_numpy(zero_copy_only=False))
         for hk in hot_list:
-            rows = hot & (keys_np == hk)
+            # per-key row mask built in Arrow: a numpy view of a
+            # null-bearing int64 key column floats to float64, where two
+            # distinct hot keys >= 2^53 can collide and the second key's
+            # pass would re-offset already-salted rows out of the replica
+            # range — silently dropping matches
+            rows = np.asarray(
+                pc.equal(key, pa.scalar(hk, key.type)).fill_null(False)
+            )
             cnt = int(rows.sum())
             if cnt:
                 pid[rows] = (

@@ -353,3 +353,55 @@ def test_http_graph_management_disabled_without_input_dir():
         assert "read-only" in doc["error"]
     finally:
         srv.shutdown()
+
+
+def test_explorer_uri_param_decoded_exactly_once(onto_endpoint):
+    """An IRI legitimately containing a percent escape (%40 = '@') must
+    arrive intact: parse_qs decodes the wire form once; a second unquote()
+    would turn the stored %40 into '@' and miss the lookup (ADVICE r3)."""
+    raw_iri = EX + "Class%40Work"  # the IRI literally contains '%40'
+    wire = urllib.parse.quote(raw_iri, safe="")  # %2540 on the wire
+    assert "%2540" in wire
+    status, doc = _get_json(
+        onto_endpoint + f"/api/class/neighbors?uri={wire}"
+    )
+    assert status == 200
+    assert doc["classUri"] == raw_iri  # not EX + "Class@Work"
+
+
+def test_concurrent_graph_loads_none_lost(tmp_path):
+    """Parallel /api/graphs/load requests under ThreadingHTTPServer: the
+    mutation lock makes the read-modify-write of the served table atomic,
+    so no load's quads are dropped by a racing swap (ADVICE r3)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_pipeline_rdf_star_ray.server import serve_background
+
+    n = 8
+    for i in range(n):
+        (tmp_path / f"g{i}.ttl").write_text(
+            f"<http://example.org/s{i}> <http://example.org/p> "
+            f'"v{i}" .\n'
+        )
+    srv, port = serve_background(ONTO, input_dir=str(tmp_path))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            results = list(
+                ex.map(
+                    lambda i: _post_json(
+                        base + f"/api/graphs/load?file=g{i}.ttl"
+                    ),
+                    range(n),
+                )
+            )
+        assert all(status == 200 for status, _ in results)
+        status, doc = _get_json(base + "/api/graphs")
+        assert status == 200
+        loaded = {
+            g["uri"] for g in doc["graphs"]
+            if g["uri"] and g["uri"].endswith(tuple(f"g{i}" for i in range(n)))
+        }
+        assert len(loaded) == n, f"lost updates: only {sorted(loaded)}"
+    finally:
+        srv.shutdown()

@@ -255,6 +255,63 @@ def test_running_totals_matches_window_sql(ray_session):
     assert got["run"].tolist() == [1, 101, 111, 7, 15]
 
 
+def test_running_totals_exact_beyond_2_53(ray_session):
+    """Int64 running sums above 2^53 (where float64 loses integers) must
+    stay exact, including on null-bearing shards (ADVICE r3: the cumsum
+    used to route through float64)."""
+    big = 2**60
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "o": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([big, 3, None, 5], pa.int64()),
+        }
+    )
+    got = (
+        running_totals(
+            rd.from_arrow(t), key_cols=["k"], order_by=["o"],
+            value_col="v", out_col="run",
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    # float64 would render big+3 as big+4 or big+2; exact Int64 must not
+    assert got["run"].tolist() == [big, big + 3, big + 3, big + 8]
+
+
+def test_hot_key_salting_float_colliding_bigint_keys(ray_session):
+    """Two DISTINCT hot int64 keys that collide in float64 (2^53 and
+    2^53+1) on a null-bearing key column: the per-hot-key mask must match
+    each key exactly, not via a floated numpy view that would re-offset the
+    second key's rows out of the replica range (ADVICE r3)."""
+    hk_a, hk_b = 2**53, 2**53 + 1
+    assert float(hk_a) == float(hk_b)  # the collision under test
+    left = pa.table(
+        {
+            "k": pa.array([hk_a] * 30 + [hk_b] * 30 + [None, 5], pa.int64()),
+            "lv": pa.array(list(range(62)), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([hk_a, hk_b, 5], pa.int64()),
+            "rv": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    plain = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=8,
+    ).to_pandas()
+    salted = hash_join_sharded(
+        rd.from_arrow(left), rd.from_arrow(right),
+        on="k", right_on="rk", how="inner", num_shards=8,
+        hot_keys=[hk_a, hk_b], salt_buckets=4,
+    ).to_pandas()
+    assert len(salted) == 61  # 30 + 30 matches + key 5, none dropped
+    pd.testing.assert_frame_equal(_norm(plain), _norm(salted))
+
+
 def test_stratified_sample_quota_and_determinism(ray_session):
     docs = pa.table(
         {

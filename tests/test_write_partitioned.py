@@ -49,3 +49,49 @@ def test_write_skip_and_recover(ray_session, tmp_path):
     done = m3.set_index("partition")["skipped"]
     assert (~done).sum() == 1 and not done["de"]
     assert pq.read_table(victim).num_rows == 10
+
+
+def test_hostile_partition_values_cannot_escape_root(tmp_path, ray_session):
+    """Partition values are percent-encoded (Spark/Hive convention): a value
+    containing '/', '..', '=', '%' or the null sentinel string stays one
+    inert directory under root — no path escape, no layout break, no
+    sentinel collision — and the layout is resumable."""
+    root = str(tmp_path / "safe" / "out")
+    values = ["a/../../x", "k=v", "100%", "__NULL__", None, "plain"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(values, pa.string()),
+                "v": pa.array(range(len(values)), pa.int64()),
+            }
+        )
+    )
+    m1 = write_partitioned(ds, root, partition_col="k").to_pandas()
+    assert len(m1) == 6 and m1["rows"].sum() == 6
+
+    # every written file lives strictly under root; nothing escaped
+    for p in m1["path"]:
+        assert os.path.abspath(p).startswith(os.path.abspath(root) + os.sep)
+    outside = tmp_path / "safe" / "x"
+    assert not outside.exists()
+
+    # hive layout intact: each dir splits as k=<encoded> with no extra
+    # '/' or '=' inside the value part, and decoding round-trips
+    from urllib.parse import unquote
+
+    seen = set()
+    for p in m1["path"]:
+        dirname = os.path.basename(os.path.dirname(p))
+        col, _, enc = dirname.partition("=")
+        assert col == "k" and "/" not in enc and "=" not in enc
+        seen.add(unquote(enc) if enc != "__NULL__" else None)
+    assert seen == {"a/../../x", "k=v", "100%", "__NULL__", None, "plain"}
+
+    # the real string "__NULL__" and actual null land in DIFFERENT dirs
+    dirs = {os.path.basename(os.path.dirname(p)) for p in m1["path"]}
+    assert "k=__NULL__" in dirs  # actual null
+    assert "k=%5F%5FNULL%5F%5F" in dirs  # the literal string
+
+    # resumability survives the encoding: full re-run skips everything
+    m2 = write_partitioned(ds, root, partition_col="k").to_pandas()
+    assert m2["skipped"].all()
