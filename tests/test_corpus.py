@@ -139,3 +139,56 @@ def test_turn_gaps_null_ts_yields_null_gap():
     assert pd.isna(out.loc[0, "gap_us"])  # first turn: no predecessor
     assert pd.isna(out.loc[1, "gap_us"])  # null ts → null gap
     assert pd.isna(out.loc[2, "gap_us"])  # predecessor ts null → null gap
+
+
+def test_cluster_assign_distributed_fallback_parity(ray_session):
+    """Dataset edge input above the budget routes through distributed label
+    propagation + sharded left join — identical (doc, cluster) output as the
+    driver union-find path, singletons included."""
+    pairs = pa.table(
+        {
+            "id_a": [5, 6, 7, 8, 100, 101, 100, 200],
+            "id_b": [6, 7, 8, 9, 101, 102, 102, 201],
+        }
+    )
+    docs = rd.from_arrow(
+        pa.table({"doc_id": list(range(5, 10)) + [100, 101, 102, 200, 201, 999]})
+    )
+    driver = (
+        corpus.cluster_assign(docs, pairs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        corpus.cluster_assign(
+            docs, rd.from_arrow(pairs), edge_budget_rows=0
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(driver, dist, check_dtype=False)
+    # singleton keeps its own id as cluster in both
+    assert driver.set_index("doc_id")["cluster"][999] == 999
+
+
+def test_fuzzy_dedup_distributed_fallback_parity(ray_session):
+    pairs = pa.table({"id_a": [1, 2], "id_b": [2, 3]})
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 10], "text": ["a", "a2", "a3", "c"]})
+    )
+    driver = corpus.fuzzy_dedup(docs, pairs).to_pandas()
+    dist = corpus.fuzzy_dedup(
+        docs, rd.from_arrow(pairs), edge_budget_rows=0
+    ).to_pandas()
+    assert sorted(driver["doc_id"]) == sorted(dist["doc_id"]) == [1, 10]
+    assert sorted(dist.columns) == sorted(docs.schema().names)
+
+
+def test_cluster_assign_dataset_under_budget_collects(ray_session):
+    """A Dataset edge input UNDER the budget is collected and takes the
+    broadcast path — same result, no label-propagation rounds."""
+    pairs = pa.table({"id_a": [1], "id_b": [2]})
+    docs = rd.from_arrow(pa.table({"doc_id": [1, 2, 3]}))
+    got = (
+        corpus.cluster_assign(docs, rd.from_arrow(pairs))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert got["cluster"].tolist() == [1, 1, 3]

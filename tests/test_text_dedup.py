@@ -564,3 +564,38 @@ def test_resize_stage_real_png_path():
     assert resized.shape == (4, 4, 3)
     np.testing.assert_array_equal(resized, png.resize_nearest(arr, 4, 4))
     assert out.column("width")[0].as_py() == 4
+
+
+def _pairs_norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def test_embedding_neardup_blockpairs_matches_broadcast(ray_session):
+    """The distributed block-pair scale path is EXACT: identical pairs and
+    floored cosines as the broadcast-matmul path, across multiple blocks."""
+    broadcast = dedup.embedding_neardup(
+        _embs_ds(), threshold=0.35, mode="broadcast"
+    ).to_pandas()
+    blockpairs = dedup.embedding_neardup(
+        _embs_ds(), threshold=0.35, mode="blockpairs",
+        # tiny budget: forces many blocks, exercising self + cross tasks
+        broadcast_budget_bytes=8 * 64 * 50 * 8,
+    ).to_pandas()
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(
+        _pairs_norm(broadcast), _pairs_norm(blockpairs)
+    )
+
+
+def test_embedding_neardup_auto_switches_on_budget(ray_session):
+    """mode='auto' with a budget smaller than the corpus matrix must route
+    through the block-pair path (no driver to_pandas) and still match."""
+    # corpus matrix ≈ rows·64·8 bytes; a budget just under it forces the
+    # auto switch while keeping the block fan-out small for the test
+    small_budget = dedup.embedding_neardup(
+        _embs_ds(), threshold=0.35, broadcast_budget_bytes=200_000
+    ).to_pandas()
+    default = dedup.embedding_neardup(_embs_ds(), threshold=0.35).to_pandas()
+    pd.testing.assert_frame_equal(
+        _pairs_norm(small_budget), _pairs_norm(default)
+    )
