@@ -632,6 +632,122 @@ reach AS (
 SELECT s AS x, o AS y FROM reach ORDER BY x, y
 """
 
+
+def _geo_quads(sf_dir: str) -> "rd.Dataset":
+    """Small quad relation lifted from nation + region via streaming
+    map_batches: ``nat:<k> urn:name <literal>``, ``nat:<k> urn:inRegion
+    reg:<r>``, ``reg:<k> urn:name <literal>`` — shared by the DESCRIBE and path-alternation driver
+    queries."""
+
+    def nation_quads(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        subj = pc.binary_join_element_wise(
+            "nat:", pc.cast(b.column("n_nationkey"), pa.string()), ""
+        )
+        name = pa.table(
+            {
+                "subject": subj,
+                "predicate": pa.nulls(n, pa.string()).fill_null("urn:name"),
+                "object_value": pc.cast(b.column("n_name"), pa.string()),
+                "object_type": pa.nulls(n, pa.string()).fill_null("literal"),
+            }
+        )
+        reg = pa.table(
+            {
+                "subject": subj,
+                "predicate": pa.nulls(n, pa.string()).fill_null(
+                    "urn:inRegion"
+                ),
+                "object_value": pc.binary_join_element_wise(
+                    "reg:", pc.cast(b.column("n_regionkey"), pa.string()), ""
+                ),
+                "object_type": pa.nulls(n, pa.string()).fill_null("iri"),
+            }
+        )
+        return pa.concat_tables([name, reg])
+
+    def region_quads(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        subj = pc.binary_join_element_wise(
+            "reg:", pc.cast(b.column("r_regionkey"), pa.string()), ""
+        )
+        name = pa.table(
+            {
+                "subject": subj,
+                "predicate": pa.nulls(n, pa.string()).fill_null("urn:name"),
+                "object_value": pc.cast(b.column("r_name"), pa.string()),
+                "object_type": pa.nulls(n, pa.string()).fill_null("literal"),
+            }
+        )
+        return name
+
+    nat = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).map_batches(nation_quads, batch_format="pyarrow")
+    reg = read_parquet_clean(
+        f"{sf_dir}/region.parquet",
+        columns=["r_regionkey", "r_name"],
+    ).map_batches(region_quads, batch_format="pyarrow")
+    return nat.union(reg)
+
+
+def q_sparql_describe_nations(sf_dir: str):
+    """SPARQL DESCRIBE with a WHERE-bound variable: all triples about the
+    nations located in region 0 (subject-based description — the engine's
+    quad model has no blank nodes, so the blank-node closure is vacuous).
+    The subject filter runs distributed over the quad Dataset."""
+    from .sparql import sparql_describe
+
+    return sparql_describe(
+        "DESCRIBE ?n WHERE { ?n <urn:inRegion> <reg:0> }", _geo_quads(sf_dir)
+    )
+
+
+ORACLE_SPARQL_DESCRIBE = """
+WITH nq AS (
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS subject,
+         'urn:name' AS predicate, n_name AS object_value,
+         'literal' AS object_type FROM nation
+  UNION ALL
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'urn:inRegion',
+         'reg:' || CAST(n_regionkey AS VARCHAR), 'iri' FROM nation
+)
+SELECT DISTINCT subject, predicate, object_value, object_type,
+       CAST(NULL AS VARCHAR) AS object_datatype,
+       CAST(NULL AS VARCHAR) AS object_lang
+FROM nq
+WHERE subject IN (
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) FROM nation
+  WHERE n_regionkey = 0)
+ORDER BY subject, predicate, object_value
+"""
+
+
+def q_sparql_alt_labels(sf_dir: str):
+    """Property-path alternation (``urn:name|urn:inRegion`` → one predicate
+    IN-list scan, no UNION): every name literal and region link across the
+    nation+region quads."""
+    from .sparql import sparql_select
+
+    return sparql_select(
+        "SELECT ?s ?v WHERE { ?s <urn:name>|<urn:inRegion> ?v }"
+        " ORDER BY ?s ?v",
+        _geo_quads(sf_dir),
+    )
+
+
+ORACLE_SPARQL_ALT = """
+SELECT s, v FROM (
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS v FROM nation
+  UNION ALL
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR),
+         'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), r_name FROM region
+) ORDER BY s, v
+"""
+
 # ---------------------------------------------------------------------------
 # analytics
 # ---------------------------------------------------------------------------
@@ -1279,6 +1395,8 @@ def build_queries() -> dict:
         "sparql_star_nation": q_sparql_star_nation,
         "sparql_path_located": q_sparql_path_located,
         "sparql_construct_regions": q_sparql_construct_regions,
+        "sparql_describe_nations": q_sparql_describe_nations,
+        "sparql_alt_labels": q_sparql_alt_labels,
         # analytics
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
@@ -1360,6 +1478,8 @@ def build_oracles() -> dict[str, str]:
         "sparql_star_nation": ORACLE_SPARQL_NATION,
         "sparql_path_located": ORACLE_SPARQL_PATH,
         "sparql_construct_regions": ORACLE_SPARQL_CONSTRUCT,
+        "sparql_describe_nations": ORACLE_SPARQL_DESCRIBE,
+        "sparql_alt_labels": ORACLE_SPARQL_ALT,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

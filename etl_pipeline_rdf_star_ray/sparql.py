@@ -97,11 +97,25 @@ class PathPred:
     position; compiled to a (recursive) CTE over the quads relation.
     Sequences (``p1/p2``) and inverses (``^p``) never reach the compiler —
     the parser lowers them to plain triple patterns with fresh variables.
-    Alternation (``p1|p2``) is rejected with a pointer to the UNION rewrite
+    Whole-path alternation of plain constant IRIs (``p1|p2``) becomes
+    :class:`AltPred` (a predicate IN-list); any other ``|`` form is
+    rejected with a pointer to the UNION rewrite
     (docs/SPARQL_TRANSLATION.md)."""
 
     iri: str
     mod: str  # '+' | '*' | '?'
+
+
+@dataclass(frozen=True)
+class AltPred:
+    """Property-path alternation ``p1|p2|…`` of plain constant IRIs in
+    predicate position — SPARQL's PathAlternative restricted to the common
+    label-fallback shape (``rdfs:label|skos:prefLabel``). Compiles to
+    ``predicate IN (…)`` — one scan, no UNION. Alternations that mix
+    sequences, inverses or modifiers are rejected at parse with the UNION
+    rewrite hint."""
+
+    iris: tuple  # tuple[str, ...]
 
 
 @dataclass(frozen=True)
@@ -163,11 +177,14 @@ class SelectQuery:
     order_by: list[tuple[object, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
-    #: query form: "SELECT" | "ASK" | "CONSTRUCT" (ASK compiles as the same
-    #: WHERE group with LIMIT 1; CONSTRUCT carries its template separately)
+    #: query form: "SELECT" | "ASK" | "CONSTRUCT" | "DESCRIBE" (ASK compiles
+    #: as the same WHERE group with LIMIT 1; CONSTRUCT carries its template
+    #: separately; DESCRIBE carries its resource terms)
     form: str = "SELECT"
     #: CONSTRUCT template triples (vars must be bound by the WHERE group)
     template: list[TriplePattern] = field(default_factory=list)
+    #: DESCRIBE resource terms (Iri constants and/or Vars bound by WHERE)
+    describe_terms: list = field(default_factory=list)
     #: inline VALUES blocks: (vars, rows of Iri|Literal|None-for-UNDEF)
     values: list[tuple[list[Var], list[list[object]]]] = field(
         default_factory=list
@@ -335,6 +352,8 @@ class _Parser:
             return self._parse_ask()
         if self.at_word("CONSTRUCT"):
             return self._parse_construct()
+        if self.at_word("DESCRIBE"):
+            return self._parse_describe()
         self.eat_word("SELECT")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -412,6 +431,59 @@ class _Parser:
         self._expect_eof()
         return q
 
+    def _parse_describe(self) -> SelectQuery:
+        """``DESCRIBE (<iri>|?var)+ [FROM <g>] [WHERE { … }]`` — the subset
+        of SPARQL DESCRIBE the reference serves through pyoxigraph
+        (``rdf-workbench.py:402-473``). Semantics here: subject-based
+        description — every asserted quad whose SUBJECT is a described
+        resource (this engine's data model has no blank nodes, so the
+        blank-node closure of a Concise Bounded Description is vacuous).
+        Variables must be bound by the WHERE group; they compile as a
+        SELECT DISTINCT over the group. ``DESCRIBE *`` is rejected."""
+        self.eat_word("DESCRIBE")
+        terms: list = []
+        while True:
+            t = self.peek()
+            if t.kind == "var":
+                self.next()
+                terms.append(Var(t.text[1:]))
+            elif t.kind in ("iri", "pname"):
+                term = self.parse_term()
+                if not isinstance(term, Iri):
+                    raise SparqlError(
+                        f"DESCRIBE needs IRIs or variables at {t.pos}"
+                    )
+                terms.append(term)
+            elif t.text == "*":
+                raise SparqlError(
+                    "DESCRIBE * is not supported: name the resources or "
+                    "variables to describe"
+                )
+            else:
+                break
+        if not terms:
+            raise SparqlError("empty DESCRIBE term list")
+        vars_ = [x for x in terms if isinstance(x, Var)]
+        q = SelectQuery(
+            prefixes=self.prefixes,
+            select=[(v, None) for v in vars_],
+            distinct=bool(vars_), select_star=False,
+            from_graph=self._parse_from(),
+            patterns=[], filters=[], binds=[], form="DESCRIBE",
+            describe_terms=terms,
+        )
+        if self.at_word("WHERE"):
+            self.next()
+            self.parse_group(q)
+        elif self.peek().text == "{":
+            self.parse_group(q)
+        elif vars_:
+            raise SparqlError(
+                "DESCRIBE with variables needs a WHERE group binding them"
+            )
+        self._expect_eof()
+        return q
+
     def _parse_construct(self) -> SelectQuery:
         """``CONSTRUCT { template } [FROM <g>] WHERE { … } [ORDER/LIMIT]``.
         The WHERE group compiles to a SELECT of the template's variables;
@@ -430,9 +502,9 @@ class _Parser:
         seen: set[str] = set()
         sel: list[tuple[object, str | None]] = []
         for t in template:
-            if isinstance(t.p, PathPred):
+            if isinstance(t.p, (PathPred, AltPred)):
                 raise SparqlError(
-                    "property-path modifiers are not allowed in a "
+                    "property-path terms are not allowed in a "
                     "CONSTRUCT template"
                 )
             for x in (t.s, t.p, t.o):
@@ -669,6 +741,13 @@ class _Parser:
             t = PathPred(t.value, nxt.text)
         return t, inv
 
+    _ALT_REWRITE = (
+        "property-path alternation '|' is only supported between plain "
+        "constant IRI predicates (e.g. rdfs:label|skos:prefLabel): rewrite "
+        "other forms as a UNION of the single-path groups "
+        "(docs/SPARQL_TRANSLATION.md §property-paths)"
+    )
+
     def parse_path(self) -> list[tuple[object, bool]]:
         steps = [self.parse_path_step()]
         while True:
@@ -678,11 +757,22 @@ class _Parser:
                 steps.append(self.parse_path_step())
                 continue
             if nxt.kind == "op" and nxt.text == "|":
-                raise SparqlError(
-                    "property-path alternation '|' is not supported: rewrite "
-                    "as a UNION of the two single-path groups "
-                    "(docs/SPARQL_TRANSLATION.md §property-paths)"
-                )
+                # whole-path alternation of plain constant IRIs → AltPred
+                # (predicate IN-list). SPARQL precedence makes 'a/b|c' mean
+                # (a/b)|c — sequences mixed with '|' need the UNION rewrite.
+                node, inv = steps[0]
+                if len(steps) != 1 or inv or not isinstance(node, Iri):
+                    raise SparqlError(self._ALT_REWRITE)
+                alts = [node.value]
+                while self.peek().kind == "op" and self.peek().text == "|":
+                    self.next()
+                    t, inv2 = self.parse_path_step()
+                    if inv2 or not isinstance(t, Iri):
+                        raise SparqlError(self._ALT_REWRITE)
+                    alts.append(t.value)
+                if self.peek().kind == "op" and self.peek().text == "/":
+                    raise SparqlError(self._ALT_REWRITE)
+                return [(AltPred(tuple(alts)), False)]
             return steps
 
     def _lower_path(
@@ -941,7 +1031,7 @@ class _Compiler:
     def add_pattern(self, pat: TriplePattern) -> None:
         a = f"q{next(self.counter)}"
         if isinstance(pat.s, Quoted):
-            if isinstance(pat.p, PathPred):
+            if isinstance(pat.p, (PathPred, AltPred)):
                 raise SparqlError(
                     "property paths are not supported on annotation "
                     "predicates"
@@ -964,7 +1054,14 @@ class _Compiler:
         else:
             self.aliases.append(("quads", a))
             self._bind_term(pat.s, f"{a}.subject", "iri")
-            self._bind_term(pat.p, f"{a}.predicate", "iri")
+            if isinstance(pat.p, AltPred):
+                self.conds.append(
+                    f"{a}.predicate IN ("
+                    + ", ".join(_sq(v) for v in pat.p.iris)
+                    + ")"
+                )
+            else:
+                self._bind_term(pat.p, f"{a}.predicate", "iri")
             self._bind_term(pat.o, f"{a}.object_value", "object", term_alias=a)
         if pat.graph is not None:  # explicit GRAPH block overrides FROM
             self._bind_term(pat.graph, f"{a}.graph", "iri")
@@ -1466,6 +1563,12 @@ def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
         ]
         if isinstance(pat.graph, Iri):
             conj.append(("graph", pat.graph.value))
+        if isinstance(pat.p, AltPred) and not isinstance(pat.s, Quoted):
+            # a disjunctive predicate fans the pattern into one mask per
+            # alternative, each sharing the pattern's other constants
+            for iri in pat.p.iris:
+                masks.append(conj + [("predicate", iri)])
+            continue
         if not conj:
             return None
         masks.append(conj)
@@ -1600,6 +1703,100 @@ def sparql_construct(query: str, quads) -> pa.Table:
     return _instantiate_template(parsed.template, table, kinds)
 
 
+_TRIPLE_COLS = [
+    "subject", "predicate", "object_value",
+    "object_type", "object_datatype", "object_lang",
+]
+
+
+def sparql_describe(query: str, quads) -> pa.Table:
+    """``DESCRIBE <iri>… / ?var WHERE { … }`` — subject-based description:
+    the deduplicated set of asserted triples whose subject is one of the
+    described resources, in the same quad-schema triple shape as
+    :func:`sparql_construct` (feeds the TriG exporter / re-querying).
+    Variables are resolved by running the WHERE group as SELECT DISTINCT;
+    the subject filter itself is vectorized (``pc.is_in`` for tables,
+    distributed ``map_batches`` for Datasets, an IN-list pushed into the
+    DuckDB scan for parquet paths). Reference analog: pyoxigraph DESCRIBE
+    (``rdf-workbench.py:402-473``)."""
+    import pyarrow.compute as pc
+
+    parsed = parse_sparql(query)
+    if parsed.form != "DESCRIBE":
+        raise SparqlError("sparql_describe needs a DESCRIBE query")
+    terms: set[str] = {
+        t.value for t in parsed.describe_terms if isinstance(t, Iri)
+    }
+    vars_ = [t for t in parsed.describe_terms if isinstance(t, Var)]
+    if vars_:
+        bound, _ = _exec(query, quads, term_info=False)
+        for v in vars_:
+            terms.update(
+                x for x in bound.column(v.name).to_pylist() if x is not None
+            )
+
+    empty = pa.table({c: pa.array([], pa.string()) for c in _TRIPLE_COLS})
+    if not terms:
+        return empty
+    subjects = pa.array(sorted(terms), pa.string())
+
+    if isinstance(quads, str):
+        import duckdb
+
+        path = (
+            quads if quads.endswith(".parquet")
+            else quads.rstrip("/") + "/**/*.parquet"
+        )
+        con = duckdb.connect()
+        try:
+            con.sql(
+                f"CREATE VIEW quads_raw AS SELECT * FROM read_parquet({_sq(path)})"
+            )
+            have = {r[0] for r in con.sql("DESCRIBE quads_raw").fetchall()}
+            cols = ", ".join(
+                c if c in have else f"CAST(NULL AS VARCHAR) AS {c}"
+                for c in _TRIPLE_COLS
+            )
+            in_list = ", ".join(_sq(s) for s in sorted(terms))
+            sub = con.sql(
+                f"SELECT {cols} FROM quads_raw WHERE subject IN ({in_list})"
+            ).arrow()
+        finally:
+            con.close()
+    else:
+        if isinstance(quads, pa.Table):
+            t = _with_optional_columns(quads)
+            sub = t.filter(
+                pc.is_in(t.column("subject"), value_set=subjects)
+            ).select(_TRIPLE_COLS)
+        else:  # ray.data.Dataset — filter runs distributed
+            import ray
+
+            def keep(batch: pa.Table) -> pa.Table:
+                b = _with_optional_columns(batch)
+                return b.filter(
+                    pc.is_in(b.column("subject"), value_set=subjects)
+                ).select(_TRIPLE_COLS)
+
+            blocks = [
+                b for b in ray.get(
+                    quads.map_batches(keep, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+            sub = (
+                pa.concat_tables(blocks, promote_options="permissive")
+                if blocks else empty
+            )
+    sub = pa.table(
+        {c: pc.cast(sub.column(c), pa.string()) for c in _TRIPLE_COLS}
+    )
+    # DESCRIBE returns an RDF graph: set semantics + deterministic order
+    out = sub.group_by(_TRIPLE_COLS, use_threads=False).aggregate([])
+    return out.sort_by([(c, "ascending") for c in _TRIPLE_COLS])
+
+
 def _instantiate_template(
     template: list[TriplePattern], table: pa.Table, kinds: dict[str, str]
 ) -> pa.Table:
@@ -1689,6 +1886,8 @@ def sparql_query(query: str, quads):
         return sparql_ask(query, quads)
     if form == "CONSTRUCT":
         return sparql_construct(query, quads)
+    if form == "DESCRIBE":
+        return sparql_describe(query, quads)
     return sparql_select(query, quads)
 
 
@@ -1700,8 +1899,12 @@ def sparql_query_json(query: str, quads) -> dict:
     form = parse_sparql(query).form
     if form == "ASK":
         return {"head": {}, "boolean": sparql_ask(query, quads)}
-    if form == "CONSTRUCT":
-        t = sparql_construct(query, quads)
+    if form in ("CONSTRUCT", "DESCRIBE"):
+        t = (
+            sparql_construct(query, quads)
+            if form == "CONSTRUCT"
+            else sparql_describe(query, quads)
+        )
         triples = [
             f"<{r['subject']}> <{r['predicate']}> "
             + _format_term(

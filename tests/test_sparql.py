@@ -677,7 +677,9 @@ def test_path_inverse_and_sequence():
 
 def test_path_rejections_are_explicit():
     for bad, frag in [
-        ("SELECT ?x WHERE { ?x <p>|<q> ?y }", "alternation"),
+        # plain-IRI alternation is supported since round 4; mixing it with
+        # a sequence is the rejected form
+        ("SELECT ?x WHERE { ?x <p>/<q>|<r> ?y }", "alternation"),
         ("SELECT ?x WHERE { ?x ?p+ ?y }", "constant IRI predicate"),
         (
             "SELECT ?x WHERE { GRAPH ?g { ?x <p>+ ?y } }",
@@ -999,3 +1001,120 @@ def test_sparql_construct_regions_matches_oracle():
     from tests.oracle_harness import run as oracle_run
 
     assert oracle_run("/root/testdata/sf0.001", ["sparql_construct_regions"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# property-path alternation + DESCRIBE (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_path_alternation_of_constant_iris():
+    """rdfs:label|dct:title — the common label-fallback alternation compiles
+    to one predicate IN-list scan."""
+    out = sparql_select(
+        PREFIXES
+        + "SELECT ?s ?v WHERE { ?s rdfs:label|dct:title ?v } ORDER BY ?v",
+        QUADS,
+    )
+    vals = out.column("v").to_pylist()
+    # 6 dct:title literals + 1 rdfs:label
+    assert len(vals) == 7 and "Dataset" in vals and "Dataset 3" in vals
+    sql, _ = compile_sparql(
+        PREFIXES + "SELECT ?s WHERE { ?s rdfs:label|dct:title ?s2 }"
+    )
+    assert "IN (" in sql
+
+
+def test_path_alternation_prunes_soundly():
+    """pattern_masks fans an AltPred into one mask per alternative, so the
+    distributed pre-filter keeps rows for BOTH predicates."""
+    q = parse_sparql(
+        PREFIXES + "SELECT ?s WHERE { ?s rdfs:label|dct:title ?v }"
+    )
+    masks = pattern_masks(q)
+    preds = {dict(m)["predicate"] for m in masks}
+    assert preds == {RDFS + "label", DCT + "title"}
+
+
+def test_path_alternation_rejected_forms():
+    for bad in [
+        "SELECT ?s WHERE { ?s ex:a/ex:b|ex:c ?o }",   # sequence mixed
+        "SELECT ?s WHERE { ?s ex:a|ex:b/ex:c ?o }",   # sequence after
+        "SELECT ?s WHERE { ?s ^ex:a|ex:b ?o }",       # inverse alternative
+        "SELECT ?s WHERE { ?s ex:a|ex:b+ ?o }",       # modified alternative
+        "SELECT ?s WHERE { ?s ex:a+|ex:b ?o }",       # modified first
+        "SELECT ?s WHERE { ?s ex:a|?p ?o }",          # variable alternative
+    ]:
+        with pytest.raises(SparqlError, match="UNION"):
+            parse_sparql(PREFIXES + bad)
+
+
+def test_describe_constant_iri():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_describe
+
+    out = sparql_describe(
+        PREFIXES + "DESCRIBE <http://example.org/dataset/DS-000000>", QUADS
+    )
+    # type + title + issued + theme, all with the described subject
+    assert out.num_rows == 4
+    assert set(out.column("subject").to_pylist()) == {EX + "dataset/DS-000000"}
+    assert DCT + "title" in out.column("predicate").to_pylist()
+
+
+def test_describe_var_where_group():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_query
+
+    out = sparql_query(
+        PREFIXES
+        + 'DESCRIBE ?d WHERE { ?d dct:title "Dataset 2" }',
+        QUADS,
+    )
+    assert set(out.column("subject").to_pylist()) == {EX + "dataset/DS-000002"}
+    assert out.num_rows == 4
+
+
+def test_describe_mixed_terms_and_json_shape():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_query_json
+
+    doc = sparql_query_json(
+        PREFIXES
+        + "DESCRIBE <http://example.org/dataset/DS-000001> ?d "
+        + 'WHERE { ?d dct:title "Dataset 0" }',
+        QUADS,
+    )
+    assert doc["count"] == 8  # 4 triples each for DS-000000 and DS-000001
+    assert all(t.endswith(" .") for t in doc["triples"])
+
+
+def test_describe_unknown_subject_is_empty():
+    from etl_pipeline_rdf_star_ray.sparql import sparql_describe
+
+    out = sparql_describe(PREFIXES + "DESCRIBE ex:nope", QUADS)
+    assert out.num_rows == 0
+
+
+def test_describe_over_dataset_and_parquet(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.sparql import sparql_describe
+
+    q = PREFIXES + "DESCRIBE <http://example.org/dataset/DS-000003>"
+    want = sparql_describe(q, QUADS)
+
+    p = str(tmp_path / "quads.parquet")
+    pq.write_table(QUADS.drop_columns(["annotations"]), p)
+    got_path = sparql_describe(q, p)
+    assert got_path.equals(want)
+
+    got_ds = sparql_describe(q, rd.from_arrow(QUADS))
+    assert got_ds.equals(want)
+
+
+def test_describe_rejected_forms():
+    with pytest.raises(SparqlError, match="DESCRIBE \\*"):
+        parse_sparql("DESCRIBE * WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError, match="empty DESCRIBE"):
+        parse_sparql("DESCRIBE WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlError, match="binding them"):
+        parse_sparql("DESCRIBE ?d")
