@@ -1,0 +1,588 @@
+"""Minimal pure-Python baseline JPEG codec (stdlib + numpy).
+
+Companion to ``functions/png.py`` (round-3 verdict item 5: give the
+multimodal stages a REAL non-PNG decode path). No image library ships in
+this sandbox, but baseline JPEG needs none: the container is marker
+segments, the entropy layer is canonical Huffman, and the transform is an
+8×8 DCT — all expressible with ``struct`` + numpy. PIL still takes
+precedence when importable.
+
+Scope (documented, checked, rejected loudly otherwise):
+
+- Baseline sequential DCT (SOF0), 8-bit samples, 1 (grayscale) or 3
+  (YCbCr) components, any h×v sampling factors ≤ 2 (covers 4:4:4, 4:2:2,
+  4:2:0), restart intervals (DRI/RSTn). Progressive (SOF2), arithmetic
+  coding, 12-bit, and CMYK are rejected with explicit errors.
+- The decoder reads quantization + Huffman tables FROM the bitstream
+  (DQT/DHT), so it decodes any conforming baseline file, not just this
+  module's encoder output.
+- Decode speed is secondary (block loop in Python, math in numpy): real
+  deployments install PIL/pillow-simd and this module never runs.
+
+The encoder (4:4:4 / grayscale, Annex-K tables, quality-scaled) exists so
+tests and fixtures can synthesize valid payloads without any external
+tool; round-trip error is bounded by the quantization tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag scan: index i of the zigzag sequence → position in the 8×8 block
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K reference tables (used by the ENCODER only; the
+# decoder always reads tables from the file)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+# Annex K Huffman specs: (bits[1..16], values)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 8×8 DCT-II basis matrix: C[u, x] = a(u)·cos((2x+1)uπ/16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _a = np.sqrt(0.125) if _u == 0 else 0.5
+        _DCT[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class JpegError(ValueError):
+    pass
+
+
+def is_jpeg(data: bytes) -> bool:
+    return bytes(data[:3]) == JPEG_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _build_huffman(bits: list[int], values: list[int]) -> dict:
+    """Canonical JPEG Huffman: ``{(length, code): symbol}``."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_huffman(bits: list[int], values: list[int]) -> dict:
+    """Inverse mapping for the encoder: ``{symbol: (code, length)}``."""
+    out: dict = {}
+    for (length, code), sym in _build_huffman(bits, values).items():
+        out[sym] = (code, length)
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are consumed by :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise JpegError("hit restart marker inside a block")
+            else:
+                raise JpegError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise JpegError("expected restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG sign extension: ``t``-bit magnitude ``v`` → signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → ``(height, width, channels)`` uint8 array
+    (channels = 1 for grayscale, 3 for RGB)."""
+    if not is_jpeg(data):
+        raise JpegError("not a JPEG payload (bad signature)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    width = height = None
+    comps: list[dict] = []
+    restart_interval = 0
+    i = 2
+    scan_comps: list[dict] = []
+    while True:
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at byte {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            raise JpegError("EOI before SOS — no image data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        body = data[i + 2 : i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quantization tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    body[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int64)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                values = list(body[j + 17 : j + 17 + n])
+                htables[(tc, th)] = _build_huffman(bits, values)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegError(f"{prec}-bit samples unsupported")
+            if ncomp not in (1, 3):
+                raise JpegError(f"{ncomp}-component JPEG unsupported (CMYK?)")
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * c : 9 + 3 * c]
+                )
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise JpegError(f"sampling factors {h}x{v} unsupported")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                f"only baseline sequential (SOF0) is supported, got "
+                f"SOF marker 0xFF{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cs, td_ta = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_comps.append(
+                    {**comp, "dc": td_ta >> 4, "ac": td_ta & 0x0F}
+                )
+            break
+        # APPn / COM / anything else: skipped
+    if width is None or not scan_comps:
+        raise JpegError("missing SOF0/SOS")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = []
+    for c in scan_comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+
+    reader = _BitReader(data, i)
+    pred = [0] * len(scan_comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                pred = [0] * len(scan_comps)
+            mcu_count += 1
+            for ci, c in enumerate(scan_comps):
+                dc_tab = htables[(0, c["dc"])]
+                ac_tab = htables[(1, c["ac"])]
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = reader.decode_symbol(dc_tab)
+                        pred[ci] += _extend(reader.read_bits(t), t)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz * q
+                        px = _DCT.T @ block.reshape(8, 8) @ _DCT + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    # upsample subsampled planes to full resolution, crop to image size
+    full = []
+    for ci, c in enumerate(scan_comps):
+        p = planes[ci]
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        out = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF0 header without decoding the scan."""
+    if not is_jpeg(data):
+        raise JpegError("not a JPEG payload (bad signature)")
+    i = 2
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at byte {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        if marker in (0xC0, 0xC1, 0xC2):
+            _prec, h, w = struct.unpack(">BHH", data[i + 2 : i + 7])
+            return w, h
+        i += seglen
+    raise JpegError("no SOF header found")
+
+
+# ---------------------------------------------------------------------------
+# encoder (4:4:4 / grayscale, Annex-K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for b in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """``(height, width[, channels])`` uint8 array → baseline JPEG bytes.
+    ``subsample``: ``"444"`` (default; also the grayscale shape) or
+    ``"420"`` (2×2 luma sampling, box-averaged chroma — exists mainly so
+    the decoder's subsampled-MCU/upsample path is exercisable without any
+    external tool)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise JpegError("encode_jpeg needs HxW, HxWx1 or HxWx3 uint8")
+    if subsample not in ("444", "420"):
+        raise JpegError(f"unsupported subsampling {subsample!r}")
+    height, width, nch = arr.shape
+    px = arr.astype(np.float64)
+    if nch == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0]]
+
+    sub420 = subsample == "420" and nch == 3
+    # per-component sampling factors
+    hv = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * nch
+    hmax = max(h for h, _ in hv[:nch])
+    vmax = max(v for _, v in hv[:nch])
+    # pad to MCU multiples by edge replication
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    pw = -(-width // (8 * hmax)) * 8 * hmax
+    padded = []
+    for ci, p in enumerate(planes):
+        p = np.pad(
+            p, ((0, ph - height), (0, pw - width)), mode="edge"
+        )
+        h, v = hv[ci]
+        if h < hmax or v < vmax:  # box-average downsample
+            fy, fx = vmax // v, hmax // h
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+        padded.append(p)
+
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    dc_l, ac_l = _encode_huffman(*DC_LUMA_SPEC), _encode_huffman(*AC_LUMA_SPEC)
+    dc_c, ac_c = (
+        _encode_huffman(*DC_CHROMA_SPEC),
+        _encode_huffman(*AC_CHROMA_SPEC),
+    )
+
+    w = _BitWriter()
+    pred = [0] * len(planes)
+    for my in range(ph // (8 * vmax)):
+        for mx in range(pw // (8 * hmax)):
+            for ci, p in enumerate(padded):
+                q = ql if ci == 0 else qc
+                dct_tab = dc_l if ci == 0 else dc_c
+                act_tab = ac_l if ci == 0 else ac_c
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _DCT @ block @ _DCT.T
+                        zz = np.rint(
+                            coef.reshape(-1)[ZIGZAG] / q
+                        ).astype(np.int64)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t = _category(diff)
+                        code, length = dct_tab[t]
+                        w.write(code, length)
+                        if t:
+                            w.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                        run = 0
+                        last_nz = (
+                            int(np.max(np.nonzero(zz)[0]))
+                            if np.any(zz[1:]) else 0
+                        )
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if k > last_nz:
+                                code, length = act_tab[0x00]  # EOB
+                                w.write(code, length)
+                                break
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = act_tab[0xF0]  # ZRL
+                                w.write(code, length)
+                                run -= 16
+                            s = _category(v)
+                            code, length = act_tab[(run << 4) | s]
+                            w.write(code, length)
+                            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + ql.astype(np.uint8).tobytes())
+    if nch == 3:
+        out += seg(0xDB, b"\x01" + qc.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, height, width, nch)
+    for c in range(nch):
+        h, v = hv[c]
+        sof += struct.pack(">BBB", c + 1, (h << 4) | v, 0 if c == 0 else 1)
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, values = spec
+        return seg(
+            0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+        )
+
+    out += dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
+    if nch == 3:
+        out += dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+    sos = bytes([nch])
+    for c in range(nch):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

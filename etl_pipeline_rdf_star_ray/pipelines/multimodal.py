@@ -2,11 +2,13 @@
 metadata, decoded / feature-extracted by actor-pool stages.
 
 The Ray-side plumbing (schemas, small batch sizes for fat rows, actor
-signatures, output layout) is real and tested; the actual image/audio codecs
-are STUBBED behind an import-guard because the decode libraries are not in
-this environment — ``DecodeStage`` uses PIL/soundfile when importable and
-otherwise a clearly-marked deterministic fake, and :func:`require_codecs`
-raises ``NotImplementedError`` for callers that must not fall back.
+signatures, output layout) is real and tested. Decode is REAL for PNG
+(``functions/png.py``, pure stdlib+numpy) and baseline JPEG
+(``functions/jpeg.py``, same approach); PIL takes precedence when
+importable. Only AUDIO and non-PNG/JPEG containers remain stubbed behind
+an import-guard — a clearly-marked deterministic fake, with
+:func:`require_codecs` raising ``NotImplementedError`` for callers that
+must not fall back.
 
 Batch-size guidance: payload rows are orders of magnitude wider than text
 rows; pair these stages with small ``batch_size`` (e.g. 64) and let
@@ -44,13 +46,15 @@ def have_image_codec() -> bool:
 
 def require_codecs() -> None:
     """Hard gate for callers that need REAL decode output for arbitrary
-    formats. PNG always has a real path (the pure-Python codec in
-    ``functions/png.py``); everything else needs PIL."""
+    formats. PNG and baseline JPEG always have a real path (the pure-Python
+    codecs in ``functions/png.py`` / ``functions/jpeg.py``); everything
+    else — audio, video containers, exotic image formats — needs PIL."""
     if not have_image_codec():
         raise NotImplementedError(
             "image/audio codecs are not installed in this environment; "
-            "PNG payloads decode via the built-in pure-Python codec, other "
-            "formats fall back to the deterministic fake decoder"
+            "PNG and baseline-JPEG payloads decode via the built-in "
+            "pure-Python codecs, other formats fall back to the "
+            "deterministic fake decoder"
         )
 
 
@@ -87,9 +91,10 @@ class DecodeStage:
     decoder contexts), per-batch work in ``__call__``.
 
     Decode path per payload: PIL when importable → the built-in pure-Python
-    PNG codec (``functions/png.py``) for PNG payloads → the clearly-marked
-    deterministic fake for anything else (sha256-derived dims so the driver
-    oracle can recompute them in SQL).
+    codecs (``functions/png.py`` for PNG, ``functions/jpeg.py`` for baseline
+    JPEG) → the clearly-marked deterministic fake for anything else, i.e.
+    audio and exotic containers (sha256-derived dims so the driver oracle
+    can recompute them in SQL).
 
     Output layout: input columns minus payload, plus ``width``, ``height``,
     ``feature`` (fixed-size float32 list) — identical whichever decoder
@@ -99,10 +104,12 @@ class DecodeStage:
     FEATURE_DIM = 16
 
     def __init__(self) -> None:
+        from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
         self.pil = have_image_codec()
         self.png = _png
+        self.jpeg = _jpeg
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         # STUB decoder: deterministic dims + feature from a content digest.
@@ -128,6 +135,13 @@ class DecodeStage:
             return img.size[0], img.size[1], feat
         if self.png.is_png(p):
             arr = self.png.decode_png(p)
+            return (
+                arr.shape[1],
+                arr.shape[0],
+                self.png.grayscale_feature(arr),
+            )
+        if self.jpeg.is_jpeg(p):
+            arr = self.jpeg.decode_jpeg(p)
             return (
                 arr.shape[1],
                 arr.shape[0],
@@ -168,21 +182,23 @@ def decode_media(
 
 
 class ResizeStage:
-    """Actor-pool image resize with a REAL path for PNG payloads: decode
-    (PIL when importable, else the pure-Python PNG codec), nearest-neighbor
-    resample, re-encode — payload bytes and dims both update. Non-PNG
-    payloads without PIL either raise (``allow_fake=False``) or take the
-    clearly-marked fake (dims rewritten, payload untouched); the Ray
-    plumbing (actor signature, small batches, fixed output schema) is
-    identical either way."""
+    """Actor-pool image resize with a REAL path for PNG and baseline-JPEG
+    payloads: decode (PIL when importable, else the pure-Python codecs),
+    nearest-neighbor resample, re-encode in the source format — payload
+    bytes and dims both update. Other payloads without PIL either raise
+    (``allow_fake=False``) or take the clearly-marked fake (dims rewritten,
+    payload untouched); the Ray plumbing (actor signature, small batches,
+    fixed output schema) is identical either way."""
 
     def __init__(self, width: int = 224, height: int = 224, *, allow_fake: bool = False):
+        from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
         self.width, self.height = width, height
         self.allow_fake = allow_fake
         self.pil = have_image_codec()
         self.png = _png
+        self.jpeg = _jpeg
 
     def _resize(self, p: bytes) -> bytes:
         if self.pil:
@@ -197,6 +213,11 @@ class ResizeStage:
         if self.png.is_png(p):
             arr = self.png.decode_png(p)
             return self.png.encode_png(
+                self.png.resize_nearest(arr, self.width, self.height)
+            )
+        if self.jpeg.is_jpeg(p):
+            arr = self.jpeg.decode_jpeg(p)
+            return self.jpeg.encode_jpeg(
                 self.png.resize_nearest(arr, self.width, self.height)
             )
         if not self.allow_fake:

@@ -599,3 +599,127 @@ def test_embedding_neardup_auto_switches_on_budget(ray_session):
     pd.testing.assert_frame_equal(
         _pairs_norm(small_budget), _pairs_norm(default)
     )
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round 4): real non-PNG decode path
+# ---------------------------------------------------------------------------
+
+
+def _gradient_img(w: int, h: int, c: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = xx * 255 / max(w - 1, 1) * 0.5 + yy * 255 / max(h - 1, 1) * 0.5
+    return np.stack(
+        [(base + i * 20) % 256 for i in range(c)], axis=2
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_shapes_and_subsampling():
+    from etl_pipeline_rdf_star_ray.functions import jpeg
+
+    for w, h, c in [(16, 16, 3), (24, 40, 3), (17, 23, 3), (8, 8, 1), (9, 33, 1)]:
+        img = _gradient_img(w, h, c)
+        for sub in ["444", "420"] if c == 3 else ["444"]:
+            enc = jpeg.encode_jpeg(img, quality=95, subsample=sub)
+            assert jpeg.is_jpeg(enc)
+            assert jpeg.jpeg_dims(enc) == (w, h)
+            dec = jpeg.decode_jpeg(enc)
+            assert dec.shape == (h, w, c)
+            err = np.abs(dec.astype(int) - img.astype(int)).mean()
+            assert err < (3 if sub == "444" else 30), (w, h, c, sub, err)
+
+
+def test_jpeg_noise_stress_and_low_quality():
+    """Noise hits every entropy path (ZRL, long AC runs, big categories);
+    low quality hits heavy quantization. Decode must stay in-bounds and
+    dimensionally exact."""
+    from etl_pipeline_rdf_star_ray.functions import jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    for q in (10, 50, 95):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        assert dec.shape == (32, 32, 3) and dec.dtype == np.uint8
+
+
+def test_jpeg_rejections_are_explicit():
+    import struct
+
+    import pytest as _pytest
+
+    from etl_pipeline_rdf_star_ray.functions import jpeg
+
+    assert not jpeg.is_jpeg(b"plain text")
+    with _pytest.raises(jpeg.JpegError, match="signature"):
+        jpeg.decode_jpeg(b"not a jpeg")
+    # progressive (SOF2) is rejected by name, not mis-decoded
+    enc = bytearray(jpeg.encode_jpeg(_gradient_img(8, 8, 1)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with _pytest.raises(jpeg.JpegError, match="baseline"):
+        jpeg.decode_jpeg(bytes(enc))
+    # 16-bit quant tables rejected
+    bad = bytearray(jpeg.encode_jpeg(_gradient_img(8, 8, 1)))
+    dqt = bad.find(b"\xff\xdb")
+    bad[dqt + 4] = 0x10  # pq=1
+    with _pytest.raises(jpeg.JpegError, match="quantization"):
+        jpeg.decode_jpeg(bytes(bad))
+    # struct import used for parity with module-level segment builders
+    assert struct.pack(">H", 1) == b"\x00\x01"
+
+
+def test_decode_stage_real_jpeg_path():
+    """JPEG payloads take the REAL decode path through the actor-pool
+    plumbing: actual dims and a feature computed from decoded pixels —
+    the fake is now reserved for audio/exotic payloads."""
+    from etl_pipeline_rdf_star_ray.functions import jpeg, png
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    imgs = [_gradient_img(12, 20, 3), _gradient_img(9, 7, 1)]
+    payloads = [jpeg.encode_jpeg(a, quality=95) for a in imgs]
+    payloads.append(b"audio-ish payload, no codec")
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], pa.int64()),
+                "kind": ["image", "image", "audio"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    got = (
+        mm.decode_media(media, batch_size=2)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert list(got["width"][:2]) == [12, 9]
+    assert list(got["height"][:2]) == [20, 7]
+    np.testing.assert_allclose(
+        np.array(list(got["feature"][0])),
+        png.grayscale_feature(jpeg.decode_jpeg(payloads[0])),
+        rtol=1e-6,
+    )
+    import hashlib as hl
+
+    digest = hl.sha256(payloads[2]).digest()
+    assert got["width"][2] == 16 + digest[0] % 64  # fake path: audio only
+
+
+def test_resize_stage_real_jpeg_path():
+    from etl_pipeline_rdf_star_ray.functions import jpeg, png
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    arr = _gradient_img(10, 6, 3)
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([jpeg.encode_jpeg(arr, quality=95)], pa.binary()),
+        }
+    )
+    out = mm.ResizeStage(4, 4)(batch)
+    resized_payload = out.column("payload")[0].as_py()
+    assert jpeg.is_jpeg(resized_payload)  # re-encoded in the source format
+    resized = jpeg.decode_jpeg(resized_payload)
+    assert resized.shape == (4, 4, 3)
+    want = png.resize_nearest(jpeg.decode_jpeg(batch.column("payload")[0].as_py()), 4, 4)
+    assert np.abs(resized.astype(int) - want.astype(int)).mean() < 4
+    assert out.column("width")[0].as_py() == 4
