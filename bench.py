@@ -253,14 +253,18 @@ def run_scaling() -> dict:
     8-slot job on 32 cores and the efficiency ratio is meaningless
     (BASELINE.md round-1/2 notes).
 
-    Reports two N→4N pairs on the same pre-generated input:
+    Reports three N→4N pairs on the same pre-generated input:
 
     - 2→8 cpus — the faithful pair: at both levels the per-level runtime is
       long enough that fixed per-job costs (driver loop, task launch, lake
       fsync) are amortized; this is the primary efficiency figure.
+    - 4→16 cpus — the round-3 verdict's requested second clean pair: both
+      levels sit below the host's guest-memory fault-service ceiling
+      (~1.8–2.6M ev/s on this box), so neither endpoint is clipped.
     - 8→32 cpus — also reported; at 32 cpus the sustained replay finishes
-      in ~9 s, so those fixed costs are a visible fraction and deflate the
-      ratio (single-box artifact, documented in BASELINE.md).
+      in ~9 s, so fixed costs are a visible fraction, and the 32-cpu level
+      runs INTO the host ceiling — the ratio is deflated by the box, not
+      the engine (single-box artifact, documented in BASELINE.md).
     """
     import shutil as _sh
 
@@ -315,6 +319,7 @@ def run_scaling() -> dict:
     # class of host (±30% run-to-run on identical input, host-phase noise)
     p16 = pair(8, 32, N_EVENTS_SCALING, 2)
     sustained_2_8 = pair(2, 8, N_EVENTS_SUSTAINED, 2)
+    sustained_4_16 = pair(4, 16, N_EVENTS_SUSTAINED, 2)
     sustained_8_32 = pair(8, 32, N_EVENTS_SUSTAINED, 2)
     return {
         "metric": "scaling_efficiency_n_to_4n",
@@ -323,6 +328,7 @@ def run_scaling() -> dict:
         "pinned_cpusets": bool(taskset),
         "primary": "sustained_2_to_8",
         "sustained_2_to_8": sustained_2_8,
+        "sustained_4_to_16": sustained_4_16,
         "sustained_8_to_32": sustained_8_32,
         "warm_8_to_32": p16,
         "sf": SF_DIR,
