@@ -302,3 +302,72 @@ class FrameSampleStage:
         out = out.append_column("frame_idx", pa.array(f_idx, pa.int32()))
         out = out.append_column("width", pa.array(f_w, pa.int32()))
         return out.append_column("height", pa.array(f_h, pa.int32()))
+
+
+class AudioFeatureStage:
+    """Actor-pool audio decode/feature stage with a REAL path for WAV
+    payloads (``functions/wav.py`` — pure stdlib RIFF/PCM): per payload it
+    emits ``sample_rate``, ``n_samples``, ``channels``, ``duration_s``,
+    ``rms`` and ``peak`` (both floored to 4 decimals, matching the repo's
+    oracle-flooring convention). Non-WAV payloads (mp3/ogg/flac have no
+    codec in this sandbox) either raise via :func:`require_codecs`
+    (``allow_fake=False``) or take the clearly-marked deterministic fake
+    (sha256-derived rate/length, zero features) — the output schema is
+    identical either way."""
+
+    def __init__(self, *, allow_fake: bool = False):
+        from ..functions import wav as _wav
+
+        self.allow_fake = allow_fake
+        self.wav = _wav
+
+    def _features(self, p: bytes) -> tuple[int, int, int, float, float, float]:
+        if self.wav.is_wav(p):
+            samples, rate = self.wav.decode_wav(p)
+            n, ch = samples.shape
+            mono = samples.mean(axis=1) if ch > 1 else samples[:, 0]
+            rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+            peak = float(np.max(np.abs(mono))) if n else 0.0
+            return (
+                rate, n, ch,
+                np.floor((n / rate + 1e-9) * 1e4) / 1e4,
+                np.floor((rms + 1e-9) * 1e4) / 1e4,
+                np.floor((peak + 1e-9) * 1e4) / 1e4,
+            )
+        if not self.allow_fake:
+            require_codecs()
+        d = hashlib.sha256(p or b"").digest()
+        rate = 8000 + (d[0] % 4) * 8000
+        n = 256 + d[1] * 16
+        return rate, n, 1, np.floor(n / rate * 1e4) / 1e4, 0.0, 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        cols = list(zip(*(self._features(p or b"") for p in payloads))) or [
+            []
+        ] * 6
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("sample_rate", pa.array(cols[0], pa.int32()))
+        out = out.append_column("n_samples", pa.array(cols[1], pa.int64()))
+        out = out.append_column("channels", pa.array(cols[2], pa.int32()))
+        out = out.append_column("duration_s", pa.array(cols[3], pa.float64()))
+        out = out.append_column("rms", pa.array(cols[4], pa.float64()))
+        return out.append_column("peak", pa.array(cols[5], pa.float64()))
+
+
+def audio_features(
+    ds: "rd.Dataset",
+    *,
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+    allow_fake: bool = False,
+) -> "rd.Dataset":
+    """Run the audio feature actor pool (small batches: payload rows are
+    fat — same sizing rule as :func:`decode_media`)."""
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"allow_fake": allow_fake},
+    )

@@ -1145,6 +1145,61 @@ def q_multimodal_decode(sf_dir: str):
     return multimodal.decode_media(media).drop_columns(["media_meta", "feature"])
 
 
+def q_multimodal_audio(sf_dir: str):
+    """REAL audio decode path, oracle-checked end-to-end: deterministic
+    16-bit PCM WAV payloads are synthesized per doc (sine with doc-derived
+    amplitude/frequency, encoded by ``functions/wav.py``), streamed through
+    the ``AudioFeatureStage`` actor pool, and the decoded rms/peak/duration
+    must hash-match DuckDB recomputing the SAME quantized sine
+    (``round(sig*32767)/32768``) — the encoder's quantization is part of
+    the contract, not an approximation fudge."""
+    import numpy as np
+
+    from .functions import wav
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        t = np.arange(800) / 8000.0
+        payloads = []
+        for i in ids:
+            amp = (int(i) % 10 + 1) / 16.0
+            freq = 100 + (int(i) % 40) * 10
+            payloads.append(
+                wav.encode_wav(amp * np.sin(2 * np.pi * freq * t), 8000)
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(make, batch_format="pyarrow")
+    return multimodal.audio_features(media)
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+WITH k AS (SELECT unnest(range(800)) AS k),
+sig AS (
+  SELECT d.doc_id,
+         round(((d.doc_id % 10 + 1) / 16.0)
+               * sin(2 * pi() * (100 + (d.doc_id % 40) * 10) * k.k / 8000.0)
+               * 32767) / 32768.0 AS s
+  FROM documents d CROSS JOIN k
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(800 AS BIGINT) AS n_samples,
+       1 AS channels,
+       floor((800 / 8000.0 + 1e-9) * 10000) / 10000 AS duration_s,
+       floor((sqrt(avg(s * s)) + 1e-9) * 10000) / 10000 AS rms,
+       floor((max(abs(s)) + 1e-9) * 10000) / 10000 AS peak
+FROM sig GROUP BY doc_id ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus-level ops: fuzzy-dedup clusters, vocabulary, sampling,
 # conversation analytics (pipelines/corpus.py + analytics conv ops)
@@ -1398,6 +1453,7 @@ def build_queries() -> dict:
         "model_scores": q_model_scores,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "sparql_describe_nations": q_sparql_describe_nations,
         "sparql_alt_labels": q_sparql_alt_labels,
@@ -1442,8 +1498,8 @@ def build_queries() -> dict:
         "asof_events_orders": q_asof_events_orders,
         "streaming_rollup": q_streaming_rollup,
         "grouped_quantiles": q_grouped_quantiles,
-        "sample_hash": q_sample_hash,
         # ---------------- end of the 50-entry driver window -----------------
+        "sample_hash": q_sample_hash,
         # everything below carried a green CORRECTNESS_r03 driver row (or a
         # declared no-oracle + pytest property oracle) and is unchanged
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
@@ -1522,6 +1578,7 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": ORACLE_FINGERPRINT,
         "similarity_topk": ORACLE_SIM_TOPK,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "multimodal_audio": ORACLE_MULTIMODAL_AUDIO,
         "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
         "join_lineitem_orders": ORACLE_JOIN_LINEITEM_ORDERS,
         "join_events_customers": ORACLE_JOIN_EVENTS_CUSTOMERS,

@@ -723,3 +723,82 @@ def test_resize_stage_real_jpeg_path():
     want = png.resize_nearest(jpeg.decode_jpeg(batch.column("payload")[0].as_py()), 4, 4)
     assert np.abs(resized.astype(int) - want.astype(int)).mean() < 4
     assert out.column("width")[0].as_py() == 4
+
+
+# ---------------------------------------------------------------------------
+# WAV codec + audio feature stage (round 4): real audio path
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_stereo():
+    from etl_pipeline_rdf_star_ray.functions import wav
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2):
+        sig = rng.uniform(-0.9, 0.9, size=(1000, ch))
+        data = wav.encode_wav(sig, 16000)
+        assert wav.is_wav(data)
+        out, rate = wav.decode_wav(data)
+        assert rate == 16000 and out.shape == (1000, ch)
+        # error bound: 0.5/32768 rounding + |sig|/32768 from the standard
+        # asymmetric scale (encode ×32767, decode ÷32768)
+        assert np.abs(out - sig).max() <= 1.5 / 32768 + 1e-12
+        assert wav.wav_info(data) == (16000, 1000, ch)
+
+
+def test_wav_rejections_are_explicit():
+    import struct
+
+    import pytest as _pytest
+
+    from etl_pipeline_rdf_star_ray.functions import wav
+
+    assert not wav.is_wav(b"RIFFxxxxNOPE")
+    with _pytest.raises(wav.WavError, match="signature"):
+        wav.decode_wav(b"plain bytes")
+    # compressed format id is rejected by name, not mis-decoded
+    data = bytearray(wav.encode_wav(np.zeros(16), 8000))
+    fmt_at = data.find(b"fmt ") + 8
+    data[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # ADPCM
+    with _pytest.raises(wav.WavError, match="compressed"):
+        wav.decode_wav(bytes(data))
+
+
+def test_audio_feature_stage_real_and_fake_paths(ray_session):
+    from etl_pipeline_rdf_star_ray.functions import wav
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    t = np.arange(800) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 200 * t)
+    payloads = [wav.encode_wav(sig, 8000), b"mp3-ish bytes, no codec"]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    got = (
+        mm.audio_features(media, allow_fake=True)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert got["sample_rate"][0] == 8000 and got["n_samples"][0] == 800
+    assert got["duration_s"][0] == 0.1
+    # rms of a 0.5-amplitude sine ≈ 0.5/sqrt(2) ≈ 0.3535 (quantized, floored)
+    assert abs(got["rms"][0] - 0.3535) < 2e-3
+    assert abs(got["peak"][0] - 0.5) < 2e-3
+    # non-WAV row took the deterministic fake (zero features)
+    assert got["rms"][1] == 0.0 and got["peak"][1] == 0.0
+    # strict mode raises on the non-WAV payload
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.AudioFeatureStage()(
+            pa.table(
+                {
+                    "media_id": pa.array([9], pa.int64()),
+                    "payload": pa.array([b"nope"], pa.binary()),
+                }
+            )
+        )
