@@ -496,8 +496,11 @@ def encode_jpeg(
             )
         padded.append(p)
 
-    ql = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
+    # tables held in ZIGZAG order throughout: the zigzag-ordered coefficient
+    # vector divides by them directly, and T.81 defines the DQT payload as
+    # zigzag-ordered — one ordering, both uses, spec-exact Annex-K steps
+    ql = _scaled_quant(QUANT_LUMA, quality)[ZIGZAG]
+    qc = _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG]
     dc_l, ac_l = _encode_huffman(*DC_LUMA_SPEC), _encode_huffman(*AC_LUMA_SPEC)
     dc_c, ac_c = (
         _encode_huffman(*DC_CHROMA_SPEC),

@@ -45,9 +45,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[i + 4 : i + 8])
         body = data[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise WavError("truncated fmt chunk")
             audio_fmt, channels, rate, _brate, _balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
+            if channels < 1:
+                raise WavError("channel count must be >= 1")
             if audio_fmt == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
                 (sub,) = struct.unpack("<H", body[24:26])
                 audio_fmt = sub
@@ -79,7 +83,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise WavError(
             f"compressed WAV format {audio_fmt} unsupported (PCM/float only)"
         )
-    n = len(x) - len(x) % max(channels, 1)
+    n = len(x) - len(x) % channels
     return x[:n].reshape(-1, channels), rate
 
 

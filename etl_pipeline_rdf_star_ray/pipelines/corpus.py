@@ -180,13 +180,15 @@ def _edges_over_budget(pairs, edge_budget_rows: int):
     as already-driver-resident regardless of budget."""
     if isinstance(pairs, pa.Table):
         return pairs, None
-    n = pairs.count()
-    if n <= edge_budget_rows:
+    # materialize ONCE: count() on the lazy plan would execute the pair
+    # detector, and to_arrow_refs() would execute it a second time
+    mat = pairs.materialize()
+    if mat.count() <= edge_budget_rows:
         import ray as _ray
 
-        tbls = _ray.get(pairs.to_arrow_refs())
+        tbls = _ray.get(mat.to_arrow_refs())
         return pa.concat_tables(tbls) if tbls else None, None
-    return None, pairs
+    return None, mat
 
 
 def cluster_assign(

@@ -51,6 +51,7 @@ def sharded_groups(
     shard_fn,
     *,
     num_shards: int = 64,
+    nullable_ints: bool = False,
 ) -> "rd.Dataset":
     """Group-parallel processing WITHOUT per-group task overhead: rows are
     hash-sharded on their group key (all rows of one group land in one
@@ -89,7 +90,20 @@ def sharded_groups(
         names = [
             "shard" if c == "partition_id" else c for c in t.column_names
         ]
-        g = t.rename_columns(names).to_pandas()
+        t = t.rename_columns(names)
+        if nullable_ints:
+            # null-bearing int64 columns must NOT float through the pandas
+            # conversion (2^53 exactness — ADVICE r3 / review r4): map all
+            # integer columns to pandas nullable extension dtypes
+            mapper = {
+                pa.int64(): pd.Int64Dtype(),
+                pa.int32(): pd.Int32Dtype(),
+                pa.int16(): pd.Int16Dtype(),
+                pa.int8(): pd.Int8Dtype(),
+            }.get
+            g = t.to_pandas(types_mapper=mapper)
+        else:
+            g = t.to_pandas()
         return pa.Table.from_pandas(
             shard_fn(g), preserve_index=False
         ).replace_schema_metadata(None)
@@ -788,19 +802,25 @@ def embedding_neardup(
 
     if mode not in ("auto", "broadcast", "blockpairs"):
         raise ValueError(f"unknown mode {mode!r}")
+    # the slim (id, vector) projection is materialized ONCE and every later
+    # step (count/dim probe, broadcast collect, batch scan, block-pair
+    # repartition) reads the materialized blocks — the upstream pipeline
+    # never re-executes (count()/to_pandas() on the lazy plan would each
+    # have re-run it)
+    slim = ds.select_columns([id_col, vec_col]).materialize()
     if mode == "auto":
-        est = ds.count() * _embedding_dim(ds, vec_col) * 8
+        est = slim.count() * _embedding_dim(slim, vec_col) * 8
         mode = "broadcast" if est <= broadcast_budget_bytes else "blockpairs"
     if mode == "blockpairs":
         return embedding_neardup_blockpairs(
-            ds,
+            slim,
             vec_col=vec_col,
             id_col=id_col,
             threshold=threshold,
             target_block_bytes=max(1, broadcast_budget_bytes // 8),
         )
 
-    corpus = ds.select_columns([id_col, vec_col]).to_pandas()
+    corpus = slim.to_pandas()
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -828,7 +848,7 @@ def embedding_neardup(
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    return slim.map_batches(pairs, batch_format="pyarrow")
 
 
 @ray.remote

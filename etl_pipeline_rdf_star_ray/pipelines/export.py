@@ -115,10 +115,11 @@ DEFAULT_PREFIX_BLOCK = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-
 
 def _encode_partition_value(value: str) -> str:
     """Percent-encode a partition value for the hive ``col=value`` directory
-    name (Spark/Hive escaping convention): '/', '=', '%', '..' etc. all
-    become inert percent escapes, so a hostile value like ``a/../../x``
-    cannot escape the output root and every value maps to exactly one
-    directory. A literal string ``__NULL__`` is additionally escaped
+    name (Spark/Hive escaping convention): '/', '=' and '%' become inert
+    percent escapes, so a hostile value like ``a/../../x`` cannot escape
+    the output root (its slashes are encoded; a bare ``..`` value stays a
+    single directory named ``col=..`` under root) and every value maps to
+    exactly one directory. A literal string ``__NULL__`` is additionally escaped
     (``%5F``-encoded underscores) so the null sentinel — reserved for actual
     nulls — can never collide with real data."""
     from urllib.parse import quote

@@ -133,20 +133,28 @@ class DecodeStage:
                 img.resize((4, 4)).convert("L"), dtype=np.float32
             ).reshape(-1)[: self.FEATURE_DIM] / 255.0
             return img.size[0], img.size[1], feat
-        if self.png.is_png(p):
-            arr = self.png.decode_png(p)
-            return (
-                arr.shape[1],
-                arr.shape[0],
-                self.png.grayscale_feature(arr),
-            )
-        if self.jpeg.is_jpeg(p):
-            arr = self.jpeg.decode_jpeg(p)
-            return (
-                arr.shape[1],
-                arr.shape[0],
-                self.png.grayscale_feature(arr),
-            )
+        # a payload whose magic matches but the pure-Python codec cannot
+        # handle (progressive JPEG, truncated stream, exotic PNG) takes the
+        # deterministic fake instead of killing the actor task — DecodeStage
+        # is the permissive stage by contract (require_codecs() is the
+        # strict gate for callers that must not fall back)
+        try:
+            if self.png.is_png(p):
+                arr = self.png.decode_png(p)
+                return (
+                    arr.shape[1],
+                    arr.shape[0],
+                    self.png.grayscale_feature(arr),
+                )
+            if self.jpeg.is_jpeg(p):
+                arr = self.jpeg.decode_jpeg(p)
+                return (
+                    arr.shape[1],
+                    arr.shape[0],
+                    self.png.grayscale_feature(arr),
+                )
+        except (ValueError, struct.error, zlib.error, IndexError):
+            pass
         return self._fake_decode(p or b"")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -210,16 +218,23 @@ class ResizeStage:
             buf = io.BytesIO()
             img.save(buf, format="PNG")
             return buf.getvalue()
-        if self.png.is_png(p):
-            arr = self.png.decode_png(p)
-            return self.png.encode_png(
-                self.png.resize_nearest(arr, self.width, self.height)
-            )
-        if self.jpeg.is_jpeg(p):
-            arr = self.jpeg.decode_jpeg(p)
-            return self.jpeg.encode_jpeg(
-                self.png.resize_nearest(arr, self.width, self.height)
-            )
+        try:
+            if self.png.is_png(p):
+                arr = self.png.decode_png(p)
+                return self.png.encode_png(
+                    self.png.resize_nearest(arr, self.width, self.height)
+                )
+            if self.jpeg.is_jpeg(p):
+                arr = self.jpeg.decode_jpeg(p)
+                return self.jpeg.encode_jpeg(
+                    self.png.resize_nearest(arr, self.width, self.height)
+                )
+        except (ValueError, struct.error, zlib.error, IndexError):
+            # payload the pure-Python codec cannot handle (progressive
+            # JPEG, corrupt stream): strict mode surfaces the parse error,
+            # permissive mode takes the fake below
+            if not self.allow_fake:
+                raise
         if not self.allow_fake:
             require_codecs()
         return p  # fake: payload untouched, dims rewritten below
@@ -323,17 +338,26 @@ class AudioFeatureStage:
 
     def _features(self, p: bytes) -> tuple[int, int, int, float, float, float]:
         if self.wav.is_wav(p):
-            samples, rate = self.wav.decode_wav(p)
-            n, ch = samples.shape
-            mono = samples.mean(axis=1) if ch > 1 else samples[:, 0]
-            rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
-            peak = float(np.max(np.abs(mono))) if n else 0.0
-            return (
-                rate, n, ch,
-                np.floor((n / rate + 1e-9) * 1e4) / 1e4,
-                np.floor((rms + 1e-9) * 1e4) / 1e4,
-                np.floor((peak + 1e-9) * 1e4) / 1e4,
-            )
+            try:
+                samples, rate = self.wav.decode_wav(p)
+                if rate <= 0:
+                    raise self.wav.WavError("sample rate must be positive")
+                n, ch = samples.shape
+                mono = samples.mean(axis=1) if ch > 1 else samples[:, 0]
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                peak = float(np.max(np.abs(mono))) if n else 0.0
+                return (
+                    rate, n, ch,
+                    np.floor((n / rate + 1e-9) * 1e4) / 1e4,
+                    np.floor((rms + 1e-9) * 1e4) / 1e4,
+                    np.floor((peak + 1e-9) * 1e4) / 1e4,
+                )
+            except (ValueError, struct.error):
+                # RIFF header but undecodable body (ADPCM/mu-law, truncated
+                # fmt, zero channels): strict mode surfaces the parse error,
+                # permissive mode takes the fake below
+                if not self.allow_fake:
+                    raise
         if not self.allow_fake:
             require_codecs()
         d = hashlib.sha256(p or b"").digest()

@@ -108,7 +108,12 @@ def running_totals(
         )
         return s
 
-    return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)
+    # nullable_ints: a null-bearing int64 shard must arrive as pandas Int64,
+    # not float64 — plain to_pandas would defeat the exactness above before
+    # this function ever ran (review r4)
+    return sharded_groups(
+        ds, lambda b: _key_hash(b, key_cols), per_shard, nullable_ints=True
+    )
 
 
 def rolling_window_sum(
@@ -122,10 +127,15 @@ def rolling_window_sum(
 ) -> "rd.Dataset":
     """Per-key rolling sum over the last ``window`` rows in ``order_by``
     order — the distributed ``SUM(value) OVER (PARTITION BY key ORDER BY …
-    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Vectorized pandas
-    ``groupby.rolling`` per shard; exact when ``value_col`` is integer
-    (cents). Same total-order requirement on ``order_by`` as
-    :func:`running_totals`."""
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Same total-order
+    requirement on ``order_by`` as :func:`running_totals`.
+
+    Integer values stay EXACT at any magnitude: the rolling sum is computed
+    as the difference of two nullable-Int64 cumulative sums (``cs[i] −
+    cs[i−window]``) instead of pandas ``groupby.rolling().sum()``, which
+    accumulates in float64 and loses integers beyond 2^53. SQL null
+    semantics preserved: nulls contribute nothing, an all-null window
+    yields NULL (tracked with a parallel non-null-count cumsum)."""
     # output dtype decided from the DECLARED Arrow type, not the shard's
     # pandas dtype: a null-bearing shard floats to float64 and would emit a
     # different block schema than its null-free siblings
@@ -136,23 +146,30 @@ def rolling_window_sum(
         s = s.drop(columns=["shard"]).sort_values(
             key_cols + order_by, kind="mergesort"
         )
-        vals = (
-            s.groupby(key_cols, sort=False, dropna=False)[value_col]
-            .rolling(window, min_periods=1)
-            .sum()
-            .reset_index(drop=True)
-            .to_numpy()
-        )
         if int_out:
-            # SQL SUM OVER: all-null window → NULL. pandas gives NaN there;
-            # pd.array keeps it as NA instead of the INT64_MIN garbage a
-            # blind astype(int64) would produce
-            s[out_col] = pd.array(vals, dtype="Int64")
+            keys = [s[c] for c in key_cols]
+            v = s[value_col].astype("Int64")
+            cs = v.fillna(0).groupby(keys, sort=False, dropna=False).cumsum()
+            lag = cs.groupby(keys, sort=False, dropna=False).shift(window)
+            roll = cs - lag.fillna(0)
+            nn = v.notna().astype("int64")
+            cnt = nn.groupby(keys, sort=False, dropna=False).cumsum()
+            cnt_lag = cnt.groupby(keys, sort=False, dropna=False).shift(window)
+            in_window = (cnt - cnt_lag.fillna(0)) > 0
+            s[out_col] = roll.where(in_window, other=pd.NA).astype("Int64")
         else:
-            s[out_col] = vals
+            s[out_col] = (
+                s.groupby(key_cols, sort=False, dropna=False)[value_col]
+                .rolling(window, min_periods=1)
+                .sum()
+                .reset_index(drop=True)
+                .to_numpy()
+            )
         return s
 
-    return sharded_groups(ds, lambda b: _key_hash(b, key_cols), per_shard)
+    return sharded_groups(
+        ds, lambda b: _key_hash(b, key_cols), per_shard, nullable_ints=True
+    )
 
 
 def stratified_sample(

@@ -1739,6 +1739,17 @@ def sparql_describe(query: str, quads) -> pa.Table:
     if not terms:
         return empty
     subjects = pa.array(sorted(terms), pa.string())
+    # FROM <g> scopes the description itself, not just the WHERE group: a
+    # subject present in several graphs must only report the scoped triples
+    from_g = parsed.from_graph
+
+    def _row_mask(b: pa.Table):
+        m = pc.is_in(b.column("subject"), value_set=subjects)
+        if from_g is not None:
+            m = pc.and_(
+                m, pc.fill_null(pc.equal(b.column("graph"), from_g), False)
+            )
+        return m
 
     if isinstance(quads, str):
         import duckdb
@@ -1758,25 +1769,27 @@ def sparql_describe(query: str, quads) -> pa.Table:
                 for c in _TRIPLE_COLS
             )
             in_list = ", ".join(_sq(s) for s in sorted(terms))
+            gcond = (
+                f" AND graph = {_sq(from_g)}"
+                if from_g is not None and "graph" in have
+                else (" AND FALSE" if from_g is not None else "")
+            )
             sub = con.sql(
-                f"SELECT {cols} FROM quads_raw WHERE subject IN ({in_list})"
+                f"SELECT {cols} FROM quads_raw "
+                f"WHERE subject IN ({in_list}){gcond}"
             ).arrow()
         finally:
             con.close()
     else:
         if isinstance(quads, pa.Table):
             t = _with_optional_columns(quads)
-            sub = t.filter(
-                pc.is_in(t.column("subject"), value_set=subjects)
-            ).select(_TRIPLE_COLS)
+            sub = t.filter(_row_mask(t)).select(_TRIPLE_COLS)
         else:  # ray.data.Dataset — filter runs distributed
             import ray
 
             def keep(batch: pa.Table) -> pa.Table:
                 b = _with_optional_columns(batch)
-                return b.filter(
-                    pc.is_in(b.column("subject"), value_set=subjects)
-                ).select(_TRIPLE_COLS)
+                return b.filter(_row_mask(b)).select(_TRIPLE_COLS)
 
             blocks = [
                 b for b in ray.get(

@@ -280,6 +280,73 @@ def test_running_totals_exact_beyond_2_53(ray_session):
     assert got["run"].tolist() == [big, big + 3, big + 3, big + 8]
 
 
+def test_running_totals_exact_beyond_2_53_odd_value_with_nulls(ray_session):
+    """Review r4: a null-bearing int64 shard used to float through
+    to_pandas BEFORE the Int64 cumsum, silently rounding odd values at
+    2^53+1. The nullable_ints conversion must preserve them exactly."""
+    odd = 2**53 + 1  # not representable in float64 (rounds to 2^53)
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "o": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([odd, None, 2], pa.int64()),
+        }
+    )
+    import ray
+
+    out = running_totals(
+        rd.from_arrow(t), key_cols=["k"], order_by=["o"],
+        value_col="v", out_col="run",
+    )
+    # read back as ARROW: pandas would itself float the null-bearing int64
+    # columns and mask the very exactness under test
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by("o")
+    assert tbl.column("run").to_pylist() == [odd, odd, odd + 2]
+    assert tbl.column("v").to_pylist()[0] == odd  # value column survived too
+
+
+def test_rolling_sum_exact_beyond_2_53_and_null_windows(ray_session):
+    """Rolling sums share the precision class: cumsum-difference on Int64
+    must stay exact beyond 2^53 and keep SQL null semantics (all-null
+    window → NULL, partial windows truncated at partition start)."""
+    from etl_pipeline_rdf_star_ray.pipelines.windows import rolling_window_sum
+
+    odd = 2**53 + 1
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+            "v": pa.array([odd, 2, None, 4, None, None], pa.int64()),
+        }
+    )
+    import ray
+
+    out = rolling_window_sum(
+        rd.from_arrow(t), key_cols=["k"], order_by=["o"],
+        value_col="v", window=2, out_col="roll",
+    )
+    tbl = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by(
+        [("k", "ascending"), ("o", "ascending")]
+    )
+    vals = tbl.column("roll").to_pylist()
+    # k=1: [odd], [odd+2], [2+null→2], [null+4→4]; k=2 all-null windows → NULL
+    assert vals[:4] == [odd, odd + 2, 2, 4]
+    assert vals[4] is None or pd.isna(vals[4])
+    assert vals[5] is None or pd.isna(vals[5])
+    # cross-check against the SQL window oracle
+    con = duckdb.connect()
+    con.register("t", t.to_pandas().assign(v=pd.array(
+        [odd, 2, None, 4, None, None], dtype="Int64")))
+    # Arrow readback + BIGINT cast: DuckDB sums BIGINT into HUGEINT and
+    # fetchdf() would float it — the same precision trap under test
+    want = con.execute(
+        """SELECT CAST(SUM(v) OVER (PARTITION BY k ORDER BY o
+             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll
+           FROM t ORDER BY k, o"""
+    ).arrow().column("roll").to_pylist()
+    assert vals == want
+
+
 def test_hot_key_salting_float_colliding_bigint_keys(ray_session):
     """Two DISTINCT hot int64 keys that collide in float64 (2^53 and
     2^53+1) on a null-bearing key column: the per-hot-key mask must match

@@ -802,3 +802,107 @@ def test_audio_feature_stage_real_and_fake_paths(ray_session):
                 }
             )
         )
+
+
+def test_decode_stage_undecodable_jpeg_falls_back_to_fake(ray_session):
+    """Review r4: a payload with JPEG magic the pure-Python codec cannot
+    decode (progressive SOF2, truncated) must take the deterministic fake,
+    not kill the actor task."""
+    from etl_pipeline_rdf_star_ray.functions import jpeg
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    good = jpeg.encode_jpeg(_gradient_img(8, 8, 1))
+    progressive = bytearray(good)
+    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
+    truncated = good[:40]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1, 2], pa.int64()),
+                "payload": pa.array(
+                    [good, bytes(progressive), truncated], pa.binary()
+                ),
+            }
+        )
+    )
+    got = (
+        mm.decode_media(media, batch_size=4)
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert got["width"][0] == 8  # real path still real
+    import hashlib as hl
+
+    for i, payload in [(1, bytes(progressive)), (2, truncated)]:
+        d = hl.sha256(payload).digest()
+        assert got["width"][i] == 16 + d[0] % 64  # fake path, no crash
+
+
+def test_resize_stage_undecodable_respects_allow_fake():
+    import pytest as _pytest
+
+    from etl_pipeline_rdf_star_ray.functions import jpeg
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    progressive = bytearray(jpeg.encode_jpeg(_gradient_img(8, 8, 1)))
+    progressive[progressive.index(b"\xff\xc0") + 1] = 0xC2
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([bytes(progressive)], pa.binary()),
+        }
+    )
+    out = mm.ResizeStage(4, 4, allow_fake=True)(batch)
+    assert out.column("payload")[0].as_py() == bytes(progressive)  # untouched
+    with _pytest.raises(jpeg.JpegError):
+        mm.ResizeStage(4, 4)(batch)  # strict mode surfaces the parse error
+
+
+def test_audio_stage_compressed_wav_respects_allow_fake():
+    import struct
+
+    import pytest as _pytest
+
+    from etl_pipeline_rdf_star_ray.functions import wav
+    from etl_pipeline_rdf_star_ray.pipelines import multimodal as mm
+
+    adpcm = bytearray(wav.encode_wav(np.zeros(64), 8000))
+    at = adpcm.find(b"fmt ") + 8
+    adpcm[at : at + 2] = struct.pack("<H", 2)  # ADPCM format code
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([bytes(adpcm)], pa.binary()),
+        }
+    )
+    got = mm.AudioFeatureStage(allow_fake=True)(batch)
+    assert got.column("rms")[0].as_py() == 0.0  # fake, not a crash
+    with _pytest.raises(wav.WavError):
+        mm.AudioFeatureStage()(batch)
+
+
+def test_wav_zero_channels_is_wav_error():
+    import struct
+
+    import pytest as _pytest
+
+    from etl_pipeline_rdf_star_ray.functions import wav
+
+    bad = bytearray(wav.encode_wav(np.zeros(16), 8000))
+    at = bad.find(b"fmt ") + 10  # channels field
+    bad[at : at + 2] = struct.pack("<H", 0)
+    with _pytest.raises(wav.WavError, match="channel"):
+        wav.decode_wav(bytes(bad))
+
+
+def test_jpeg_dqt_is_spec_zigzag_annex_k():
+    """Review r4: the DQT payload must be the Annex-K table in ZIGZAG order
+    (T.81 defines DQT that way); spot-check a few known positions."""
+    from etl_pipeline_rdf_star_ray.functions import jpeg
+
+    enc = jpeg.encode_jpeg(_gradient_img(8, 8, 1), quality=50)  # scale = 1.0
+    at = enc.index(b"\xff\xdb") + 5  # skip marker, length, pq/tq byte
+    table = list(enc[at : at + 64])
+    want = jpeg.QUANT_LUMA[jpeg.ZIGZAG].tolist()
+    assert table == want
+    # zigzag index 2 must be natural position (1,0)=12, not (0,2)=10
+    assert table[2] == 12
