@@ -193,3 +193,39 @@ def test_exhaustive_two_pattern_join_shapes():
         ]
         key = lambda d: tuple(d[v] for v in sel_vars)  # noqa: E731
         assert sorted(got, key=key) == sorted(expected, key=key), pats
+
+
+# ---------------------------------------------------------------------------
+# property-path alternation ≡ UNION rewrite (round 4)
+# ---------------------------------------------------------------------------
+
+_triple = st.tuples(
+    st.sampled_from(_SUBJECTS),
+    st.sampled_from(_PREDICATES),
+    st.sampled_from(_OBJECTS),
+)
+
+
+@given(
+    st.lists(_triple, min_size=0, max_size=15),
+    st.lists(st.sampled_from(_PREDICATES), min_size=2, max_size=3, unique=True),
+)
+@settings(max_examples=30, deadline=None)
+def test_alternation_equals_union_rewrite(triples, preds):
+    """`?s p1|p2|… ?o` (compiled as predicate IN-list) must return the same
+    solution multiset as the manual UNION rewrite the parser recommends for
+    unsupported forms — the alternation's semantic contract."""
+    quads = _quads_table(triples)
+    alt = "|".join(f"<{p}>" for p in preds)
+    got = sparql_select(
+        f"SELECT ?s ?o WHERE {{ ?s {alt} ?o }}", quads
+    )
+    union = " UNION ".join(f"{{ ?s <{p}> ?o }}" for p in preds)
+    want = sparql_select(f"SELECT ?s ?o WHERE {{ {union} }}", quads)
+
+    def norm(t: pa.Table) -> list:
+        return sorted(
+            zip(t.column("s").to_pylist(), t.column("o").to_pylist())
+        )
+
+    assert norm(got) == norm(want), (triples, preds)
