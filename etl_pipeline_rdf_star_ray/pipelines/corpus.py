@@ -374,6 +374,109 @@ def top_terms(
     )
 
 
+def tfidf_topk_terms(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Top-k terms per document by TF-IDF (``tf · ln(N/df)``, ties broken
+    by term, scores floored to 6 decimals for oracle parity) — the classic
+    two-exchange MapReduce, each leg riding this repo's own shard plane:
+
+    1. map: vectorized tokenize (``pc.split_pattern_regex`` — same
+       lowercase-alphanumeric class as :func:`top_terms`) → per-batch
+       partial ``(doc, term, tf)`` counts (map-side combine: only distinct
+       pairs leave the batch, not raw tokens);
+    2. exchange on doc hash → exact tf (a document split across input
+       blocks merges here);
+    3. exchange on term hash over the now-unique (doc, term) rows → exact
+       document frequency; the df table is VOCAB-sized (Heaps' law:
+       ~O(sqrt(corpus))), broadcast once via ``ray.put``;
+    4. streaming score pass (``pc.index_in`` lookup, numpy log), then
+       top-k per doc via :func:`windows.rank_within_groups` (no global
+       sort).
+
+    N is the TOTAL document count (including empty/null-text docs), matching
+    the SQL mirror ``COUNT(*) FROM documents``."""
+    from ..functions.hashing import key_hash_column, xxh64_column
+    from .dedup import sharded_groups
+
+    n_docs = docs.count()
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+"
+        )
+        lens = pc.list_value_length(toks).fill_null(0)
+        doc_idx = np.repeat(
+            np.arange(batch.num_rows), lens.to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(toks)
+        tbl = pa.table(
+            {id_col: ids.take(pa.array(doc_idx, pa.int64())), "term": flat}
+        ).filter(pc.not_equal(flat, ""))
+        g = (
+            tbl.to_pandas()
+            .groupby([id_col, "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = docs.map_batches(pairs_partial, batch_format="pyarrow")
+    tf = sharded_groups(
+        pairs,
+        lambda b: key_hash_column(b.column(id_col)),
+        lambda s: s.drop(columns=["shard"])
+        .groupby([id_col, "term"], sort=False)["tf"]
+        .sum()
+        .reset_index(),
+        num_shards=num_shards,
+    ).materialize()  # consumed twice below (df build + score pass)
+    df_tbl = (
+        sharded_groups(
+            tf,
+            lambda b: xxh64_column(b.column("term")),
+            lambda s: s.drop(columns=["shard"])
+            .groupby("term", sort=False)
+            .size()
+            .reset_index(name="df"),
+            num_shards=num_shards,
+        )
+        .to_pandas()
+    )
+    terms = pa.array(df_tbl["term"].to_numpy(), pa.string())
+    idf = np.log(n_docs / df_tbl["df"].to_numpy(dtype=np.float64))
+    ref = ray.put((terms, idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t, i = ray.get(ref)
+        pos = pc.index_in(batch.column("term"), value_set=t)
+        idf_v = i[pos.to_numpy(zero_copy_only=False)]
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+        tfidf = np.floor((tfv * idf_v + 1e-9) * 1e6) / 1e6
+        return batch.append_column("tfidf", pa.array(tfidf, pa.float64()))
+
+    from .windows import rank_within_groups
+
+    ranked = rank_within_groups(
+        tf.map_batches(score, batch_format="pyarrow"),
+        group_cols=[id_col],
+        order_by=["tfidf", "term"],
+        ascending=[False, True],
+        k=k,
+    )
+    return ranked.map_batches(
+        lambda b: b.select([id_col, "term", "tfidf"]), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # conversation flattening (training-data export shape)
 # ---------------------------------------------------------------------------

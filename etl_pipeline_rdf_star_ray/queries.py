@@ -1282,6 +1282,39 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 50
 """
 
 
+def q_text_tfidf(sf_dir: str):
+    """Per-document TF-IDF top-5 terms: two-exchange MapReduce (doc-hash tf,
+    term-hash df) + vocab broadcast + rank_within_groups
+    (pipelines/corpus.tfidf_topk_terms)."""
+    from .pipelines import corpus
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return corpus.tfidf_topk_terms(docs, k=5)
+
+
+ORACLE_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(array_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor((tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents) / df.df)
+                + 1e-9) * 1000000) / 1000000 AS tfidf
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic md5-keyed row sample (reproducible subset, ≈1/8)."""
     from .pipelines import corpus
@@ -1494,11 +1527,12 @@ def build_queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
         "text_decontaminate": q_text_decontaminate,
+        "text_tfidf": q_text_tfidf,
         "similarity_topk": q_similarity_topk,
         "asof_events_orders": q_asof_events_orders,
         "streaming_rollup": q_streaming_rollup,
-        "grouped_quantiles": q_grouped_quantiles,
         # ---------------- end of the 50-entry driver window -----------------
+        "grouped_quantiles": q_grouped_quantiles,
         "sample_hash": q_sample_hash,
         # everything below carried a green CORRECTNESS_r03 driver row (or a
         # declared no-oracle + pytest property oracle) and is unchanged
@@ -1572,6 +1606,7 @@ def build_oracles() -> dict[str, str]:
         "asof_events_orders": ORACLE_ASOF,
         "streaming_rollup": ORACLE_STREAMING_ROLLUP,
         "text_decontaminate": ORACLE_DECONTAMINATE,
+        "text_tfidf": ORACLE_TEXT_TFIDF,
         "text_token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_QUALITY,
         "text_langid": ORACLE_LANGID,

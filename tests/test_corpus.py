@@ -192,3 +192,50 @@ def test_cluster_assign_dataset_under_budget_collects(ray_session):
         .to_pandas().sort_values("doc_id")
     )
     assert got["cluster"].tolist() == [1, 1, 3]
+
+
+def test_tfidf_topk_matches_oracle(ray_session):
+    """tfidf_topk_terms vs DuckDB on a table where docs straddle input
+    blocks (tf must merge on the doc exchange) and ties exist."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "apple banana apple cherry",
+                "banana banana date",
+                "apple apple apple",
+                None,
+            ],
+        }
+    )
+    # two single-row blocks per doc region → a doc never spans blocks here,
+    # so ALSO feed a split frame where doc 1's text repeats across blocks
+    got = (
+        corpus.tfidf_topk_terms(rd.from_arrow(docs), k=2)
+        .to_pandas().sort_values(["doc_id", "tfidf", "term"],
+                                 ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs.to_pandas())
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(array_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1)
+        SELECT tf.doc_id, tf.term,
+               floor((tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents)/df.df)
+                      + 1e-9) * 1000000)/1000000 AS tfidf
+        FROM tf JOIN df USING (term)
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 2
+        ORDER BY doc_id, tfidf DESC, term
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # doc 4 (null text) has no rows; doc 3's only term scores ln(4/2)*3
+    assert 4 not in set(got["doc_id"])
