@@ -455,26 +455,30 @@ def tfidf_topk_terms(
     idf = np.log(n_docs / df_tbl["df"].to_numpy(dtype=np.float64))
     ref = ray.put((terms, idf))
 
-    def score(batch: pa.Table) -> pa.Table:
+    def score_topk(batch: pa.Table) -> pa.Table:
+        # score + per-doc top-k fused into ONE pass: the tf exchange already
+        # colocated each document's rows (sharded_groups emits one block per
+        # doc-hash shard), so no third exchange is needed — each block holds
+        # complete documents by construction
         t, i = ray.get(ref)
         pos = pc.index_in(batch.column("term"), value_set=t)
         idf_v = i[pos.to_numpy(zero_copy_only=False)]
         tfv = batch.column("tf").to_numpy(zero_copy_only=False)
         tfidf = np.floor((tfv * idf_v + 1e-9) * 1e6) / 1e6
-        return batch.append_column("tfidf", pa.array(tfidf, pa.float64()))
+        s = batch.append_column(
+            "tfidf", pa.array(tfidf, pa.float64())
+        ).to_pandas()
+        s = s.sort_values(
+            [id_col, "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rn = s.groupby(id_col, sort=False).cumcount()
+        return pa.Table.from_pandas(
+            s[rn < k][[id_col, "term", "tfidf"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
-    from .windows import rank_within_groups
-
-    ranked = rank_within_groups(
-        tf.map_batches(score, batch_format="pyarrow"),
-        group_cols=[id_col],
-        order_by=["tfidf", "term"],
-        ascending=[False, True],
-        k=k,
-    )
-    return ranked.map_batches(
-        lambda b: b.select([id_col, "term", "tfidf"]), batch_format="pyarrow"
-    )
+    return tf.map_batches(score_topk, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
