@@ -318,6 +318,14 @@ def fuzzy_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _tokenize(col) -> pa.ChunkedArray:
+    """Lowercase alphanumeric tokenization shared by :func:`top_terms` and
+    :func:`tfidf_topk_terms` — one definition so both stay byte-identical to
+    each other and to the DuckDB oracles'
+    ``string_split_regex(lower(text), '[^a-z0-9]+')``."""
+    return pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+
+
 def top_terms(
     docs: "rd.Dataset", *, text_col: str = "text", k: int = 50
 ) -> pa.Table:
@@ -334,9 +342,7 @@ def top_terms(
     shape."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+"
-        )
+        toks = _tokenize(batch.column(text_col))
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)
@@ -381,38 +387,46 @@ def tfidf_topk_terms(
     text_col: str = "text",
     k: int = 5,
     num_shards: int = 64,
+    n_docs: int | None = None,
 ) -> "rd.Dataset":
     """Top-k terms per document by TF-IDF (``tf · ln(N/df)``, ties broken
     by term, scores floored to 6 decimals for oracle parity) — the classic
     two-exchange MapReduce, each leg riding this repo's own shard plane:
 
-    1. map: vectorized tokenize (``pc.split_pattern_regex`` — same
-       lowercase-alphanumeric class as :func:`top_terms`) → per-batch
-       partial ``(doc, term, tf)`` counts (map-side combine: only distinct
-       pairs leave the batch, not raw tokens);
-    2. exchange on doc hash → exact tf (a document split across input
-       blocks merges here);
+    1. map: vectorized tokenize (:func:`_tokenize` — shared with
+       :func:`top_terms`) → per-batch partial ``(doc, term, tf)`` counts
+       via Arrow ``group_by`` (map-side combine: only distinct pairs leave
+       the batch, not raw tokens; null doc ids stay a group, int64 ids
+       never float);
+    2. exchange on doc hash → exact tf (the same doc id appearing in
+       multiple input blocks merges here);
     3. exchange on term hash over the now-unique (doc, term) rows → exact
-       document frequency; the df table is VOCAB-sized (Heaps' law:
+       document frequency (``COUNT(DISTINCT doc_id)`` — null doc ids do
+       NOT count, SQL semantics); the df table is VOCAB-sized (Heaps' law:
        ~O(sqrt(corpus))), broadcast once via ``ray.put``;
-    4. streaming score pass (``pc.index_in`` lookup, numpy log), then
-       top-k per doc via :func:`windows.rank_within_groups` (no global
-       sort).
+    4. fused streaming score + per-doc top-k pass (``pc.index_in`` lookup,
+       numpy log, per-block sort + cumcount filter) — NO third exchange:
+       the tf exchange already colocated each document's rows, so every
+       block holds complete documents by construction.
 
     N is the TOTAL document count (including empty/null-text docs), matching
-    the SQL mirror ``COUNT(*) FROM documents``."""
+    the SQL mirror ``COUNT(*) FROM documents``. Pass ``n_docs`` when the
+    corpus is a computed upstream you'd rather not materialize; by default
+    the input is materialized ONCE so the count and the tokenize pass share
+    a single execution of the upstream plan (spillable object-store blocks,
+    same remedy the embedding near-dup path uses)."""
     from ..functions.hashing import key_hash_column, xxh64_column
     from .dedup import sharded_groups
 
-    n_docs = docs.count()
+    if n_docs is None:
+        docs = docs.materialize()  # count + tokenize share one execution
+        n_docs = docs.count()
 
     def pairs_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+"
-        )
+        toks = _tokenize(batch.column(text_col))
         lens = pc.list_value_length(toks).fill_null(0)
         doc_idx = np.repeat(
             np.arange(batch.num_rows), lens.to_numpy(zero_copy_only=False)
@@ -421,39 +435,59 @@ def tfidf_topk_terms(
         tbl = pa.table(
             {id_col: ids.take(pa.array(doc_idx, pa.int64())), "term": flat}
         ).filter(pc.not_equal(flat, ""))
-        g = (
-            tbl.to_pandas()
-            .groupby([id_col, "term"], sort=False)
-            .size()
-            .reset_index(name="tf")
+        # Arrow group_by: null doc ids form their own group (SQL GROUP BY)
+        # and int64 ids >= 2^53 stay exact — no pandas float round-trip
+        g = tbl.group_by([id_col, "term"], use_threads=False).aggregate(
+            [([], "count_all")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns([id_col, "term", "tf"])
 
     pairs = docs.map_batches(pairs_partial, batch_format="pyarrow")
     tf = sharded_groups(
         pairs,
         lambda b: key_hash_column(b.column(id_col)),
         lambda s: s.drop(columns=["shard"])
-        .groupby([id_col, "term"], sort=False)["tf"]
+        .groupby([id_col, "term"], sort=False, dropna=False)["tf"]
         .sum()
         .reset_index(),
         num_shards=num_shards,
+        nullable_ints=True,  # null-bearing int64 doc ids stay exact
     ).materialize()  # consumed twice below (df build + score pass)
-    df_tbl = (
-        sharded_groups(
-            tf,
-            lambda b: xxh64_column(b.column("term")),
-            lambda s: s.drop(columns=["shard"])
-            .groupby("term", sort=False)
-            .size()
-            .reset_index(name="df"),
-            num_shards=num_shards,
+
+    def term_df(s: pd.DataFrame) -> pd.DataFrame:
+        # df = COUNT(DISTINCT doc_id): (doc, term) rows are unique after the
+        # doc exchange, so df is the count of NON-NULL doc rows per term
+        return (
+            s[id_col]
+            .notna()
+            .groupby(s["term"], sort=False)
+            .sum()
+            .astype("int64")
+            .reset_index(name="df")
         )
-        .to_pandas()
-    )
+
+    df_tbl = sharded_groups(
+        tf,
+        lambda b: xxh64_column(b.column("term")),
+        term_df,
+        num_shards=num_shards,
+        nullable_ints=True,
+    ).to_pandas()
     terms = pa.array(df_tbl["term"].to_numpy(), pa.string())
-    idf = np.log(n_docs / df_tbl["df"].to_numpy(dtype=np.float64))
+    # df=0 (term appears only in null-doc rows) → NULL score, matching SQL's
+    # NULL division-by-zero (ln(N/0) is NULL, ranked last by NULLS LAST)
+    dfv = df_tbl["df"].to_numpy(dtype=np.float64)
+    idf = np.full(dfv.shape, np.nan)
+    nz = dfv > 0
+    idf[nz] = np.log(n_docs / dfv[nz])
     ref = ray.put((terms, idf))
+
+    _INT_DTYPES = {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int8(): pd.Int8Dtype(),
+    }
 
     def score_topk(batch: pa.Table) -> pa.Table:
         # score + per-doc top-k fused into ONE pass: the tf exchange already
@@ -467,13 +501,13 @@ def tfidf_topk_terms(
         tfidf = np.floor((tfv * idf_v + 1e-9) * 1e6) / 1e6
         s = batch.append_column(
             "tfidf", pa.array(tfidf, pa.float64())
-        ).to_pandas()
+        ).to_pandas(types_mapper=_INT_DTYPES.get)  # nullable ints stay exact
         s = s.sort_values(
             [id_col, "tfidf", "term"],
             ascending=[True, False, True],
             kind="mergesort",
         )
-        rn = s.groupby(id_col, sort=False).cumcount()
+        rn = s.groupby(id_col, sort=False, dropna=False).cumcount()
         return pa.Table.from_pandas(
             s[rn < k][[id_col, "term", "tfidf"]], preserve_index=False
         ).replace_schema_metadata(None)

@@ -1284,7 +1284,8 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 50
 
 def q_text_tfidf(sf_dir: str):
     """Per-document TF-IDF top-5 terms: two-exchange MapReduce (doc-hash tf,
-    term-hash df) + vocab broadcast + rank_within_groups
+    term-hash df) + vocab broadcast + fused per-block score/top-k — the tf
+    exchange already colocates each document's rows, so no third exchange
     (pipelines/corpus.tfidf_topk_terms)."""
     from .pipelines import corpus
 

@@ -194,48 +194,78 @@ def test_cluster_assign_dataset_under_budget_collects(ray_session):
     assert got["cluster"].tolist() == [1, 1, 3]
 
 
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(array_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
+df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1)
+SELECT tf.doc_id, tf.term,
+       floor((tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents)/df.df)
+              + 1e-9) * 1000000)/1000000 AS tfidf
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 2
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+def _tfidf_rows(tbl: pa.Table) -> list[tuple]:
+    return sorted(
+        zip(*(tbl.column(c).to_pylist() for c in ("doc_id", "term", "tfidf"))),
+        key=lambda r: (
+            r[0] is None,
+            r[0] if r[0] is not None else 0,
+            r[2] is None,  # NULL score sorts last (SQL NULLS LAST)
+            -(r[2] if r[2] is not None else 0.0),
+            r[1],
+        ),
+    )
+
+
 def test_tfidf_topk_matches_oracle(ray_session):
-    """tfidf_topk_terms vs DuckDB on a table where docs straddle input
-    blocks (tf must merge on the doc exchange) and ties exist."""
-    docs = pa.table(
+    """tfidf_topk_terms vs DuckDB on a table where the same doc id appears
+    in MULTIPLE input blocks (tf must merge on the doc exchange), plus ties,
+    a null-text doc, a null doc_id (its rows survive as the SQL NULL
+    partition but do NOT count toward df), and a doc_id >= 2^53 (must not
+    float anywhere). Arrow-native oracle compare so the test itself cannot
+    re-float what it verifies."""
+    b1 = pa.table(
         {
-            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "doc_id": pa.array([1, 2, 4], pa.int64()),
+            "text": ["apple banana apple cherry", "banana banana date", None],
+        }
+    )
+    b2 = pa.table(
+        {
+            "doc_id": pa.array([1, 3, None, 2**53 + 1], pa.int64()),
             "text": [
-                "apple banana apple cherry",
-                "banana banana date",
+                "apple date",  # doc 1 straddles blocks: tf(apple)=3 total
                 "apple apple apple",
-                None,
+                "cherry date nullonly",
+                "banana",
             ],
         }
     )
-    # two single-row blocks per doc region → a doc never spans blocks here,
-    # so ALSO feed a split frame where doc 1's text repeats across blocks
-    got = (
-        corpus.tfidf_topk_terms(rd.from_arrow(docs), k=2)
-        .to_pandas().sort_values(["doc_id", "tfidf", "term"],
-                                 ascending=[True, False, True])
-        .reset_index(drop=True)
+    ds = rd.from_arrow([b1, b2])
+    assert ds.num_blocks() == 2
+    got = corpus.tfidf_topk_terms(ds, k=2)
+    # collect as Arrow: Dataset.to_pandas() would float the null-bearing
+    # int64 doc_id and mask exactly the regression this test pins
+    import ray as _ray
+
+    got_tbl = pa.concat_tables(
+        t for t in _ray.get(got.to_arrow_refs()) if t.num_rows
     )
+    assert got_tbl.schema.field("doc_id").type == pa.int64()
     import duckdb
 
     con = duckdb.connect()
-    con.register("documents", docs.to_pandas())
-    want = con.execute(
-        """
-        WITH toks AS (
-          SELECT doc_id, unnest(array_filter(
-            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
-          FROM documents),
-        tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1,2),
-        df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1)
-        SELECT tf.doc_id, tf.term,
-               floor((tf.tf * ln((SELECT COUNT(*)::DOUBLE FROM documents)/df.df)
-                      + 1e-9) * 1000000)/1000000 AS tfidf
-        FROM tf JOIN df USING (term)
-        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 2
-        ORDER BY doc_id, tfidf DESC, term
-        """
-    ).fetchdf()
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
-    # doc 4 (null text) has no rows; doc 3's only term scores ln(4/2)*3
-    assert 4 not in set(got["doc_id"])
+    con.register("documents", pa.concat_tables([b1, b2]))
+    want_tbl = con.execute(_TFIDF_ORACLE).arrow()
+    assert _tfidf_rows(got_tbl) == _tfidf_rows(want_tbl)
+    ids = set(got_tbl.column("doc_id").to_pylist())
+    assert 4 not in ids  # null text → no rows
+    assert None in ids and 2**53 + 1 in ids
+    # doc 1's merged tf(apple)=3 must rank apple in its top-2
+    assert ("apple" in {r[1] for r in _tfidf_rows(got_tbl) if r[0] == 1})
