@@ -168,3 +168,21 @@ def key_hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
             out[np.asarray(arr.is_null())] = 0
         return out
     return hash64_column(arr.cast(pa.string()))
+
+
+def md5_hex_column(
+    arr: pa.ChunkedArray | pa.Array, *, prefix: int | None = None
+) -> pa.ChunkedArray:
+    """``md5(CAST(x AS VARCHAR))`` hex digest per value, optionally truncated
+    to the first ``prefix`` chars — the shared deterministic order/sample key
+    behind ``sample_hash`` / ``stratified_sample`` / ``dataset_split`` /
+    ``mixture_sample``. Vectorized through DuckDB's C++ md5 kernel over the
+    zero-copy Arrow column (no per-row hashlib loop); byte-identical to the
+    SQL oracles' ``md5(CAST(x AS VARCHAR))``."""
+    import duckdb
+
+    ids_tbl = pa.table({"id": arr})  # noqa: F841 (DuckDB replacement scan)
+    expr = "md5(CAST(id AS VARCHAR))"
+    if prefix is not None:
+        expr = f"substr({expr}, 1, {int(prefix)})"
+    return duckdb.execute(f"SELECT {expr} AS h FROM ids_tbl").arrow().column("h")

@@ -104,9 +104,24 @@ def sharded_groups(
             g = t.to_pandas(types_mapper=mapper)
         else:
             g = t.to_pandas()
-        return pa.Table.from_pandas(
+        out = pa.Table.from_pandas(
             shard_fn(g), preserve_index=False
         ).replace_schema_metadata(None)
+        # a column that is ALL null within this shard round-trips through
+        # pandas as Arrow `null` type — restore the shard input's declared
+        # type so every output block carries the same schema (Ray's schema
+        # unification otherwise warns and downstream Arrow kernels that
+        # dispatch on type, e.g. is_in/index_in, reject the block)
+        in_types = {f.name: f.type for f in t.schema}
+        for i, f in enumerate(out.schema):
+            want = in_types.get(f.name)
+            if (
+                pa.types.is_null(f.type)
+                and want is not None
+                and not pa.types.is_null(want)
+            ):
+                out = out.set_column(i, f.name, out.column(i).cast(want))
+        return out
 
     return exchange_apply(
         ds.map_batches(add_pid, batch_format="pyarrow"), run

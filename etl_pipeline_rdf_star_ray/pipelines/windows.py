@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd  # noqa: F401  (type refs in docstrings)
 
@@ -60,7 +61,12 @@ def rank_within_groups(
         s = s.assign(**{rank_col: grp.cumcount() + 1})
         return s[s[rank_col] <= k]
 
-    return sharded_groups(ds, lambda b: _key_hash(b, group_cols), per_shard)
+    # nullable_ints: a null-bearing int64 column (e.g. ids) must come back
+    # int64 in EVERY shard's output block, not float64 in the shards that
+    # happen to contain the nulls (schema drift + 2^53 identity corruption)
+    return sharded_groups(
+        ds, lambda b: _key_hash(b, group_cols), per_shard, nullable_ints=True
+    )
 
 
 def running_totals(
@@ -191,19 +197,8 @@ def stratified_sample(
     :func:`rank_within_groups` on (md5, id) — the rank column and order key
     are dropped from the output."""
 
-    def add_md5(batch: pa.Table) -> pa.Table:
-        import duckdb
-
-        ids_tbl = pa.table({"id": batch.column(id_col)})  # noqa: F841 (scan)
-        h = (
-            duckdb.execute("SELECT md5(CAST(id AS VARCHAR)) AS h FROM ids_tbl")
-            .arrow()
-            .column("h")
-        )
-        return batch.append_column("__h", h).replace_schema_metadata(None)
-
     ranked = rank_within_groups(
-        ds.map_batches(add_md5, batch_format="pyarrow"),
+        ds.map_batches(_add_md5(id_col), batch_format="pyarrow"),
         group_cols=stratum_cols,
         order_by=["__h", id_col],
         ascending=[True, True],
@@ -215,3 +210,75 @@ def stratified_sample(
         lambda b: b.drop_columns(drop).replace_schema_metadata(None),
         batch_format="pyarrow",
     )
+
+
+def _add_md5(id_col: str):
+    """Stage attaching the deterministic md5 order key ``__h`` (shared by
+    the stratified / mixture samplers)."""
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hex_column
+
+        h = md5_hex_column(batch.column(id_col))
+        return batch.append_column("__h", h).replace_schema_metadata(None)
+
+    return add_md5
+
+
+def mixture_sample(
+    ds: "rd.Dataset",
+    *,
+    source_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+) -> "rd.Dataset":
+    """Deterministic weighted mixture: for each source, keep exactly its
+    quota of rows (the ones whose ``md5(str(id))`` sorts lowest — same
+    reproducibility contract as :func:`stratified_sample`, but with a
+    PER-SOURCE quota, i.e. a training-data mixture recipe: ``{'web': 1e6,
+    'code': 3e5, …}``). Sources absent from ``quotas`` (including NULL)
+    are dropped. Short sources keep all their rows.
+
+    SQL mirror: ``QUALIFY row_number() OVER (PARTITION BY source ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= CASE source WHEN … THEN … ELSE 0 END``.
+
+    Scale shape: one streaming md5 stage, then ONE exchange on the source
+    hash (``rank_within_groups`` with the max quota), then a vectorized
+    per-batch quota filter against the broadcast quota map — no global
+    sort, no driver materialization."""
+    if not quotas:
+        raise ValueError("quotas must name at least one source")
+    if any(q < 0 for q in quotas.values()):
+        raise ValueError("quotas must be non-negative")
+    ranked = rank_within_groups(
+        ds.map_batches(_add_md5(id_col), batch_format="pyarrow"),
+        group_cols=[source_col],
+        order_by=["__h", id_col],
+        ascending=[True, True],
+        k=max(quotas.values()),
+        rank_col="__rn",
+    )
+    keys = pa.array(list(quotas), pa.string())
+    vals = np.fromiter(quotas.values(), dtype=np.int64)
+
+    def quota_filter(batch: pa.Table) -> pa.Table:
+        src = batch.column(source_col)
+        if pa.types.is_null(src.type):
+            # an all-NULL source shard comes back from the exchange with a
+            # null-typed column (pandas round-trip) — restore the declared
+            # type so this block's schema agrees with its siblings; all its
+            # rows drop anyway (NULL source → quota 0)
+            i = batch.schema.get_field_index(source_col)
+            batch = batch.set_column(
+                i, source_col, src.cast(keys.type)
+            )
+        pos = pc.index_in(batch.column(source_col), value_set=keys)
+        q = np.where(
+            np.asarray(pos.is_null()),
+            0,  # unknown / NULL source → quota 0 (SQL CASE ELSE 0)
+            vals[pos.fill_null(0).to_numpy(zero_copy_only=False)],
+        )
+        rn = batch.column("__rn").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(rn <= q)).drop_columns(["__h", "__rn"])
+
+    return ranked.map_batches(quota_filter, batch_format="pyarrow")

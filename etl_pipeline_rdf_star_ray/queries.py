@@ -1316,6 +1316,103 @@ ORDER BY doc_id, tfidf DESC, term
 """
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (md5-keyspace bounds —
+    pipelines/corpus.dataset_split; pure streaming, no shuffle)."""
+    from .pipelines import corpus
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return corpus.dataset_split(docs)
+
+
+def _oracle_dataset_split() -> str:
+    # the CASE chain is generated from the SAME split_bounds_hex the
+    # operator uses — the two sides cannot drift
+    from .pipelines.corpus import split_sql_case
+
+    return (
+        f"SELECT doc_id, {split_sql_case(id_expr='doc_id')} AS split "
+        "FROM documents"
+    )
+
+
+def q_mixture_sample(sf_dir: str):
+    """Weighted training-data mixture: per-language quota of the
+    deterministically-lowest md5 ids (pipelines/windows.mixture_sample —
+    one exchange + broadcast quota filter, no global sort)."""
+    from .pipelines.windows import mixture_sample
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs,
+        source_col="lang",
+        id_col="doc_id",
+        quotas={"en": 80, "de": 40, "fr": 25},
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = """
+SELECT * FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+  <= CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 WHEN 'fr' THEN 25
+     ELSE 0 END
+"""
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Sliding token-window chunking, size 32 stride 24 (context-window
+    prep — pipelines/corpus.chunk_tokens; pure streaming flat-map)."""
+    from .pipelines import corpus
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return corpus.chunk_tokens(docs, size=32, stride=24)
+
+
+ORACLE_CHUNK_TOKENS = r"""
+WITH t AS (
+  SELECT doc_id,
+         array_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+n AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS start FROM n)
+SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, least(start + 32, n)),
+                       ' ') AS text,
+       least(32, n - start)::BIGINT AS n_tokens
+FROM s
+"""
+
+
+def q_orders_sorted(sf_dir: str):
+    """Global total-order sort of orders by (totalprice, orderkey) — the
+    range-partitioned distributed sort (stages/sortrange.sort_global):
+    sample → range splits → exchange → per-shard Arrow sort; output blocks
+    ascend in range order, no Ray sort shuffle. Global ordering itself is
+    pinned by tests/test_sortrange.py (the driver compare is
+    order-insensitive)."""
+    from .stages.sortrange import sort_global
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return sort_global(
+        orders, keys=["o_totalprice", "o_orderkey"], num_shards=16
+    )
+
+
+ORACLE_ORDERS_SORTED = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice, o_orderkey
+"""
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic md5-keyed row sample (reproducible subset, ≈1/8)."""
     from .pipelines import corpus
@@ -1467,11 +1564,11 @@ def build_queries() -> dict:
     prefix of the registry (the grading driver verifies the FIRST 50
     entries): the window below leads with the surfaces that have never had
     an external correctness row (round-3 joins/windows/scoring/multimodal,
-    round-4 DESCRIBE/alternation), then the §2-core set (CDC, lift,
-    annotation, SPARQL), then one representative per operator family. The
-    15 entries past the window all carried green driver rows in
-    CORRECTNESS_r03 (or are declared no-oracle approximate ops with pytest
-    property oracles) and are unchanged since."""
+    round-4 DESCRIBE/alternation/split/mixture/chunking/global-sort/TF-IDF),
+    then the §2-core set (CDC, lift, annotation, SPARQL), then one
+    representative per operator family. Every entry past the window carried
+    a green driver row in CORRECTNESS_r03 (or is a declared no-oracle
+    approximate op with a pytest property oracle) and is unchanged since."""
     return {
         # --- never-driver-checked first: round-3 joins/windows/scoring/
         # multimodal (r3 verdict item 1) + round-4 additions ---------------
@@ -1491,6 +1588,11 @@ def build_queries() -> dict:
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "sparql_describe_nations": q_sparql_describe_nations,
         "sparql_alt_labels": q_sparql_alt_labels,
+        "dataset_split": q_dataset_split,
+        "mixture_sample": q_mixture_sample,
+        "chunk_tokens": q_chunk_tokens,
+        "orders_sorted": q_orders_sorted,
+        "text_tfidf": q_text_tfidf,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1527,12 +1629,11 @@ def build_queries() -> dict:
         ),
         "dedup_clusters": q_dedup_clusters,
         "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
+        # ---------------- end of the 50-entry driver window -----------------
         "text_decontaminate": q_text_decontaminate,
-        "text_tfidf": q_text_tfidf,
         "similarity_topk": q_similarity_topk,
         "asof_events_orders": q_asof_events_orders,
         "streaming_rollup": q_streaming_rollup,
-        # ---------------- end of the 50-entry driver window -----------------
         "grouped_quantiles": q_grouped_quantiles,
         "sample_hash": q_sample_hash,
         # everything below carried a green CORRECTNESS_r03 driver row (or a
@@ -1582,6 +1683,10 @@ def build_oracles() -> dict[str, str]:
         "sparql_construct_regions": ORACLE_SPARQL_CONSTRUCT,
         "sparql_describe_nations": ORACLE_SPARQL_DESCRIBE,
         "sparql_alt_labels": ORACLE_SPARQL_ALT,
+        "dataset_split": _oracle_dataset_split(),
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+        "chunk_tokens": ORACLE_CHUNK_TOKENS,
+        "orders_sorted": ORACLE_ORDERS_SORTED,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

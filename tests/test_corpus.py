@@ -7,6 +7,7 @@ import sys
 
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 sys.path.insert(0, "/root/repo/tests")
@@ -269,3 +270,105 @@ def test_tfidf_topk_matches_oracle(ray_session):
     assert None in ids and 2**53 + 1 in ids
     # doc 1's merged tf(apple)=3 must rank apple in its top-2
     assert ("apple" in {r[1] for r in _tfidf_rows(got_tbl) if r[0] == 1})
+
+
+def test_dataset_split_deterministic_and_matches_case_oracle(ray_session):
+    """Split assignment matches the generated SQL CASE chain (same bounds),
+    keeps null ids NULL, never floats 2^53 ids, and is idempotent."""
+    import duckdb
+    import ray as _ray
+
+    docs = pa.table(
+        {"doc_id": pa.array([*range(200), None, 2**53 + 1], pa.int64())}
+    )
+    ds = rd.from_arrow([docs.slice(0, 100), docs.slice(100)])
+    got = pa.concat_tables(
+        t for t in _ray.get(
+            corpus.dataset_split(ds).to_arrow_refs()
+        ) if t.num_rows
+    )
+    assert got.schema.field("doc_id").type == pa.int64()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    case = corpus.split_sql_case(id_expr="doc_id")
+    want = con.execute(
+        f"SELECT doc_id, {case} AS split FROM documents"
+    ).arrow()
+    key = lambda r: (r[0] is None, r[0] if r[0] is not None else 0)
+    gr = sorted(zip(got.column("doc_id").to_pylist(),
+                    got.column("split").to_pylist()), key=key)
+    wr = sorted(zip(want.column("doc_id").to_pylist(),
+                    want.column("split").to_pylist()), key=key)
+    assert gr == wr
+    # null id -> NULL split; big id intact; all three labels appear
+    assert dict(gr)[None] is None
+    assert 2**53 + 1 in dict(gr)
+    assert {"train", "val", "test"} <= {s for _, s in gr if s}
+    # rerun is byte-identical (no RNG anywhere)
+    again = pa.concat_tables(
+        t for t in _ray.get(
+            corpus.dataset_split(ds).to_arrow_refs()
+        ) if t.num_rows
+    )
+    assert sorted(zip(again.column("doc_id").to_pylist(),
+                      again.column("split").to_pylist()), key=key) == gr
+
+
+def test_dataset_split_validates_args():
+    with pytest.raises(ValueError):
+        corpus.split_bounds_hex([("only", 1.0)])
+    with pytest.raises(ValueError):
+        corpus.split_bounds_hex([("a", 0.5), ("b", -0.1)])
+    with pytest.raises(ValueError):
+        corpus.split_bounds_hex([("a", 0.5), ("a", 0.5)])
+
+
+def test_chunk_tokens_matches_sql_oracle(ray_session):
+    """Sliding windows vs the DuckDB range/list_slice oracle: overlap,
+    short final chunks, whitespace runs, empty/whitespace-only/null text,
+    multi-block input."""
+    import duckdb
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "a b  c d e f g",  # 7 tokens, double space
+                " lead trail ",    # leading/trailing whitespace
+                "",                # empty -> no chunks
+                None,              # null -> no chunks
+                "one",             # single token
+            ],
+        }
+    )
+    ds = rd.from_arrow([docs.slice(0, 2), docs.slice(2)])
+    got = corpus.chunk_tokens(ds, size=3, stride=2).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(r"""
+        WITH t AS (
+          SELECT doc_id, array_filter(
+            string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n
+              FROM t WHERE len(toks) > 0),
+        s AS (SELECT doc_id, toks, n, unnest(range(0, n, 2)) AS start FROM n)
+        SELECT doc_id, (start // 2)::BIGINT AS chunk_id,
+               array_to_string(
+                 list_slice(toks, start + 1, least(start + 3, n)), ' ') AS text,
+               least(3, n - start)::BIGINT AS n_tokens
+        FROM s ORDER BY doc_id, chunk_id
+    """).fetchdf()
+    got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no chunk exceeds size; every doc's chunk_ids are 0..nc-1
+    assert (got["n_tokens"] <= 3).all()
+    assert set(got["doc_id"]) == {1, 2, 5}
+
+
+def test_chunk_tokens_validates_args(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        corpus.chunk_tokens(ds, size=0)
+    with pytest.raises(ValueError):
+        corpus.chunk_tokens(ds, stride=0)

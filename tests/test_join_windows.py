@@ -401,3 +401,46 @@ def test_stratified_sample_quota_and_determinism(ray_session):
              FROM docs) WHERE rn <= 3"""
     ).fetchdf()
     pd.testing.assert_frame_equal(_norm(a), _norm(want), check_dtype=False)
+
+
+def test_mixture_sample_quotas_null_and_short_sources(ray_session):
+    """Per-source quotas: capped sources keep exactly their quota of
+    lowest-md5 ids, short sources keep everything, sources outside the
+    recipe (and NULL) are dropped — matching the QUALIFY CASE oracle."""
+    from etl_pipeline_rdf_star_ray.pipelines.windows import mixture_sample
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "lang": pa.array(
+                ["en"] * 12 + ["de"] * 2 + ["zz"] * 10 + [None] * 6,
+                pa.string(),
+            ),
+        }
+    )
+    got = mixture_sample(
+        rd.from_arrow(docs), source_col="lang", id_col="doc_id",
+        quotas={"en": 5, "de": 7},
+    ).to_pandas()
+    assert got.groupby("lang").size().to_dict() == {"en": 5, "de": 2}
+    con = duckdb.connect()
+    con.register("docs", docs.to_pandas())
+    want = con.execute(
+        """SELECT * FROM docs QUALIFY row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           <= CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 7 ELSE 0 END"""
+    ).fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_mixture_sample_validates_quotas(ray_session):
+    from etl_pipeline_rdf_star_ray.pipelines.windows import mixture_sample
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1], "lang": ["en"]}))
+    with pytest.raises(ValueError):
+        mixture_sample(ds, source_col="lang", id_col="doc_id", quotas={})
+    with pytest.raises(ValueError):
+        mixture_sample(
+            ds, source_col="lang", id_col="doc_id", quotas={"en": -1}
+        )
