@@ -62,6 +62,10 @@ def hash64_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     else:
         dict_arr = arr.dictionary_encode()
     uniq = _hash_unique_strings(dict_arr.dictionary)
+    if len(uniq) == 0:
+        # ALL-null column: the dictionary is empty, so the scatter below
+        # would index into a zero-length array — every null hashes to 0
+        return np.zeros(len(dict_arr), dtype=_U64)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False)
     # null indices come back as the sentinel from to_numpy with nulls → mask
     if dict_arr.indices.null_count:

@@ -92,14 +92,17 @@ def sort_global(
         idx = pa.array(np.arange(0, n, step, dtype=np.int64))
         return pa.table({key0: col.take(idx)})
 
-    samp = pa.concat_tables(
-        ray.get(
+    samp_tabs = [
+        t
+        for t in ray.get(
             ds.map_batches(sample, batch_format="pyarrow").to_arrow_refs()
         )
-    ).column(key0)
-    if len(samp) == 0:
+        if t.num_rows  # Ray collapses empty output blocks to zero columns
+    ]
+    if not samp_tabs:
         splits_vals: np.ndarray | None = None
     else:
+        samp = pa.concat_tables(samp_tabs).column(key0)
         vals, _ = _key_numpy(samp.combine_chunks())
         vals = np.sort(vals, kind="mergesort")  # copy: Arrow views are RO
         pos = (np.arange(1, num_shards) * len(vals)) // num_shards

@@ -42,3 +42,16 @@ def test_combine64_depends_on_both():
     assert combine64(a, np.array([1, 2], dtype=np.uint64))[0] != combine64(
         a, np.array([1, 2], dtype=np.uint64)
     )[1]
+
+
+def test_hash64_column_all_null():
+    """An ALL-null string column has an EMPTY dictionary — the code scatter
+    must not index into it (found by the round-4 mixture fuzz: an all-null
+    source column reaching the shard-key hash crashed the exchange)."""
+    import numpy as np
+
+    out = hash64_column(pa.array([None, None], pa.string()))
+    assert list(out) == [0, 0]
+    assert out.dtype == np.uint64
+    # empty column too
+    assert list(hash64_column(pa.array([], pa.string()))) == []
