@@ -43,7 +43,7 @@ numerically / temporally when the data is, and lexicographically otherwise.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import pyarrow as pa
 
@@ -116,6 +116,37 @@ class AltPred:
     rewrite hint."""
 
     iris: tuple  # tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class SeqClosure:
+    """Grouped sequence path under a closure modifier — ``(p1/p2)+``,
+    ``(^p)*``, ``(p/^q)?`` — with every element a constant IRI, optionally
+    inverse. Compiles to a composite-edge CTE (one join chain per step)
+    plus the same recursive-closure skeleton as :class:`PathPred`."""
+
+    steps: tuple  # tuple[(iri, inverse: bool), ...]
+    mod: str  # '+' | '*' | '?'
+
+
+@dataclass(frozen=True)
+class AltClosure:
+    """Grouped alternation under a closure modifier — ``(p1|p2)+`` — of
+    plain constant forward IRIs. Edge relation is a single
+    ``predicate IN (…)`` scan; closure as for :class:`PathPred`."""
+
+    iris: tuple
+    mod: str
+
+
+@dataclass(frozen=True)
+class NegPred:
+    """Negated property set ``!p`` / ``!(p1|p2)`` of plain constant
+    FORWARD IRIs in predicate position — compiles to ``predicate NOT IN
+    (…)`` over the scoped quads. Inverse members (``!(^p)``) and modifiers
+    on the set are rejected at parse."""
+
+    iris: tuple
 
 
 @dataclass(frozen=True)
@@ -502,7 +533,9 @@ class _Parser:
         seen: set[str] = set()
         sel: list[tuple[object, str | None]] = []
         for t in template:
-            if isinstance(t.p, (PathPred, AltPred)):
+            if isinstance(
+                t.p, (PathPred, AltPred, SeqClosure, AltClosure, NegPred)
+            ):
                 raise SparqlError(
                     "property-path terms are not allowed in a "
                     "CONSTRUCT template"
@@ -722,13 +755,22 @@ class _Parser:
         return Exists(g, negated)
 
     def parse_path_step(self) -> tuple[object, bool]:
-        """One property-path step: ``[^] term [+*?]`` → (term-or-PathPred,
-        inverse). Modifiers require a constant predicate (the closure CTE
-        is keyed by it)."""
+        """One property-path step: ``[^] (term | !negset | (group)) [+*?]``
+        → (term-or-path-node, inverse). Modifiers require constant IRI
+        predicates (the closure CTE is keyed by them)."""
         inv = False
         if self.peek().kind == "op" and self.peek().text == "^":
             self.next()
             inv = True
+        if self.peek().kind == "op" and self.peek().text == "!":
+            if inv:
+                raise SparqlError(
+                    "inverse of a negated property set (^!…) is not "
+                    "supported"
+                )
+            return self.parse_neg_set(), False
+        if self.peek().kind == "punct" and self.peek().text == "(":
+            return self.parse_path_group(inv), False
         t = self.parse_term(as_predicate=True)
         nxt = self.peek()
         if nxt.kind == "op" and nxt.text in {"+", "*", "?"}:
@@ -740,6 +782,122 @@ class _Parser:
                 )
             t = PathPred(t.value, nxt.text)
         return t, inv
+
+    def parse_neg_set(self) -> NegPred:
+        """``!iri`` or ``!(iri1|iri2|…)`` — plain forward IRIs only;
+        inverse members and modifiers on the set are rejected."""
+        self.next()  # consume '!'
+        iris: list[str] = []
+        if self.peek().kind == "punct" and self.peek().text == "(":
+            self.next()
+            while True:
+                if self.peek().kind == "op" and self.peek().text == "^":
+                    raise SparqlError(
+                        "inverse members in a negated property set "
+                        "(!(^p…)) are not supported: rewrite as a FILTER "
+                        "over ?p (docs/SPARQL_TRANSLATION.md)"
+                    )
+                t = self.parse_term(as_predicate=True)
+                if not isinstance(t, Iri):
+                    raise SparqlError(
+                        "negated property sets need constant IRI members"
+                    )
+                iris.append(t.value)
+                nxt = self.next()
+                if nxt.kind == "op" and nxt.text == "|":
+                    continue
+                if nxt.kind == "punct" and nxt.text == ")":
+                    break
+                raise SparqlError(
+                    f"expected '|' or ')' in negated property set at "
+                    f"{nxt.pos}"
+                )
+        else:
+            t = self.parse_term(as_predicate=True)
+            if not isinstance(t, Iri):
+                raise SparqlError(
+                    "negated property sets need constant IRI members"
+                )
+            iris.append(t.value)
+        nxt = self.peek()
+        if nxt.kind == "op" and nxt.text in {"+", "*", "?"}:
+            raise SparqlError(
+                "closure modifiers over a negated property set "
+                f"(!(…){nxt.text}) are not supported"
+            )
+        return NegPred(tuple(iris))
+
+    def parse_path_group(self, outer_inv: bool) -> object:
+        """``( step ('/' step)* )`` or ``( iri ('|' iri)* )`` followed by
+        an optional closure modifier. Elements must be constant IRIs
+        (optionally ``^``-inversed in sequences); nested modifiers or
+        mixed '/'+'|' inside one group are rejected with the UNION-rewrite
+        hint."""
+        self.next()  # consume '('
+        steps: list[tuple[str, bool]] = []
+        sep: str | None = None
+        while True:
+            inv = False
+            if self.peek().kind == "op" and self.peek().text == "^":
+                self.next()
+                inv = True
+            t = self.parse_term(as_predicate=True)
+            if not isinstance(t, Iri):
+                raise SparqlError(
+                    "grouped property paths need constant IRI elements"
+                )
+            if self.peek().kind == "op" and self.peek().text in {"+", "*", "?"}:
+                raise SparqlError(
+                    "a modifier INSIDE a path group (e.g. (p+/q)) is not "
+                    "supported: rewrite with an intermediate variable "
+                    "(docs/SPARQL_TRANSLATION.md §property-paths)"
+                )
+            steps.append((t.value, inv))
+            nxt = self.next()
+            if nxt.kind == "punct" and nxt.text == ")":
+                break
+            if nxt.kind == "op" and nxt.text in {"/", "|"}:
+                if sep is None:
+                    sep = nxt.text
+                elif sep != nxt.text:
+                    raise SparqlError(
+                        "mixing '/' and '|' inside one path group is not "
+                        "supported: group explicitly or use the UNION "
+                        "rewrite (docs/SPARQL_TRANSLATION.md)"
+                    )
+                continue
+            raise SparqlError(
+                f"expected '/', '|' or ')' in path group at {nxt.pos}"
+            )
+        mod = None
+        if self.peek().kind == "op" and self.peek().text in {"+", "*", "?"}:
+            mod = self.next().text
+        if sep == "|":
+            if any(inv for _, inv in steps):
+                raise SparqlError(
+                    "inverse elements in a path alternation are not "
+                    "supported: use the UNION rewrite"
+                )
+            iris = tuple(v for v, _ in steps)
+            if outer_inv:
+                raise SparqlError(
+                    "^(alternation) is not supported: distribute the "
+                    "inverse over the branches"
+                )
+            if mod is None:
+                return AltPred(iris)
+            return AltClosure(iris, mod)
+        # sequence (or single element)
+        if outer_inv:
+            # ^(a/b) == (^b/^a); for closures the inverse of the closure is
+            # the closure of the inverse
+            steps = [(v, not inv) for v, inv in reversed(steps)]
+        if mod is None:
+            if len(steps) == 1 and not steps[0][1]:
+                return Iri(steps[0][0])  # (p) is just p
+            # (a/b) / (^p): composite edges, no closure — mod '' below
+            return SeqClosure(tuple(steps), "")
+        return SeqClosure(tuple(steps), mod)
 
     _ALT_REWRITE = (
         "property-path alternation '|' is only supported between plain "
@@ -983,31 +1141,78 @@ class _Compiler:
             return pat.graph.value
         return self.q.from_graph
 
-    def _path_rel(self, p: PathPred, graph: str | None) -> str:
-        """CTE relation (columns ``s``, ``o``) for one modified path step:
-        ``p+`` = recursive transitive closure over quads with that
-        predicate; ``p*`` adds the zero-length pairs (every subject/object
-        term of the scoped graph paired with itself, per SPARQL zero-length
-        path semantics); ``p?`` = direct edges ∪ zero-length. DuckDB's
-        WITH RECURSIVE evaluates the closure as a semi-naive fixpoint —
-        the same join-until-no-new-rows the distributed
+    @staticmethod
+    def _seq_edges_sql(steps: tuple, graph: str | None) -> str:
+        """Composite-edge relation for a grouped sequence: one quads scan
+        per step joined end-to-start, inverse steps traversed
+        object→subject."""
+        frm, conds = [], []
+        first_start = prev_end = None
+        for i, (iri, inv) in enumerate(steps):
+            al = f"e{i}"
+            frm.append(f"quads {al}")
+            start = f"{al}.object_value" if inv else f"{al}.subject"
+            end = f"{al}.subject" if inv else f"{al}.object_value"
+            conds.append(f"{al}.predicate = {_sq(iri)}")
+            if graph is not None:
+                conds.append(f"{al}.graph = {_sq(graph)}")
+            if prev_end is not None:
+                conds.append(f"{start} = {prev_end}")
+            if first_start is None:
+                first_start = start
+            prev_end = end
+        return (
+            f"SELECT {first_start} AS s, {prev_end} AS o FROM "
+            + ", ".join(frm)
+            + " WHERE "
+            + " AND ".join(conds)
+        )
+
+    def _path_rel(self, p, graph: str | None) -> str:
+        """CTE relation (columns ``s``, ``o``) for one modified path node
+        (:class:`PathPred`, :class:`SeqClosure`, :class:`AltClosure`):
+        ``…+`` = recursive transitive closure over the node's edge
+        relation (single-predicate scan / IN-list scan / composite join
+        chain); ``…*`` adds the zero-length pairs (every subject/object
+        term of the scoped graph paired with itself, per SPARQL
+        zero-length path semantics); ``…?`` = edges ∪ zero-length; a
+        bare group ``(a/b)`` is the edge relation itself. DuckDB's WITH
+        RECURSIVE evaluates closures as a semi-naive fixpoint — the same
+        join-until-no-new-rows the distributed
         ``corpus.cc_label_propagation`` runs for edge sets beyond one
         node."""
-        key = (p.iri, p.mod, graph)
+        key = (p, graph)
         if key in self._cte_keys:
             return self._cte_keys[key]
         g = f" AND graph = {_sq(graph)}" if graph is not None else ""
         gw = f" WHERE graph = {_sq(graph)}" if graph is not None else ""
-        pred = _sq(p.iri)
+        if isinstance(p, PathPred):
+            edges = (
+                f"SELECT subject AS s, object_value AS o FROM quads "
+                f"WHERE predicate = {_sq(p.iri)}{g}"
+            )
+        elif isinstance(p, AltClosure):
+            inlist = ", ".join(_sq(v) for v in p.iris)
+            edges = (
+                f"SELECT subject AS s, object_value AS o FROM quads "
+                f"WHERE predicate IN ({inlist}){g}"
+            )
+        else:  # SeqClosure
+            edges = self._seq_edges_sql(p.steps, graph)
         name = f"path{len(self.ctes)}"
-        edges = (
-            f"SELECT subject AS s, object_value AS o FROM quads "
-            f"WHERE predicate = {pred}{g}"
-        )
+        if p.mod == "":  # bare group: the edge relation IS the path
+            self.ctes.append((name, edges))
+            self._cte_keys[key] = name
+            return name
         if p.mod in ("+", "*"):
+            # the recursion joins against the edge relation, emitted as its
+            # own (non-recursive) CTE so composite edges recurse identically
+            # to single-predicate ones
+            ename = f"{name}_e"
+            self.ctes.append((ename, edges))
             closure = (
-                f"{edges} UNION SELECT r.s, q.object_value FROM {name} r "
-                f"JOIN quads q ON q.subject = r.o AND q.predicate = {pred}{g}"
+                f"SELECT s, o FROM {ename} UNION SELECT r.s, e.o "
+                f"FROM {name} r JOIN {ename} e ON e.s = r.o"
             )
         else:  # '?' — no recursion
             closure = edges
@@ -1017,10 +1222,12 @@ class _Compiler:
                 f"quads{gw} UNION SELECT object_value FROM quads{gw})"
             )
             if p.mod == "*":
-                base = f"path{len(self.ctes)}_c"
+                base = f"{name}_c"
                 closure = closure.replace(f"{name} r", f"{base} r")
                 self.ctes.append((base, closure))
-                self._cte_keys[(p.iri, "+", graph)] = base
+                # share the inner closure with a later bare `…+` of the
+                # same node
+                self._cte_keys[(replace(p, mod="+"), graph)] = base
                 closure = f"SELECT s, o FROM {base} UNION {zero}"
             else:
                 closure = f"{closure} UNION {zero}"
@@ -1031,7 +1238,9 @@ class _Compiler:
     def add_pattern(self, pat: TriplePattern) -> None:
         a = f"q{next(self.counter)}"
         if isinstance(pat.s, Quoted):
-            if isinstance(pat.p, (PathPred, AltPred)):
+            if isinstance(
+                pat.p, (PathPred, AltPred, SeqClosure, AltClosure, NegPred)
+            ):
                 raise SparqlError(
                     "property paths are not supported on annotation "
                     "predicates"
@@ -1045,7 +1254,7 @@ class _Compiler:
             # annotation values are stored as bare strings (no iri/literal
             # marker — ANNOTATION_STRUCT) → term kind resolved by value shape
             self._bind_term(pat.o, f"{a}.ann_value", "annvalue")
-        elif isinstance(pat.p, PathPred):
+        elif isinstance(pat.p, (PathPred, SeqClosure, AltClosure)):
             rel = self._path_rel(pat.p, self._path_graph(pat))
             self.aliases.append((rel, a))
             self._bind_term(pat.s, f"{a}.s", "iri")
@@ -1057,6 +1266,12 @@ class _Compiler:
             if isinstance(pat.p, AltPred):
                 self.conds.append(
                     f"{a}.predicate IN ("
+                    + ", ".join(_sq(v) for v in pat.p.iris)
+                    + ")"
+                )
+            elif isinstance(pat.p, NegPred):
+                self.conds.append(
+                    f"{a}.predicate NOT IN ("
                     + ", ".join(_sq(v) for v in pat.p.iris)
                     + ")"
                 )
@@ -1546,11 +1761,14 @@ def pattern_masks(q: SelectQuery) -> list[list[tuple[str, str]]] | None:
     no constant terms makes pruning unsound-to-skip → returns None."""
     masks: list[list[tuple[str, str]]] = []
     for pat in _all_patterns(q):
-        if isinstance(pat.p, PathPred):
+        if isinstance(pat.p, (PathPred, SeqClosure, AltClosure)):
             # a closure traverses intermediate rows no pattern constant
             # mentions (and * / ? zero-length paths range over every term
             # of the graph) — pruning would be unsound
             return None
+        # NegPred contributes no predicate constant (NOT IN is not a
+        # (col, value) mask) — the pattern's other constants still prune,
+        # and a constant-free negated pattern falls through to `not conj`
         terms = (
             (("subject", pat.s.s), ("predicate", pat.s.p),
              ("object_value", pat.s.o))

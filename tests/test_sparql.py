@@ -1118,3 +1118,168 @@ def test_describe_rejected_forms():
         parse_sparql("DESCRIBE WHERE { ?s ?p ?o }")
     with pytest.raises(SparqlError, match="binding them"):
         parse_sparql("DESCRIBE ?d")
+
+
+# ---------------------------------------------------------------------------
+# grouped path closures + negated property sets (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _group_quads() -> pa.Table:
+    # p-chain a->b->c->d, q-chain a->x->y, one stray r edge d->e
+    return pa.table(
+        {
+            "subject": ["a", "b", "c", "a", "x", "d"],
+            "predicate": ["p", "p", "p", "q", "q", "r"],
+            "object_value": ["b", "c", "d", "x", "y", "e"],
+        }
+    )
+
+
+def test_grouped_sequence_closure():
+    # composite edges of (p/p): (a,c), (b,d); closure from a stops at c
+    t = sparql_select(
+        "SELECT ?y WHERE { <a> (<p>/<p>)+ ?y } ORDER BY ?y", _group_quads()
+    )
+    assert t.column("y").to_pylist() == ["c"]
+    # '*' adds the zero-length pair; '?' likewise but without recursion
+    t = sparql_select(
+        "SELECT ?y WHERE { <a> (<p>/<p>)* ?y } ORDER BY ?y", _group_quads()
+    )
+    assert t.column("y").to_pylist() == ["a", "c"]
+    t = sparql_select(
+        "SELECT ?y WHERE { <a> (<p>/<p>)? ?y } ORDER BY ?y", _group_quads()
+    )
+    assert t.column("y").to_pylist() == ["a", "c"]
+
+
+def test_grouped_sequence_bare_and_inverse():
+    # a bare group is just the composite-edge relation
+    t = sparql_select("SELECT ?y WHERE { <a> (<p>/<p>) ?y }", _group_quads())
+    assert t.column("y").to_pylist() == ["c"]
+    # inverse steps traverse object->subject: b -p-> c, then ^p from c: b
+    t = sparql_select("SELECT ?y WHERE { <b> (<p>/^<p>) ?y }", _group_quads())
+    assert t.column("y").to_pylist() == ["b"]
+    # ^(a/b) == (^b/^a): ?x ^(p/p) <a> means <a> (p/p) ?x
+    t = sparql_select("SELECT ?x WHERE { ?x ^(<p>/<p>) <a> }", _group_quads())
+    assert t.column("x").to_pylist() == ["c"]
+    # closure over pure-inverse steps walks the chain backwards
+    t = sparql_select(
+        "SELECT ?x WHERE { ?x (^<p>)+ <a> } ORDER BY ?x", _group_quads()
+    )
+    assert t.column("x").to_pylist() == ["b", "c", "d"]
+
+
+def test_grouped_alternation_closure():
+    # (p|q)+ from a reaches both chains transitively
+    t = sparql_select(
+        "SELECT ?y WHERE { <a> (<p>|<q>)+ ?y } ORDER BY ?y", _group_quads()
+    )
+    assert t.column("y").to_pylist() == ["b", "c", "d", "x", "y"]
+    t = sparql_select(
+        "SELECT ?y WHERE { <a> (<p>|<q>)* ?y } ORDER BY ?y", _group_quads()
+    )
+    assert t.column("y").to_pylist() == ["a", "b", "c", "d", "x", "y"]
+
+
+def test_closure_cte_shared_between_star_and_plus():
+    """`(p/p)*` registers its inner closure so a sibling `(p/p)+` of the
+    SAME node reuses the CTE — results must still differ by the
+    zero-length pairs."""
+    t = sparql_select(
+        "SELECT ?y ?z WHERE { <a> (<p>/<p>)* ?y . <a> (<p>/<p>)+ ?z } "
+        "ORDER BY ?y ?z",
+        _group_quads(),
+    )
+    assert list(
+        zip(t.column("y").to_pylist(), t.column("z").to_pylist())
+    ) == [("a", "c"), ("c", "c")]
+
+
+def test_negated_property_set():
+    t = sparql_select(
+        "SELECT ?s ?o WHERE { ?s !<p> ?o } ORDER BY ?s ?o", _group_quads()
+    )
+    assert list(
+        zip(t.column("s").to_pylist(), t.column("o").to_pylist())
+    ) == [("a", "x"), ("d", "e"), ("x", "y")]
+    t = sparql_select(
+        "SELECT ?s ?o WHERE { ?s !(<p>|<q>) ?o }", _group_quads()
+    )
+    assert t.column("s").to_pylist() == ["d"]
+    assert t.column("o").to_pylist() == ["e"]
+
+
+def test_negated_set_pruning_keeps_other_constants():
+    """NegPred contributes no (col, value) mask but the pattern's other
+    constants still prune; a constant-free negated pattern disables
+    pruning entirely."""
+    q = parse_sparql("SELECT ?o WHERE { <a> !<p> ?o }")
+    assert pattern_masks(q) == [[("subject", "a")]]
+    assert pattern_masks(parse_sparql("SELECT ?s ?o WHERE { ?s !<p> ?o }")) is None
+    # grouped closures (and bare groups, conservatively) disable pruning
+    assert pattern_masks(parse_sparql("SELECT ?y WHERE { <a> (<p>/<q>)+ ?y }")) is None
+    assert pattern_masks(parse_sparql("SELECT ?y WHERE { <a> (<p>/<q>) ?y }")) is None
+
+
+def test_grouped_path_rejections_are_explicit():
+    for bad, frag in [
+        ("SELECT ?x WHERE { ?x ^!<p> ?y }", "inverse of a negated"),
+        ("SELECT ?x WHERE { ?x !(^<p>) ?y }", "inverse members"),
+        ("SELECT ?x WHERE { ?x !(<p>)+ ?y }", "closure modifiers over"),
+        ("SELECT ?x WHERE { ?x !?p ?y }", "constant IRI members"),
+        ("SELECT ?x WHERE { ?x (<p>+/<q>) ?y }", "INSIDE a path group"),
+        ("SELECT ?x WHERE { ?x (<p>/<q>|<r>) ?y }", "mixing '/' and '|'"),
+        ("SELECT ?x WHERE { ?x ^(<p>|<q>) ?y }", "distribute the inverse"),
+        ("SELECT ?x WHERE { ?x (^<p>|<q>) ?y }", "inverse elements"),
+        ("SELECT ?x WHERE { ?x (?p/<q>) ?y }", "constant IRI elements"),
+    ]:
+        with pytest.raises(SparqlError, match=frag):
+            compile_sparql(bad)
+    # grouped/negated forms stay off annotation predicates and CONSTRUCT
+    with pytest.raises(SparqlError, match="annotation"):
+        compile_sparql("SELECT ?v WHERE { << ?s <p> ?o >> (<p>/<q>)+ ?v }")
+    with pytest.raises(SparqlError, match="CONSTRUCT template"):
+        compile_sparql("CONSTRUCT { ?s !<p> ?o } WHERE { ?s <q> ?o }")
+
+
+def test_grouped_closure_matches_duckdb_oracle():
+    """Random DAG: (p/q)+ results equal a hand-written DuckDB recursive
+    CTE over the same composite edges."""
+    import duckdb
+    import random
+
+    rng = random.Random(41)
+    n = 40
+    rows = {"subject": [], "predicate": [], "object_value": []}
+    for _ in range(160):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a == b:
+            continue
+        rows["subject"].append(f"n{min(a, b)}")
+        rows["predicate"].append(rng.choice(["p", "q", "r"]))
+        rows["object_value"].append(f"n{max(a, b)}")
+    quads = pa.table(rows)
+
+    got = sparql_select(
+        "SELECT ?x ?y WHERE { ?x (<p>/<q>)+ ?y } ORDER BY ?x ?y", quads
+    )
+    con = duckdb.connect()
+    con.register("quads", quads)
+    want = con.execute(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT e0.subject AS s, e1.object_value AS o
+            FROM quads e0, quads e1
+            WHERE e0.predicate = 'p' AND e1.predicate = 'q'
+              AND e1.subject = e0.object_value
+        ), cl AS (
+            SELECT s, o FROM edges
+            UNION
+            SELECT r.s, e.o FROM cl r JOIN edges e ON e.s = r.o
+        )
+        SELECT DISTINCT s AS x, o AS y FROM cl ORDER BY x, y
+        """
+    ).arrow()
+    assert got.column("x").to_pylist() == want.column("x").to_pylist()
+    assert got.column("y").to_pylist() == want.column("y").to_pylist()
