@@ -1390,6 +1390,100 @@ FROM s
 """
 
 
+def q_training_pairs(sf_dir: str):
+    """SFT pair assembly over the upserted transcript state: per assistant
+    turn, the previous-3-turn ``role: text`` context (exactly SQL's
+    ``string_agg OVER (... ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)``)
+    and the turn's text as response — pipelines/training.training_pairs
+    (one conv-hash exchange + k vectorized grouped shifts per shard)."""
+    from .pipelines import training
+
+    return training.training_pairs(_upserted_state(sf_dir), k=3)
+
+
+ORACLE_TRAINING_PAIRS = f"""{_CDC_PREFIX},
+lines AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(role, '') || ': ' || coalesce(text, '') AS line
+  FROM state
+), ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(line, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+  FROM lines
+)
+SELECT conv_id, turn_idx, context, text AS response
+FROM ctx WHERE role = 'assistant'
+"""
+
+
+#: shared by both pack oracles: global exclusive token prefix per doc
+_PACK_SPAN_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+          ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n
+  FROM documents
+  WHERE coalesce(CASE WHEN trim(text) = '' THEN 0
+          ELSE len(string_split_regex(trim(text), '\s+')) END, 0) > 0),
+span AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM tok)
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Context-window packing, split mode, capacity 96: documents ordered
+    by doc_id straddle exactly-full 96-token bins — the distributed ordered
+    prefix sum (pipelines/training.pack_sequences: range-partition by id,
+    driver scan over num_shards scalars, one exchange)."""
+    from .pipelines import training
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return training.pack_sequences(docs, capacity=96, mode="split")
+
+
+ORACLE_PACK_SEQUENCES = (
+    _PACK_SPAN_SQL
+    + """
+, ex AS (
+  SELECT doc_id, n, s,
+         unnest(range(s // 96, (s + n - 1) // 96 + 1)) AS pack_id
+  FROM span)
+SELECT doc_id, pack_id::BIGINT AS pack_id,
+       greatest(0, pack_id * 96 - s)::BIGINT AS tok_lo,
+       least(n, (pack_id + 1) * 96 - s)::BIGINT AS tok_hi
+FROM ex
+"""
+)
+
+
+def q_pack_whole_docs(sf_dir: str):
+    """Cumulative binning, whole-doc mode, capacity 96: each document's bin
+    is its global starting-token offset over capacity — docs never split,
+    order-stable and shard-count-invariant (pipelines/training.pack_
+    sequences mode='whole')."""
+    from .pipelines import training
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return training.pack_sequences(docs, capacity=96, mode="whole")
+
+
+ORACLE_PACK_WHOLE = (
+    _PACK_SPAN_SQL
+    + """
+SELECT doc_id, (s // 96)::BIGINT AS pack_id, n AS n_tokens FROM span
+"""
+)
+
+
 def q_orders_sorted(sf_dir: str):
     """Global total-order sort of orders by (totalprice, orderkey) — the
     range-partitioned distributed sort (stages/sortrange.sort_global):
@@ -1593,6 +1687,9 @@ def build_queries() -> dict:
         "chunk_tokens": q_chunk_tokens,
         "orders_sorted": q_orders_sorted,
         "text_tfidf": q_text_tfidf,
+        "training_pairs": q_training_pairs,
+        "pack_sequences": q_pack_sequences,
+        "pack_whole_docs": q_pack_whole_docs,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1624,12 +1721,14 @@ def build_queries() -> dict:
         "dedup_exact": lambda sf: dedup.dedup_exact(
             read_parquet_clean(f"{sf}/documents.parquet")
         ),
+        # ---------------- end of the 50-entry driver window -----------------
+        # everything below carried a green CORRECTNESS_r03 driver row (or is
+        # a declared no-oracle approximate op with a pytest property oracle)
         "dedup_embedding": lambda sf: dedup.embedding_neardup(
             read_parquet_clean(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
         "dedup_clusters": q_dedup_clusters,
         "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
-        # ---------------- end of the 50-entry driver window -----------------
         "text_decontaminate": q_text_decontaminate,
         "similarity_topk": q_similarity_topk,
         "asof_events_orders": q_asof_events_orders,
@@ -1687,6 +1786,9 @@ def build_oracles() -> dict[str, str]:
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "chunk_tokens": ORACLE_CHUNK_TOKENS,
         "orders_sorted": ORACLE_ORDERS_SORTED,
+        "training_pairs": ORACLE_TRAINING_PAIRS,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "pack_whole_docs": ORACLE_PACK_WHOLE,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

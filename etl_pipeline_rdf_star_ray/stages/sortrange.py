@@ -67,21 +67,24 @@ def _key_numpy(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return vals, null
 
 
-def sort_global(
+def range_tag(
     ds: "rd.Dataset",
+    key0: str,
     *,
-    keys: list[str],
     num_shards: int = 64,
     samples_per_block: int = 64,
 ) -> "rd.Dataset":
-    """Totally ordered dataset (ascending on ``keys``, NULLS LAST): output
-    blocks ascend in range order and each block is internally sorted, so
-    iterating blocks in order yields the global ``ORDER BY keys``."""
-    from .exchange import exchange_apply
+    """Steps 1–3 of the range sort as a reusable primitive: sample ``key0``,
+    reduce the sample to split points on the driver, and return the dataset
+    tagged with a ``partition_id`` column where shard ids ASCEND with the
+    key (NULLS LAST on the top shard) and each batch is pre-sorted by pid
+    (the exchange's zero-copy ``presorted`` contract). Consumers that need
+    a key-ordered contiguous-range layout without a full sort — the ordered
+    prefix scan (``pipelines/training.pack_sequences``), range-partitioned
+    writes — share this instead of re-deriving splits.
 
-    if not keys:
-        raise ValueError("need at least one sort key")
-    key0 = keys[0]
+    Note: sampling executes ``ds`` once and tagging executes it again —
+    pass a (cheap or materialized) slim dataset."""
 
     def sample(batch: pa.Table) -> pa.Table:
         col = batch.column(key0).drop_null()
@@ -122,7 +125,27 @@ def sort_global(
         out = batch.append_column("partition_id", pa.array(pid))
         return out.take(pa.array(order)).replace_schema_metadata(None)
 
-    tagged = ds.map_batches(add_pid, batch_format="pyarrow")
+    return ds.map_batches(add_pid, batch_format="pyarrow")
+
+
+def sort_global(
+    ds: "rd.Dataset",
+    *,
+    keys: list[str],
+    num_shards: int = 64,
+    samples_per_block: int = 64,
+) -> "rd.Dataset":
+    """Totally ordered dataset (ascending on ``keys``, NULLS LAST): output
+    blocks ascend in range order and each block is internally sorted, so
+    iterating blocks in order yields the global ``ORDER BY keys``."""
+    from .exchange import exchange_apply
+
+    if not keys:
+        raise ValueError("need at least one sort key")
+
+    tagged = range_tag(
+        ds, keys[0], num_shards=num_shards, samples_per_block=samples_per_block
+    )
 
     def shard_sort(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["partition_id"])
