@@ -267,3 +267,141 @@ def normalize_text(
     x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
     x = pc.utf8_trim_whitespace(x)
     return batch.append_column(out_col, x)
+
+
+#: (name, RE2 pattern, replacement) applied IN ORDER — counts for a category
+#: are taken on the text as it stands before that category's replacement, so
+#: the SQL mirror is the same chain of nested regexp_replace/regexp_extract_all
+#: (both engines are RE2: identical match semantics, greediness, word
+#: boundaries). Order matters: emails first (their digits must not feed the
+#: phone pattern), then dotted quads, then phone-shaped digit runs.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\-\s]{6,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    batch: pa.Table, *, text_col: str = "text", out_col: str | None = None
+) -> pa.Table:
+    """Redact emails, dotted-quad IPs and phone-shaped digit runs with
+    typed placeholder tokens, appending per-category match counts.
+
+    SQL mirror (DuckDB, same RE2 patterns ``p_email p_ip p_phone``)::
+
+        WITH s1 AS (SELECT *, len(regexp_extract_all(text, p_email)) n_email,
+                    regexp_replace(text, p_email, '<EMAIL>', 'g') t1 FROM t),
+        s2 AS (SELECT *, len(regexp_extract_all(t1, p_ip)) n_ip,
+               regexp_replace(t1, p_ip, '<IP>', 'g') t2 FROM s1),
+        s3 AS (SELECT *, len(regexp_extract_all(t2, p_phone)) n_phone,
+               regexp_replace(t2, p_phone, '<PHONE>', 'g') t3 FROM s2) ...
+
+    NULL text stays NULL with NULL counts (regexp over NULL is NULL in
+    both engines). A per-batch ``map_batches`` stage — no state, no
+    shuffle, streams at any scale."""
+    out = out_col or text_col
+    t = batch.column(text_col)
+    if pa.types.is_null(t.type):
+        t = t.cast(pa.string())
+    counts: dict[str, pa.Array] = {}
+    for name, pat, repl in PII_RULES:
+        counts[f"n_{name}"] = pattern_count(t, pat)
+        t = pc.replace_substring_regex(t, pat, replacement=repl)
+    if out in batch.column_names:
+        batch = batch.set_column(
+            batch.column_names.index(out), out, t
+        )
+    else:
+        batch = batch.append_column(out, t)
+    for c, arr in counts.items():
+        batch = batch.append_column(c, arr)
+    return batch.replace_schema_metadata(None)
+
+
+def repetition_features(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition metrics per document: word totals/distincts,
+    the most-frequent word's share of all words, and the duplicate-line
+    fraction. Words are the non-empty whitespace splits (the engine-wide
+    token definition, :func:`token_count`); lines split on ``\\n``.
+
+    Output: ``(id, n_words, n_distinct_words, top_word_frac, n_lines,
+    dup_line_frac)``; ratios are floored at 4 decimals (:func:`floor_k`)
+    like every float the oracle compares. NULL text → zero-word,
+    zero-line document. Per-batch and stateless — the explode/groupby
+    runs in C on the batch's own rows only.
+
+    SQL mirror: unnest words → ``GROUP BY doc, word`` → per-doc
+    ``sum/count/max``; lines via ``len(string_split(text, chr(10)))`` vs
+    ``len(list_distinct(...))``."""
+    import pandas as pd
+
+    text = batch.column(text_col)
+    if pa.types.is_null(text.type):
+        text = text.cast(pa.string())
+    nrows = batch.num_rows
+    filled = text.fill_null("")
+
+    toks = pc.split_pattern_regex(filled, r"\s+")
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_of = np.repeat(np.arange(nrows), lens)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    n_words = np.zeros(nrows, dtype=np.int64)
+    n_distinct = np.zeros(nrows, dtype=np.int64)
+    top_c = np.zeros(nrows, dtype=np.int64)
+    if keep.any():
+        wdf = pd.DataFrame(
+            {"row": row_of[keep], "word": flat.filter(pa.array(keep))}
+        )
+        per = wdf.groupby(["row", "word"], sort=False).size()
+        agg = per.groupby(level=0).agg(["sum", "count", "max"])
+        idx = agg.index.to_numpy()
+        n_words[idx] = agg["sum"].to_numpy()
+        n_distinct[idx] = agg["count"].to_numpy()
+        top_c[idx] = agg["max"].to_numpy()
+
+    lines = pc.split_pattern(filled, "\n")
+    n_lines = pc.list_value_length(lines).fill_null(0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    null_mask = np.asarray(text.is_null())
+    n_lines[null_mask] = 0  # SQL: NULL text has no lines
+    lflat = pc.list_flatten(lines)
+    if isinstance(lflat, pa.ChunkedArray):
+        lflat = lflat.combine_chunks()
+    lrow = np.repeat(np.arange(nrows), np.asarray(
+        pc.list_value_length(lines).fill_null(0)
+    ))
+    n_distinct_lines = np.zeros(nrows, dtype=np.int64)
+    if len(lrow):
+        ldf = pd.DataFrame({"row": lrow, "line": lflat})
+        ld = ldf.groupby("row", sort=False)["line"].nunique()
+        n_distinct_lines[ld.index.to_numpy()] = ld.to_numpy()
+    n_distinct_lines[null_mask] = 0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        twf = np.where(
+            n_words > 0, top_c / np.maximum(n_words, 1) * 10000.0, 0.0
+        )
+        dlf = np.where(
+            n_lines > 0,
+            (n_lines - n_distinct_lines) / np.maximum(n_lines, 1) * 10000.0,
+            0.0,
+        )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "top_word_frac": pa.array(np.floor(twf) / 10000.0),
+            "n_lines": pa.array(n_lines),
+            "dup_line_frac": pa.array(np.floor(dlf) / 10000.0),
+        }
+    )

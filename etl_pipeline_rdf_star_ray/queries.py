@@ -1484,6 +1484,98 @@ SELECT doc_id, (s // 96)::BIGINT AS pack_id, n AS n_tokens FROM span
 )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (functions/text.pii_scrub): the documents corpus is
+    deterministically salted with doc_id-derived emails / dotted quads /
+    phone runs (synthetic text carries none, and the oracle must prove the
+    REPLACEMENT, not a no-op), then scrubbed with the shared RE2 rule
+    chain. Streaming per-batch map — no state, no shuffle."""
+    from .functions.text import pii_scrub
+
+    def salt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False)
+        sid = pc.cast(ids, pa.string())
+        parts = [
+            pc.cast(batch.column("text"), pa.string()),
+            pa.array(np.full(len(idn), " u", dtype=object), pa.string()),
+            sid,
+            pa.array(np.full(len(idn), "@ex.org ip 10.", dtype=object)),
+            pa.array((idn % 256).astype("U"), pa.string()),
+            pa.array(np.full(len(idn), ".0.7 tel +1 555 02", dtype=object)),
+            pa.array((idn % 10).astype("U"), pa.string()),
+            pa.array(np.full(len(idn), "9", dtype=object), pa.string()),
+        ]
+        derived = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": ids, "text": derived})
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(salt, batch_format="pyarrow").map_batches(
+        pii_scrub, batch_format="pyarrow"
+    )
+
+
+def _oracle_pii() -> str:
+    from .functions.text import PII_RULES
+
+    p = {n: pat for n, pat, _ in PII_RULES}
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' u' || doc_id || '@ex.org ip 10.' || (doc_id % 256)
+              || '.0.7 tel +1 555 02' || (doc_id % 10) || '9' AS t0
+  FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{p["email"]}'))::BIGINT AS n_email,
+       regexp_replace(t0, '{p["email"]}', '<EMAIL>', 'g') AS t1 FROM salted),
+s2 AS (SELECT *, len(regexp_extract_all(t1, '{p["ip"]}'))::BIGINT AS n_ip,
+       regexp_replace(t1, '{p["ip"]}', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, len(regexp_extract_all(t2, '{p["phone"]}'))::BIGINT AS n_phone,
+       regexp_replace(t2, '{p["phone"]}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT doc_id, t3 AS text, n_email, n_ip, n_phone FROM s3
+"""
+
+
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition metrics per document (functions/text.
+    repetition_features): word totals/distincts, top-word share,
+    duplicate-line fraction — one stateless vectorized batch pass."""
+    from .functions.text import repetition_features
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_features, batch_format="pyarrow")
+
+
+ORACLE_TEXT_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(array_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '')) AS word
+  FROM documents),
+wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+wa AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+              count(*)::BIGINT AS n_distinct_words, max(c)::BIGINT AS top_c
+       FROM wc GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(n_words, 0) AS n_words,
+  coalesce(n_distinct_words, 0) AS n_distinct_words,
+  CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+       ELSE floor(top_c::DOUBLE / n_words * 10000) / 10000 END
+    AS top_word_frac,
+  CASE WHEN d.text IS NULL THEN 0
+       ELSE len(string_split(d.text, chr(10))) END::BIGINT AS n_lines,
+  CASE WHEN d.text IS NULL OR len(string_split(d.text, chr(10))) = 0 THEN 0
+       ELSE floor((len(string_split(d.text, chr(10)))
+                   - len(list_distinct(string_split(d.text, chr(10)))))::DOUBLE
+                  / len(string_split(d.text, chr(10))) * 10000) / 10000 END
+    AS dup_line_frac
+FROM documents d LEFT JOIN wa USING (doc_id)
+"""
+
+
 def q_orders_sorted(sf_dir: str):
     """Global total-order sort of orders by (totalprice, orderkey) — the
     range-partitioned distributed sort (stages/sortrange.sort_global):
@@ -1690,6 +1782,8 @@ def build_queries() -> dict:
         "training_pairs": q_training_pairs,
         "pack_sequences": q_pack_sequences,
         "pack_whole_docs": q_pack_whole_docs,
+        "pii_scrub": q_pii_scrub,
+        "text_repetition": q_text_repetition,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1717,13 +1811,13 @@ def build_queries() -> dict:
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "user_sessions": lambda sf: analytics.user_sessions(sf),
         "event_sessions": lambda sf: analytics.event_sessions(sf),
+        # ---------------- end of the 50-entry driver window -----------------
+        # everything below carried a green CORRECTNESS_r03 driver row (or is
+        # a declared no-oracle approximate op with a pytest property oracle)
         "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
         "dedup_exact": lambda sf: dedup.dedup_exact(
             read_parquet_clean(f"{sf}/documents.parquet")
         ),
-        # ---------------- end of the 50-entry driver window -----------------
-        # everything below carried a green CORRECTNESS_r03 driver row (or is
-        # a declared no-oracle approximate op with a pytest property oracle)
         "dedup_embedding": lambda sf: dedup.embedding_neardup(
             read_parquet_clean(f"{sf}/embeddings.parquet"), threshold=0.35
         ),
@@ -1789,6 +1883,8 @@ def build_oracles() -> dict[str, str]:
         "training_pairs": ORACLE_TRAINING_PAIRS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "pack_whole_docs": ORACLE_PACK_WHOLE,
+        "pii_scrub": _oracle_pii(),
+        "text_repetition": ORACLE_TEXT_REPETITION,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

@@ -906,3 +906,123 @@ def test_jpeg_dqt_is_spec_zigzag_annex_k():
     assert table == want
     # zigzag index 2 must be natural position (1,0)=12, not (0,2)=10
     assert table[2] == 12
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + repetition features (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle_sql() -> str:
+    from etl_pipeline_rdf_star_ray.functions.text import PII_RULES
+
+    p = {n: pat for n, pat, _ in PII_RULES}
+    return f"""
+WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{p["email"]}'))::BIGINT n_email,
+            regexp_replace(text, '{p["email"]}', '<EMAIL>', 'g') t1 FROM t),
+s2 AS (SELECT *, len(regexp_extract_all(t1, '{p["ip"]}'))::BIGINT n_ip,
+       regexp_replace(t1, '{p["ip"]}', '<IP>', 'g') t2 FROM s1),
+s3 AS (SELECT *, len(regexp_extract_all(t2, '{p["phone"]}'))::BIGINT n_phone,
+       regexp_replace(t2, '{p["phone"]}', '<PHONE>', 'g') t3 FROM s2)
+SELECT doc_id, t3 AS text, n_email, n_ip, n_phone FROM s3 ORDER BY doc_id
+"""
+
+
+def test_pii_scrub_matches_duckdb_and_redacts():
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.functions.text import pii_scrub
+
+    rng = np.random.default_rng(21)
+    words = ["alpha", "beta", "10.1", "a@b", "555", "+49"]
+    texts = []
+    for i in range(400):
+        parts = list(rng.choice(words, rng.integers(0, 12)))
+        if i % 4 == 0:
+            parts.append(f"user.{i}+x@ex-ample.org")
+        if i % 5 == 0:
+            parts.append(f"192.168.{i % 256}.{(i * 7) % 256}")
+        if i % 6 == 0:
+            parts.append(f"+1 (555) {i:04d}-99")
+        texts.append(
+            " ".join(parts) if i % 9 else (None if i % 2 else "")
+        )
+    df = pd.DataFrame(
+        {"doc_id": np.arange(400, dtype=np.int64), "text": texts}
+    )
+    got = (
+        pii_scrub(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()[["doc_id", "text", "n_email", "n_ip", "n_phone"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(_pii_oracle_sql()).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    hits = want[["n_email", "n_ip", "n_phone"]].sum()
+    assert (hits > 0).all()  # every category actually fired
+    scrubbed = " ".join(x for x in got.text.dropna())
+    assert "@ex-ample.org" not in scrubbed and "192.168." not in scrubbed
+    # NULL text stays NULL with NULL counts (SQL regexp-over-NULL semantics)
+    nulls = got[df.sort_values("doc_id").text.isna().to_numpy()]
+    assert nulls.text.isna().all() and nulls.n_email.isna().all()
+
+
+def test_repetition_features_matches_duckdb():
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.functions.text import repetition_features
+
+    rng = np.random.default_rng(33)
+    texts = []
+    for i in range(300):
+        lines = [
+            " ".join(rng.choice(["dup", "uniq", f"w{j}"], 4))
+            for j in range(int(rng.integers(1, 6)))
+        ]
+        if i % 3 == 0:
+            lines.append(lines[0])  # a genuinely duplicated full line
+        texts.append(
+            "\n".join(lines) if i % 7 else (None if i % 2 else "")
+        )
+    df = pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64), "text": texts}
+    )
+    got = (
+        repetition_features(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(array_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '')) AS word
+  FROM documents),
+wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+wa AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+              count(*)::BIGINT AS n_distinct_words, max(c)::BIGINT AS top_c
+       FROM wc GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(n_words, 0) AS n_words,
+  coalesce(n_distinct_words, 0) AS n_distinct_words,
+  CASE WHEN coalesce(n_words, 0) = 0 THEN 0
+       ELSE floor(top_c::DOUBLE / n_words * 10000) / 10000 END AS top_word_frac,
+  CASE WHEN d.text IS NULL THEN 0
+       ELSE len(string_split(d.text, chr(10))) END::BIGINT AS n_lines,
+  CASE WHEN d.text IS NULL OR len(string_split(d.text, chr(10))) = 0 THEN 0
+       ELSE floor((len(string_split(d.text, chr(10)))
+                   - len(list_distinct(string_split(d.text, chr(10)))))::DOUBLE
+                  / len(string_split(d.text, chr(10))) * 10000) / 10000 END
+    AS dup_line_frac
+FROM documents d LEFT JOIN wa USING (doc_id) ORDER BY d.doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (want.dup_line_frac > 0).any()  # the dup-line path really ran
+    assert (want.top_word_frac > 0).any()
