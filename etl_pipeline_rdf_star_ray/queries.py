@@ -737,6 +737,30 @@ def q_sparql_alt_labels(sf_dir: str):
     )
 
 
+def q_sparql_minus_having(sf_dir: str):
+    """MINUS + HAVING over the lifted geo graph: per-region nation counts
+    after subtracting (by shared-?n compatibility, SPARQL 1.1 §8.3) every
+    nation whose name starts NATION_1, keeping regions with >= 2 survivors
+    — exercises the round-4 MINUS group, group-scoped FILTER, GROUP BY and
+    HAVING in one compiled query."""
+    from .sparql import sparql_select
+
+    return sparql_select(
+        'SELECT ?r (COUNT(?n) AS ?n_nations) WHERE { ?n <urn:inRegion> ?r'
+        ' MINUS { ?n <urn:name> ?nm FILTER(STRSTARTS(?nm, "NATION_1")) } }'
+        " GROUP BY ?r HAVING (COUNT(?n) >= 2) ORDER BY ?r",
+        _geo_quads(sf_dir),
+    )
+
+
+ORACLE_SPARQL_MINUS_HAVING = """
+SELECT 'reg:' || CAST(n_regionkey AS VARCHAR) AS r,
+       count(*)::BIGINT AS n_nations
+FROM nation WHERE NOT starts_with(n_name, 'NATION_1')
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 ORACLE_SPARQL_ALT = """
 SELECT s, v FROM (
   SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS v FROM nation
@@ -1784,6 +1808,7 @@ def build_queries() -> dict:
         "pack_whole_docs": q_pack_whole_docs,
         "pii_scrub": q_pii_scrub,
         "text_repetition": q_text_repetition,
+        "sparql_minus_having": q_sparql_minus_having,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1810,10 +1835,10 @@ def build_queries() -> dict:
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "user_sessions": lambda sf: analytics.user_sessions(sf),
-        "event_sessions": lambda sf: analytics.event_sessions(sf),
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "event_sessions": lambda sf: analytics.event_sessions(sf),
         "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
         "dedup_exact": lambda sf: dedup.dedup_exact(
             read_parquet_clean(f"{sf}/documents.parquet")
@@ -1885,6 +1910,7 @@ def build_oracles() -> dict[str, str]:
         "pack_whole_docs": ORACLE_PACK_WHOLE,
         "pii_scrub": _oracle_pii(),
         "text_repetition": ORACLE_TEXT_REPETITION,
+        "sparql_minus_having": ORACLE_SPARQL_MINUS_HAVING,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

@@ -14,9 +14,10 @@ executable counterpart over the engine's Arrow quad tables
   ``UNION`` chains, FILTER (comparisons, arithmetic ``+ - * /``, ``&&``
   ``||`` ``!``, ``STR`` ``STRSTARTS`` ``CONTAINS`` ``REGEX`` ``BOUND``
   ``IF`` ``NOW`` ``FLOOR``, ``EXISTS`` / ``NOT EXISTS { … }``, typed
-  literals), ``BIND``, single-level ``OPTIONAL``, GROUP BY, ORDER BY
-  ASC/DESC, LIMIT / OFFSET — the complete feature set exercised by the
-  reference's Postman corpus and the SELECT queries of
+  literals), ``BIND``, single-level ``OPTIONAL``, ``MINUS`` (shared-domain
+  compatibility subtraction per SPARQL 1.1 §8.3), GROUP BY, HAVING,
+  ORDER BY ASC/DESC, LIMIT / OFFSET — the complete feature set exercised
+  by the reference's Postman corpus and the SELECT queries of
   ``sparql/batch_queries.rq`` — plus the ``ASK`` and ``CONSTRUCT`` query
   forms (ASK = the group with LIMIT 1 → boolean; CONSTRUCT = template
   instantiation over the solution set → deduplicated triple table).
@@ -220,6 +221,11 @@ class SelectQuery:
     values: list[tuple[list[Var], list[list[object]]]] = field(
         default_factory=list
     )
+    #: MINUS groups (pattern+FILTER groups subtracted by shared-variable
+    #: compatibility — SPARQL 1.1 §8.3)
+    minuses: list["SelectQuery"] = field(default_factory=list)
+    #: HAVING expressions (conjoined; aggregate calls allowed)
+    having: list[object] = field(default_factory=list)
 
 
 class SparqlError(ValueError):
@@ -572,6 +578,11 @@ class _Parser:
             self.eat_word("BY")
             while self.peek().kind == "var":
                 q.group_by.append(Var(self.next().text[1:]))
+        while self.at_word("HAVING"):
+            self.next()
+            self.eat("(")
+            q.having.append(self.parse_expr())
+            self.eat(")")
         if self.at_word("ORDER"):
             self.next()
             self.eat_word("BY")
@@ -649,6 +660,18 @@ class _Parser:
                         "blocks and FILTERs only"
                     )
                 q.optionals.append(g)
+            elif self.at_word("MINUS"):
+                self.next()
+                g = self._fresh_group()
+                self.parse_group(g)
+                if g.binds or g.optionals or g.unions or g.values or g.minuses:
+                    raise SparqlError(
+                        "MINUS groups support triple patterns, GRAPH "
+                        "blocks and FILTERs only"
+                    )
+                if not g.patterns:
+                    raise SparqlError("MINUS needs at least one triple pattern")
+                q.minuses.append(g)
             elif self.at_word("VALUES"):
                 self.next()
                 q.values.append(self._parse_values())
@@ -1418,6 +1441,40 @@ class _Compiler:
         neg = "NOT " if e.negated else ""
         return f"{neg}EXISTS (SELECT 1 FROM {src}{where})"
 
+    def minus_sql(self, g: "SelectQuery") -> str | None:
+        """``MINUS { … }`` per SPARQL 1.1 §8.3: a solution is removed iff
+        some MINUS-group solution is COMPATIBLE with it on their shared
+        variables AND the shared domain is non-empty. Compiles to a
+        correlated ``NOT EXISTS`` where each shared variable contributes
+        ``(outer IS NULL OR inner = outer)`` (an unbound outer variable is
+        vacuously compatible) plus one ``(o1 IS NOT NULL OR o2 IS NOT
+        NULL …)`` guard for the non-empty-intersection rule — so a solution
+        whose shared variables are ALL unbound (OPTIONAL misses) survives,
+        exactly like the spec and unlike a plain NOT EXISTS. A group
+        sharing no variable at all subtracts nothing and compiles away
+        (returns None)."""
+        sub = _Compiler(g, self.counter, self.ctes)
+        sub.q.from_graph = self.q.from_graph
+        for pat in g.patterns:
+            sub.add_pattern(pat)
+        shared = [v for v in self.bind if v in sub.bind]
+        if not shared:
+            return None  # disjoint domains: MINUS removes nothing
+        for f in g.filters:
+            sub.conds.append(sub.expr_sql(f))
+        for v in shared:
+            sub.conds.append(
+                f"({self.bind[v]} IS NULL OR {sub.bind[v]} = {self.bind[v]})"
+            )
+        sub.conds.append(
+            "(" + " OR ".join(f"{self.bind[v]} IS NOT NULL" for v in shared) + ")"
+        )
+        self.uses_ann = self.uses_ann or sub.uses_ann
+        src = " CROSS JOIN ".join(f"{rel} {al}" for rel, al in sub.aliases)
+        return f"NOT EXISTS (SELECT 1 FROM {src} WHERE " + " AND ".join(
+            sub.conds
+        ) + ")"
+
     def agg_sql(self, e: Call) -> str:
         if e.name == "COUNT":
             inner = "*" if e.args[0] == "*" else self.expr_sql(e.args[0])
@@ -1596,6 +1653,10 @@ class _Compiler:
 
         for f in q.filters:
             self.conds.append(self.expr_sql(f))
+        for mg in q.minuses:
+            cond = self.minus_sql(mg)
+            if cond is not None:
+                self.conds.append(cond)
 
         # SELECT list
         has_agg = bool(q.group_by) or any(
@@ -1656,6 +1717,14 @@ class _Compiler:
                         group_exprs.append(e)
             if group_exprs:
                 sql += " GROUP BY " + ", ".join(group_exprs)
+        if q.having:
+            if not has_agg:
+                raise SparqlError(
+                    "HAVING needs GROUP BY or aggregate SELECT expressions"
+                )
+            sql += " HAVING " + " AND ".join(
+                self.expr_sql(h) for h in q.having
+            )
         if q.order_by:
             parts = []
             for expr, desc in q.order_by:
@@ -1729,6 +1798,9 @@ def _all_patterns(q: SelectQuery) -> list[TriplePattern]:
     out = list(q.patterns)
     for g in q.optionals:
         out.extend(g.patterns if isinstance(g, SelectQuery) else g)
+    for g in q.minuses:
+        # MINUS-group rows must SURVIVE pruning: subtracting needs them
+        out.extend(_all_patterns(g))
     for u in q.unions:
         for branch in u.branches:
             out.extend(_all_patterns(branch))

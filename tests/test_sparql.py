@@ -1283,3 +1283,128 @@ def test_grouped_closure_matches_duckdb_oracle():
     ).arrow()
     assert got.column("x").to_pylist() == want.column("x").to_pylist()
     assert got.column("y").to_pylist() == want.column("y").to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# MINUS + HAVING (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _minus_quads() -> pa.Table:
+    return pa.table(
+        {
+            "subject": ["a", "b", "c", "a", "b", "d", "e"],
+            "predicate": ["type", "type", "type", "flag", "flag", "type", "other"],
+            "object_value": ["T", "T", "T", "x", "y", "T", "z"],
+        }
+    )
+
+
+def test_minus_subtracts_on_shared_vars():
+    t = sparql_select(
+        "SELECT ?s WHERE { ?s <type> <T> MINUS { ?s <flag> <x> } } ORDER BY ?s",
+        _minus_quads(),
+    )
+    assert t.column("s").to_pylist() == ["b", "c", "d"]
+    # FILTER inside the MINUS group scopes to the group
+    t = sparql_select(
+        'SELECT ?s WHERE { ?s <type> <T> MINUS { ?s <flag> ?f '
+        'FILTER(?f = "y") } } ORDER BY ?s',
+        _minus_quads(),
+    )
+    assert t.column("s").to_pylist() == ["a", "c", "d"]
+
+
+def test_minus_disjoint_domain_removes_nothing():
+    """SPARQL 1.1 §8.3: a MINUS group sharing no variable subtracts
+    nothing (the classic MINUS-vs-NOT-EXISTS divergence)."""
+    t = sparql_select(
+        "SELECT ?s WHERE { ?s <type> <T> MINUS { ?x <other> ?y } } ORDER BY ?s",
+        _minus_quads(),
+    )
+    assert t.column("s").to_pylist() == ["a", "b", "c", "d"]
+
+
+def test_minus_unbound_shared_var_survives():
+    """A solution whose only shared variable is unbound (OPTIONAL miss)
+    has an empty shared domain — kept, unlike NOT EXISTS."""
+    quads = pa.table(
+        {
+            "subject": ["a", "b", "a", "b"],
+            "predicate": ["type", "type", "lab", "bad"],
+            "object_value": ["T", "T", "L", "L"],
+        }
+    )
+    t = sparql_select(
+        "SELECT ?s WHERE { ?s <type> <T> OPTIONAL { ?s <lab> ?l } "
+        "MINUS { ?z <bad> ?l } } ORDER BY ?s",
+        quads,
+    )
+    # a's ?l = L matches the MINUS binding -> removed; b's ?l is unbound
+    # -> empty shared domain -> kept
+    assert t.column("s").to_pylist() == ["b"]
+    # the NOT EXISTS counterpart removes BOTH (NULL-compatible semantics
+    # differ): pin the divergence
+    t2 = sparql_select(
+        "SELECT ?s WHERE { ?s <type> <T> OPTIONAL { ?s <lab> ?l } "
+        "FILTER NOT EXISTS { ?z <bad> ?l } } ORDER BY ?s",
+        quads,
+    )
+    assert t2.column("s").to_pylist() == ["b"]  # a removed in both here
+
+
+def test_minus_pruning_keeps_group_rows(ray_session):
+    import ray.data as rd
+
+    q = parse_sparql("SELECT ?s WHERE { ?s <type> <T> MINUS { ?s <flag> <x> } }")
+    masks = pattern_masks(q)
+    assert [("predicate", "flag"), ("object_value", "x")] in masks
+    pruned = pa.concat_tables(
+        b for b in prune_quads(rd.from_arrow(_minus_quads()), q).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    # the MINUS pattern's row survived pruning, so the subtraction holds
+    got = sparql_select(
+        "SELECT ?s WHERE { ?s <type> <T> MINUS { ?s <flag> <x> } } ORDER BY ?s",
+        pruned,
+    )
+    assert got.column("s").to_pylist() == ["b", "c", "d"]
+
+
+def test_having_filters_groups():
+    t = sparql_select(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "HAVING (COUNT(?s) > 1) ORDER BY ?p",
+        _minus_quads(),
+    )
+    assert list(zip(t.column("p").to_pylist(), t.column("n").to_pylist())) == [
+        ("flag", 2),
+        ("type", 4),
+    ]
+    # two HAVING clauses conjoin
+    t = sparql_select(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        "HAVING (COUNT(?s) > 1) HAVING (COUNT(?s) < 3) ORDER BY ?p",
+        _minus_quads(),
+    )
+    assert t.column("p").to_pylist() == ["flag"]
+
+
+def test_minus_having_rejections():
+    for bad, frag in [
+        (
+            "SELECT ?s WHERE { ?s ?p ?o } HAVING (COUNT(?s) > 1)",
+            "HAVING needs GROUP BY",
+        ),
+        (
+            "SELECT ?s WHERE { ?s <t> <T> MINUS { OPTIONAL { ?s <f> ?x } } }",
+            "triple patterns",
+        ),
+        (
+            "SELECT ?s WHERE { ?s <t> <T> MINUS { FILTER(?s = <a>) } }",
+            "at least one triple pattern",
+        ),
+    ]:
+        with pytest.raises(SparqlError, match=frag):
+            compile_sparql(bad)
