@@ -128,33 +128,38 @@ def _token_lengths(
     return docs.map_batches(stage, batch_format="pyarrow")
 
 
-def pack_sequences(
-    docs: "rd.Dataset",
+def pack_items(
+    items: "rd.Dataset",
     *,
+    weight_col: str,
     capacity: int,
     mode: str = "split",
     id_col: str = "doc_id",
-    text_col: str = "text",
     num_shards: int = 64,
     samples_per_block: int = 64,
+    id_type: "pa.DataType | None" = None,
 ) -> "rd.Dataset":
-    """Pack whitespace-tokenized documents into ``capacity``-token bins
-    over the global ascending ``id_col`` order.
+    """Pack weighted items into ``capacity``-weight bins over the global
+    ascending ``id_col`` order. The generic core under
+    :func:`pack_sequences` (weights = token counts) and
+    :func:`pack_conversations` (weights = per-conversation token sums);
+    any positive integer weight works (bytes, rows, samples). Items with
+    weight <= 0 (or NULL) are dropped — they occupy no bin space.
 
-    ``mode="split"`` emits one row per (document, bin) overlap:
-    ``(id, pack_id, tok_lo, tok_hi)`` — the document's token slice
+    ``mode="split"`` emits one row per (item, bin) overlap:
+    ``(id, pack_id, tok_lo, tok_hi)`` — the item's weight slice
     ``[tok_lo, tok_hi)`` lands in ``pack_id``; every bin is exactly full
-    except the last. ``mode="whole"`` emits one row per document:
-    ``(id, pack_id, n_tokens)`` with ``pack_id = prefix // capacity``
-    (cumulative binning — never splits a document, bins may overflow by
-    less than one document's tokens).
+    except the last. ``mode="whole"`` emits one row per item:
+    ``(id, pack_id, <weight_col>)`` with ``pack_id = prefix // capacity``
+    (cumulative binning — never splits an item, bins may overflow by
+    less than one item's weight).
 
-    Distributed ordered prefix sum: the slim length projection is
+    Distributed ordered prefix sum: the slim (id, weight) projection is
     materialized once, range-partitioned by id (``stages/sortrange.range_
-    tag``), per-shard token totals reduce to ``num_shards`` scalars on the
+    tag``), per-shard weight totals reduce to ``num_shards`` scalars on the
     driver whose exclusive scan is broadcast back as each shard's base
     offset; one exchange then lets each shard emit its rows from a purely
-    local cumulative sum. No global sort, no second pass over text."""
+    local cumulative sum. No global sort, no second pass over payloads."""
     import ray
 
     from ..stages.exchange import exchange_apply
@@ -165,22 +170,37 @@ def pack_sequences(
     if mode not in ("split", "whole"):
         raise ValueError(f"unknown pack mode {mode!r}")
 
+    def project(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_col).fill_null(0), pa.int64())
+        t = pa.table({id_col: batch.column(id_col), weight_col: w})
+        return t.filter(pc.greater(w, 0)).replace_schema_metadata(None)
+
     # slim projection materialized once: sampling, partial sums and the
-    # exchange all read these blocks instead of re-tokenizing text
-    slim = _token_lengths(docs, id_col, text_col).materialize()
+    # exchange all read these blocks instead of re-reading the input
+    slim = items.map_batches(project, batch_format="pyarrow").materialize()
 
     def _empty() -> "rd.Dataset":
-        sch = slim.schema()  # None when every input doc was empty/null
-        id_type = (
-            dict(zip(sch.names, sch.types))[id_col]
-            if sch is not None
-            else dict(zip(docs.schema().names, docs.schema().types))[id_col]
-        )
+        # id type: slim's schema when any row survived; the caller's hint
+        # (pack_sequences passes the source docs' id type) when the whole
+        # input weighed zero and even `items` has no derivable schema
+        sch = slim.schema()
+        if sch is not None:
+            itype = dict(zip(sch.names, sch.types))[id_col]
+        elif id_type is not None:
+            itype = id_type
+        else:
+            isch = items.schema()
+            if isch is None:
+                raise ValueError(
+                    "pack_items: empty input with no derivable schema — "
+                    "pass id_type="
+                )
+            itype = dict(zip(isch.names, isch.types))[id_col]
         cols = (
-            {id_col: id_type, "pack_id": pa.int64(), "n_tokens": pa.int64()}
+            {id_col: itype, "pack_id": pa.int64(), weight_col: pa.int64()}
             if mode == "whole"
             else {
-                id_col: id_type,
+                id_col: itype,
                 "pack_id": pa.int64(),
                 "tok_lo": pa.int64(),
                 "tok_hi": pa.int64(),
@@ -191,7 +211,7 @@ def pack_sequences(
         )
 
     if slim.count() == 0:
-        # an all-empty corpus can leave a 0-row passthrough block in a
+        # an all-empty input can leave a 0-row passthrough block in a
         # non-Arrow format; nothing to pack either way
         return _empty()
 
@@ -201,14 +221,14 @@ def pack_sequences(
 
     def partial_sums(t: pa.Table) -> pa.Table:
         return t.group_by("partition_id", use_threads=False).aggregate(
-            [("n_tokens", "sum")]
+            [(weight_col, "sum")]
         )
 
     parts = tagged.map_batches(partial_sums, batch_format="pyarrow").take_all()
     n_pids = 1 + max((int(r["partition_id"]) for r in parts), default=0)
     totals = np.zeros(n_pids, dtype=np.int64)
     for r in parts:
-        totals[int(r["partition_id"])] += int(r["n_tokens_sum"])
+        totals[int(r["partition_id"])] += int(r[f"{weight_col}_sum"])
     bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
     bases_ref = ray.put(bases)
 
@@ -218,7 +238,7 @@ def pack_sequences(
         t = t.drop_columns(["partition_id"]).sort_by(
             [(id_col, "ascending")]
         )
-        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        n = t.column(weight_col).to_numpy(zero_copy_only=False)
         s = base_offsets[pid] + np.cumsum(n) - n  # exclusive global prefix
         ids = t.column(id_col)
         if mode == "whole":
@@ -226,7 +246,7 @@ def pack_sequences(
                 {
                     id_col: ids,
                     "pack_id": pa.array(s // capacity, pa.int64()),
-                    "n_tokens": pa.array(n, pa.int64()),
+                    weight_col: pa.array(n, pa.int64()),
                 }
             )
         first = s // capacity
@@ -253,3 +273,83 @@ def pack_sequences(
         # zero-row exchange output carries no schema; pin the declared one
         return _empty()
     return out
+
+
+def pack_sequences(
+    docs: "rd.Dataset",
+    *,
+    capacity: int,
+    mode: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 64,
+    samples_per_block: int = 64,
+) -> "rd.Dataset":
+    """Pack whitespace-tokenized documents into ``capacity``-token bins
+    over the global ascending ``id_col`` order — :func:`pack_items` with
+    weights = :func:`~..functions.text.token_count`. See ``pack_items``
+    for modes, output layout and the distributed-prefix-sum shape."""
+    dsch = docs.schema()
+    return pack_items(
+        _token_lengths(docs, id_col, text_col),
+        weight_col="n_tokens",
+        capacity=capacity,
+        mode=mode,
+        id_col=id_col,
+        num_shards=num_shards,
+        samples_per_block=samples_per_block,
+        id_type=(
+            dict(zip(dsch.names, dsch.types))[id_col]
+            if dsch is not None
+            else None
+        ),
+    )
+
+
+def conversation_weights(
+    state: "rd.Dataset",
+    *,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Exact per-conversation token totals ``(conv_id, n_tokens)``: a
+    map-side combine (vectorized per-batch groupby-sum) slims each block
+    to one row per conversation BEFORE the conversation-hash exchange, so
+    the shuffle carries at most blocks × distinct-convs tiny rows; one
+    task per shard folds the partials."""
+    from ..functions.hashing import xxh64_column
+    from .dedup import sharded_groups
+
+    def combine(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        n = token_count(text).fill_null(0)
+        t = pa.table({conv_col: batch.column(conv_col), "n_tokens": n})
+        agg = t.group_by(conv_col, use_threads=False).aggregate(
+            [("n_tokens", "sum")]
+        )
+        return agg.select([conv_col, "n_tokens_sum"]).rename_columns(
+            [conv_col, "n_tokens"]
+        )
+
+    partials = state.select_columns([conv_col, text_col]).map_batches(
+        combine, batch_format="pyarrow"
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(conv_col, sort=False, dropna=False)["n_tokens"].sum()
+        return pd.DataFrame(
+            {
+                conv_col: pd.array(out.index.to_numpy(), dtype="string"),
+                "n_tokens": out.to_numpy().astype(np.int64),
+            }
+        )
+
+    return sharded_groups(
+        partials,
+        lambda b: xxh64_column(b.column(conv_col)),
+        per_shard,
+        num_shards=num_shards,
+    )

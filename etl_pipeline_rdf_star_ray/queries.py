@@ -1487,6 +1487,38 @@ FROM ex
 )
 
 
+def q_pack_conversations(sf_dir: str):
+    """Conversation-level context-window packing over the upserted
+    transcript state: exact per-conversation token totals (map-side combine
+    + conv-hash exchange — training.conversation_weights) fed to the
+    generic weighted packer (training.pack_items, whole mode, capacity
+    512) — whole conversations assigned to bins by global conv_id-ordered
+    cumulative binning."""
+    from .pipelines import training
+
+    w = training.conversation_weights(_upserted_state(sf_dir))
+    return training.pack_items(
+        w, weight_col="n_tokens", capacity=512, mode="whole",
+        id_col="conv_id",
+    )
+
+
+ORACLE_PACK_CONVERSATIONS = f"""{_CDC_PREFIX},
+tok AS (
+  SELECT conv_id,
+         sum(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+           AS n
+  FROM state GROUP BY conv_id),
+span AS (
+  SELECT conv_id, n,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM tok WHERE n > 0)
+SELECT conv_id, (s // 512)::BIGINT AS pack_id, n AS n_tokens FROM span
+"""
+
+
 def q_pack_whole_docs(sf_dir: str):
     """Cumulative binning, whole-doc mode, capacity 96: each document's bin
     is its global starting-token offset over capacity — docs never split,
@@ -1809,6 +1841,7 @@ def build_queries() -> dict:
         "pii_scrub": q_pii_scrub,
         "text_repetition": q_text_repetition,
         "sparql_minus_having": q_sparql_minus_having,
+        "pack_conversations": q_pack_conversations,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1911,6 +1944,7 @@ def build_oracles() -> dict[str, str]:
         "pii_scrub": _oracle_pii(),
         "text_repetition": ORACLE_TEXT_REPETITION,
         "sparql_minus_having": ORACLE_SPARQL_MINUS_HAVING,
+        "pack_conversations": ORACLE_PACK_CONVERSATIONS,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

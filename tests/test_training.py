@@ -253,3 +253,92 @@ def test_pack_giant_doc_and_degenerate_inputs(ray_session):
         pack_sequences(rd.from_pandas(df), capacity=0)
     with pytest.raises(ValueError, match="pack mode"):
         pack_sequences(rd.from_pandas(df), capacity=4, mode="firstfit")
+
+
+def test_pack_items_generic_weights(ray_session):
+    """pack_items accepts any positive integer weight column (bytes here),
+    drops zero/null/negative weights, and keeps the weight column's name
+    in whole-mode output."""
+    df = pd.DataFrame(
+        {
+            "item": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+            "nbytes": [100, 0, 250, None, -7],
+        }
+    )
+    from etl_pipeline_rdf_star_ray.pipelines.training import pack_items
+
+    got = (
+        pack_items(
+            rd.from_pandas(df),
+            weight_col="nbytes",
+            capacity=200,
+            mode="whole",
+            id_col="item",
+        )
+        .to_pandas()
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    assert got.item.tolist() == [1, 3]
+    assert got.nbytes.tolist() == [100, 250]
+    assert got.pack_id.tolist() == [0, 0]  # prefixes 0 and 100
+
+
+def test_conversation_weights_and_packing_match_sql(ray_session):
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.pipelines.training import (
+        conversation_weights,
+        pack_items,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    conv = [f"c{int(x):03d}" for x in rng.integers(0, 120, n)]
+    texts = [
+        " ".join(f"w{j}" for j in range(int(x))) if x else None
+        for x in rng.integers(0, 12, n)
+    ]
+    df = pd.DataFrame({"conv_id": conv, "text": texts})
+    df = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(6)
+
+    w = conversation_weights(ds, num_shards=7)
+    got_w = w.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("state", df)
+    want_w = con.execute(
+        r"""
+        SELECT conv_id,
+               coalesce(sum(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END), 0)::BIGINT
+                 AS n_tokens
+        FROM state GROUP BY conv_id ORDER BY conv_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got_w, want_w, check_dtype=False)
+
+    got = (
+        pack_items(w, weight_col="n_tokens", capacity=64, mode="whole",
+                   id_col="conv_id", num_shards=5)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        r"""
+        WITH tok AS (
+          SELECT conv_id,
+                 sum(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n
+          FROM state GROUP BY conv_id),
+        span AS (
+          SELECT conv_id, n,
+                 coalesce(sum(n) OVER (ORDER BY conv_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+          FROM tok WHERE n > 0)
+        SELECT conv_id, (s // 64)::BIGINT AS pack_id, n AS n_tokens
+        FROM span ORDER BY conv_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
