@@ -1867,10 +1867,10 @@ def build_queries() -> dict:
         "topk_orders": lambda sf: analytics.top_orders(sf),
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
-        "user_sessions": lambda sf: analytics.user_sessions(sf),
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "user_sessions": lambda sf: analytics.user_sessions(sf),
         "event_sessions": lambda sf: analytics.event_sessions(sf),
         "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
         "dedup_exact": lambda sf: dedup.dedup_exact(
