@@ -319,10 +319,12 @@ def fuzzy_dedup(
 
 
 def _tokenize(col) -> pa.ChunkedArray:
-    """Lowercase alphanumeric tokenization shared by :func:`top_terms` and
-    :func:`tfidf_topk_terms` — one definition so both stay byte-identical to
-    each other and to the DuckDB oracles'
-    ``string_split_regex(lower(text), '[^a-z0-9]+')``."""
+    """Lowercase alphanumeric tokenization shared by :func:`top_terms`,
+    :func:`tfidf_topk_terms` and :func:`token_frequency_stats` — one
+    definition so all stay byte-identical to each other and to the DuckDB
+    oracles' ``string_split_regex(lower(text), '[^a-z0-9]+')``."""
+    if pa.types.is_null(col.type):  # all-NULL block: no tokens
+        col = col.cast(pa.string())
     return pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
 
 
@@ -518,6 +520,120 @@ def tfidf_topk_terms(
 # ---------------------------------------------------------------------------
 # conversation flattening (training-data export shape)
 # ---------------------------------------------------------------------------
+
+
+def token_frequency_stats(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Integer-exact unigram-frequency quality signals per document: the
+    mean global corpus count of the document's tokens (high = common-word
+    text, a cheap fluency/informativeness proxy) and the fraction of its
+    tokens whose global count is <= ``rare_max`` (misspellings, ids, noise
+    — the rare-token tail). A deliberate integer-exact reformulation of
+    unigram log-probability scoring: summing ``ln c_t`` is float-order-
+    dependent across engines, while ``sum(c_t)`` and ``#{c_t <= r}`` are
+    exact int64, so the oracle is hash-exact after the single shared
+    ``floor(x·10⁴)/10⁴`` division.
+
+    Shape: (1) per-batch value_counts partials → token-hash exchange sum =
+    exact global counts (Heaps-law vocab-sized); (2) vocab broadcast once
+    via ``ray.put``; (3) one streaming scoring pass per batch —
+    ``pc.index_in`` lookup + int64 pandas groupby sums (bincount would
+    float the weights past 2^53). The input is materialized once so the
+    count pass and the scoring pass share one upstream execution (same
+    remedy as :func:`tfidf_topk_terms`).
+
+    Output: ``(id, n_tokens, mean_tok_count, rare_frac)`` — zero-token
+    documents score 0 on both ratios like the SQL CASE."""
+    import ray
+
+    from ..functions.hashing import xxh64_column
+    from .dedup import sharded_groups
+
+    docs = docs.materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokenize(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def shard_sum(s: pd.DataFrame) -> pd.DataFrame:
+        g = s.groupby("token", sort=False)["n"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "token": pd.array(g["token"].to_numpy(), dtype="string"),
+                "n": g["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    vocab = sharded_groups(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda b: xxh64_column(b.column("token")),
+        shard_sum,
+        num_shards=num_shards,
+    ).to_pandas()
+    vocab_tokens = pa.array(vocab["token"].to_numpy(), pa.string())
+    counts_ref = ray.put(
+        (vocab_tokens, vocab["n"].to_numpy().astype(np.int64))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        vtoks, vcounts = ray.get(counts_ref)
+        nrows = batch.num_rows
+        toks = _tokenize(batch.column(text_col))
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_of = np.repeat(np.arange(nrows), lens)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        row_k = row_of[keep]
+        idx = pc.index_in(flat.filter(pa.array(keep)), value_set=vtoks)
+        # every token came from this corpus, so the lookup never misses
+        c = vcounts[idx.to_numpy(zero_copy_only=False)]
+        n_tokens = np.bincount(row_k, minlength=nrows).astype(np.int64)
+        sum_c = np.zeros(nrows, dtype=np.int64)
+        np.add.at(sum_c, row_k, c)  # int64-exact, unlike float bincount
+        n_rare = np.bincount(
+            row_k[c <= rare_max], minlength=nrows
+        ).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_c = np.where(
+                n_tokens > 0,
+                sum_c / np.maximum(n_tokens, 1) * 10000.0,
+                0.0,
+            )
+            rare = np.where(
+                n_tokens > 0,
+                n_rare / np.maximum(n_tokens, 1) * 10000.0,
+                0.0,
+            )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tokens),
+                "mean_tok_count": pa.array(np.floor(mean_c) / 10000.0),
+                "rare_frac": pa.array(np.floor(rare) / 10000.0),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def flatten_conversations(

@@ -1487,6 +1487,42 @@ FROM ex
 )
 
 
+def q_text_freq_stats(sf_dir: str):
+    """Integer-exact unigram-frequency quality signals per document
+    (corpus.token_frequency_stats): mean global token count and
+    rare-token fraction — token-hash exchange counts, one broadcast
+    vocab, one streaming int64 scoring pass."""
+    from .pipelines import corpus
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return corpus.token_frequency_stats(docs, rare_max=2)
+
+
+ORACLE_TEXT_FREQ_STATS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(array_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*)::BIGINT AS c FROM w GROUP BY tok),
+per AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS sum_c,
+         sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+  FROM w JOIN cnt USING (tok) GROUP BY w.doc_id)
+SELECT d.doc_id,
+  coalesce(n_tokens, 0) AS n_tokens,
+  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+       ELSE floor(sum_c::DOUBLE / n_tokens * 10000) / 10000 END
+    AS mean_tok_count,
+  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+       ELSE floor(n_rare::DOUBLE / n_tokens * 10000) / 10000 END
+    AS rare_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_pack_conversations(sf_dir: str):
     """Conversation-level context-window packing over the upserted
     transcript state: exact per-conversation token totals (map-side combine
@@ -1842,6 +1878,7 @@ def build_queries() -> dict:
         "text_repetition": q_text_repetition,
         "sparql_minus_having": q_sparql_minus_having,
         "pack_conversations": q_pack_conversations,
+        "text_freq_stats": q_text_freq_stats,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1866,10 +1903,10 @@ def build_queries() -> dict:
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
         "topk_orders": lambda sf: analytics.top_orders(sf),
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
-        "events_hourly": lambda sf: analytics.events_hourly(sf),
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "events_hourly": lambda sf: analytics.events_hourly(sf),
         "user_sessions": lambda sf: analytics.user_sessions(sf),
         "event_sessions": lambda sf: analytics.event_sessions(sf),
         "filter_lineitem_stats": lambda sf: analytics.lineitem_filter_stats(sf),
@@ -1945,6 +1982,7 @@ def build_oracles() -> dict[str, str]:
         "text_repetition": ORACLE_TEXT_REPETITION,
         "sparql_minus_having": ORACLE_SPARQL_MINUS_HAVING,
         "pack_conversations": ORACLE_PACK_CONVERSATIONS,
+        "text_freq_stats": ORACLE_TEXT_FREQ_STATS,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

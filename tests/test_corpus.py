@@ -372,3 +372,67 @@ def test_chunk_tokens_validates_args(ray_session):
         corpus.chunk_tokens(ds, size=0)
     with pytest.raises(ValueError):
         corpus.chunk_tokens(ds, stride=0)
+
+
+def test_token_frequency_stats_matches_duckdb(ray_session):
+    """Integer-exact unigram-frequency stats: mean global token count and
+    rare-token fraction equal the DuckDB explode-join-aggregate oracle on
+    a shuffled multi-block corpus with null/empty/punct-only docs."""
+    import duckdb
+
+    import numpy as np
+
+    from etl_pipeline_rdf_star_ray.pipelines.corpus import (
+        token_frequency_stats,
+    )
+
+    rng = np.random.default_rng(29)
+    base = ["the", "of", "rareword%d", "x9", "DATA", "Mix3d"]
+    texts = []
+    for i in range(400):
+        parts = []
+        for _ in range(int(rng.integers(0, 25))):
+            w = base[int(rng.integers(0, len(base)))]
+            parts.append(w % i if "%d" in w else w)
+        texts.append(
+            " ".join(parts) if i % 9 else (None if i % 2 else "!!! ...")
+        )
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+    df = df.sample(frac=1.0, random_state=4).reset_index(drop=True)
+
+    got = (
+        token_frequency_stats(
+            rd.from_pandas(df).repartition(6), rare_max=2, num_shards=7
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(
+        r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(array_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*)::BIGINT AS c FROM w GROUP BY tok),
+per AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_tokens, sum(c)::BIGINT AS sum_c,
+         sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+  FROM w JOIN cnt USING (tok) GROUP BY w.doc_id)
+SELECT d.doc_id,
+  coalesce(n_tokens, 0) AS n_tokens,
+  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+       ELSE floor(sum_c::DOUBLE / n_tokens * 10000) / 10000 END
+    AS mean_tok_count,
+  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+       ELSE floor(n_rare::DOUBLE / n_tokens * 10000) / 10000 END AS rare_frac
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the signals are live: some docs have rare tokens, some are all-common
+    assert (want.rare_frac > 0).any() and (want.rare_frac == 0).any()
+    assert (want.n_tokens == 0).any()  # null/punct-only docs score zero
