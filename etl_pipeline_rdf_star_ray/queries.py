@@ -1704,10 +1704,31 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
 """
 
 
+#: (ray session id, sf_dir) -> materialized upserted state. Six registry
+#: queries (conv_stats, turn_gaps, conv_flatten, text_normalize,
+#: training_pairs, pack_conversations) consume the same CDC-upserted
+#: transcript state; materializing it once per Ray session turns six
+#: upsert executions into one (object-store blocks, spillable — the same
+#: shared-Dataset reuse a user pipeline would do). Keyed by session id so
+#: a fresh ray.init never sees another session's dead block refs.
+_STATE_CACHE: dict = {}
+
+
 def _upserted_state(sf_dir: str):
-    return cdc.upsert_dataset(
-        changelog_from_events(sf_dir), num_partitions=16
-    )
+    import ray
+
+    try:
+        sess = ray.get_runtime_context().get_job_id()
+    except Exception:  # pragma: no cover - uninitialized edge
+        sess = None
+    if any(k[0] != sess for k in _STATE_CACHE):
+        _STATE_CACHE.clear()  # previous session's refs are unusable
+    key = (sess, sf_dir)
+    if key not in _STATE_CACHE:
+        _STATE_CACHE[key] = cdc.upsert_dataset(
+            changelog_from_events(sf_dir), num_partitions=16
+        ).materialize()
+    return _STATE_CACHE[key]
 
 
 def q_conv_stats(sf_dir: str):
