@@ -302,7 +302,11 @@ def pii_scrub(
     shuffle, streams at any scale."""
     out = out_col or text_col
     t = batch.column(text_col)
-    if pa.types.is_null(t.type):
+    if pa.types.is_null(t.type) or (
+        batch.num_rows == 0 and not pa.types.is_string(t.type)
+    ):
+        # all-NULL blocks infer `null`; an empty pandas frame infers
+        # float64 — both carry no text to scrub
         t = t.cast(pa.string())
     counts: dict[str, pa.Array] = {}
     for name, pat, repl in PII_RULES:

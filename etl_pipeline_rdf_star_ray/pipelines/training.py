@@ -171,7 +171,10 @@ def pack_items(
         raise ValueError(f"unknown pack mode {mode!r}")
 
     def project(batch: pa.Table) -> pa.Table:
-        w = pc.cast(batch.column(weight_col).fill_null(0), pa.int64())
+        wcol = batch.column(weight_col)
+        if pa.types.is_null(wcol.type):  # all-NULL block: nothing to pack
+            wcol = wcol.cast(pa.int64())
+        w = pc.cast(wcol.fill_null(0), pa.int64())
         t = pa.table({id_col: batch.column(id_col), weight_col: w})
         return t.filter(pc.greater(w, 0)).replace_schema_metadata(None)
 

@@ -97,7 +97,7 @@ def _cluster_block(block: pa.Table):
 
     Fallback path for blocks NOT produced by a ``sort_output=True``
     partition stage; the zero-copy fast path is :func:`_block_ranges`."""
-    if block.num_rows == 0:
+    if len(block) == 0:  # format-agnostic: Ray passes empty blocks through
         return {}, block
     pids = block.column("partition_id").combine_chunks().to_numpy(
         zero_copy_only=False
@@ -131,7 +131,7 @@ def _block_ranges(block: pa.Table) -> list:
     ``test_block_ranges_covers_multi_run_blocks``.) ``num_cpus=0``:
     microseconds of work, must not compete with read/merge tasks for
     slots."""
-    if block.num_rows == 0:
+    if len(block) == 0:  # len() spans pa.Table AND a passthrough pandas block
         return []
     pids = block.column("partition_id").combine_chunks().to_numpy(
         zero_copy_only=False
@@ -184,7 +184,7 @@ def _slice_block(block: pa.Table, presorted: bool) -> list:
     ranges transport's 0 — which is why ``transport="auto"`` picks ranges
     on one node and slices when the cluster has several.
     """
-    if block.num_rows == 0:
+    if len(block) == 0:  # len() spans pa.Table AND a passthrough pandas block
         return []
     pids = block.column("partition_id").combine_chunks().to_numpy(
         zero_copy_only=False
@@ -319,6 +319,12 @@ def _route(
     rows_known = True
     for bundle in partitioned.iter_internal_ref_bundles():
         n = bundle.num_rows()
+        if n == 0:
+            # zero-row bundle: routes nothing. Also dodges Ray's empty-block
+            # passthrough, which can hand a 0-row PANDAS block straight from
+            # the input (map_batches skips the UDF on empty blocks) to tasks
+            # that expect Arrow.
+            continue
         if n is None:
             # block metadata without a row count: folding None to 0 would
             # make the conservation check fire spuriously (ADVICE r2) —

@@ -100,7 +100,10 @@ def range_tag(
         for t in ray.get(
             ds.map_batches(sample, batch_format="pyarrow").to_arrow_refs()
         )
-        if t.num_rows  # Ray collapses empty output blocks to zero columns
+        # len() spans both: Ray collapses empty output blocks to zero
+        # columns AND passes 0-row input blocks through as pandas without
+        # running the UDF
+        if len(t)
     ]
     if not samp_tabs:
         splits_vals: np.ndarray | None = None

@@ -589,3 +589,31 @@ def test_tail_soak_crash_between_ticks(tmp_path):
     )
     want = state_table(fresh).to_pandas().drop(columns=["partition_id"])
     assert_frames_equal(got, want)
+
+
+def test_exchange_skips_empty_passthrough_blocks(ray_session):
+    """Ray's map_batches SKIPS the UDF on zero-row blocks, so a 1-row
+    pandas dataset repartitioned to 3 blocks hands the exchange two empty
+    PANDAS blocks straight from the input. _route must skip zero-row
+    bundles and the block tasks must tolerate non-Arrow empties (round-4
+    fuzz regression — the crash was `'DataFrame' object has no attribute
+    'num_rows'` inside _block_ranges)."""
+    import pandas as pd
+
+    from etl_pipeline_rdf_star_ray.stages.exchange import exchange_apply
+
+    df = pd.DataFrame({"k": [7], "v": ["x"]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = pa.array(np.zeros(batch.num_rows, dtype=np.int32))
+        return batch.append_column("partition_id", pid)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    for presorted in (True, False):
+        out = exchange_apply(
+            tagged, lambda t: t.drop_columns(["partition_id"]),
+            presorted=presorted,
+        )
+        got = out.to_pandas()
+        assert got.k.tolist() == [7] and got.v.tolist() == ["x"]

@@ -185,3 +185,203 @@ def test_sort_global_matches_sorted(ks, num_shards):
         key=lambda r: (r[0] is None, r[0] if r[0] is not None else 0, r[1]),
     )
     assert got == want, (ks, num_shards)
+
+
+# --- pack_items (distributed ordered prefix-sum packing) -------------------
+
+
+@given(
+    weights=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=40),
+            st.none(),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    capacity=st.integers(min_value=1, max_value=30),
+    mode=st.sampled_from(["split", "whole"]),
+    shards=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=20, deadline=None)
+def test_pack_items_matches_duckdb(ray_session, weights, capacity, mode, shards):
+    """Random weights (nulls, zeros, giants vs capacity), random capacity,
+    random shard count: the packing layout equals the window-cumsum SQL on
+    the surviving positive-weight items."""
+    from etl_pipeline_rdf_star_ray.pipelines.training import pack_items
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(weights), dtype=np.int64),
+            "w": pd.array(weights, dtype="Int64"),
+        }
+    )
+    got = pack_items(
+        rd.from_pandas(df).repartition(3) if len(df) else rd.from_pandas(df),
+        weight_col="w",
+        capacity=capacity,
+        mode=mode,
+        num_shards=shards,
+    ).to_pandas()
+    if len(got):
+        got = got.sort_values(
+            ["doc_id", "pack_id"] if mode == "split" else ["doc_id"]
+        ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("items", df)
+    span = """
+    WITH tok AS (SELECT doc_id, w::BIGINT AS n FROM items
+                 WHERE coalesce(w, 0) > 0),
+    span AS (
+      SELECT doc_id, n,
+        coalesce(sum(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+      FROM tok)
+    """
+    if mode == "whole":
+        want = con.execute(
+            span
+            + f"SELECT doc_id, (s // {capacity})::BIGINT AS pack_id,"
+            f" n AS w FROM span ORDER BY doc_id"
+        ).df()
+    else:
+        want = con.execute(
+            span
+            + f"""
+            , ex AS (SELECT doc_id, n, s,
+                     unnest(range(s // {capacity},
+                                  (s + n - 1) // {capacity} + 1)) AS pack_id
+                     FROM span)
+            SELECT doc_id, pack_id::BIGINT AS pack_id,
+                   greatest(0, pack_id*{capacity} - s)::BIGINT AS tok_lo,
+                   least(n, (pack_id+1)*{capacity} - s)::BIGINT AS tok_hi
+            FROM ex ORDER BY doc_id, pack_id
+            """
+        ).df()
+    import pandas.testing as pdt
+
+    if len(got) == 0 and len(want) == 0:
+        return
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- training_pairs (windowed context assembly) ----------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # conv
+            st.sampled_from(["user", "assistant", "system", None]),
+            st.one_of(st.none(), st.text(alphabet="ab c", max_size=6)),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=20, deadline=None)
+def test_training_pairs_matches_duckdb_fuzz(ray_session, rows, k):
+    """Arbitrary conversations (null roles/texts, random k) against the
+    windowed string_agg oracle."""
+    import pandas as pd
+    import pandas.testing as pdt
+
+    from etl_pipeline_rdf_star_ray.pipelines.training import training_pairs
+
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{c}" for c, _, _ in rows],
+            "role": [r for _, r, _ in rows],
+            "text": [t for _, _, t in rows],
+        }
+    )
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype("int32")
+    ds = rd.from_pandas(df).repartition(3) if len(df) else rd.from_pandas(df)
+    got = training_pairs(ds, k=k, num_shards=4).to_pandas()
+    if len(got):
+        got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("state", df)
+    want = con.execute(
+        f"""
+        WITH lines AS (
+          SELECT conv_id, turn_idx, role, text,
+                 coalesce(role,'') || ': ' || coalesce(text,'') AS line
+          FROM state
+        ), ctx AS (
+          SELECT conv_id, turn_idx, role, text,
+                 string_agg(line, chr(10)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) AS context
+          FROM lines
+        )
+        SELECT conv_id, turn_idx, context, text AS response
+        FROM ctx WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    if len(got) == 0 and len(want) == 0:
+        return
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- pii_scrub (RE2 parity) ------------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet="ab5. @+-()x\n",
+                max_size=40,
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_pii_scrub_re2_parity_fuzz(texts):
+    """Random strings over a PII-adjacent alphabet (@, digits, dots,
+    parens, +, -): the chained pyarrow RE2 replace/count equals DuckDB's —
+    both engines are RE2, this pins the chaining order too."""
+    import pandas as pd
+    import pandas.testing as pdt
+
+    from etl_pipeline_rdf_star_ray.functions.text import PII_RULES, pii_scrub
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            # explicit string dtype: an empty object column would infer
+            # float64 on BOTH sides (Arrow kernel and DuckDB binder reject)
+            "text": pd.array(texts, dtype="string"),
+        }
+    )
+    got = (
+        pii_scrub(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()[["doc_id", "text", "n_email", "n_ip", "n_phone"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    p = {n: pat for n, pat, _ in PII_RULES}
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        f"""
+WITH s1 AS (SELECT doc_id,
+        len(regexp_extract_all(text, '{p["email"]}'))::BIGINT n_email,
+        regexp_replace(text, '{p["email"]}', '<EMAIL>', 'g') t1 FROM t),
+s2 AS (SELECT *, len(regexp_extract_all(t1, '{p["ip"]}'))::BIGINT n_ip,
+       regexp_replace(t1, '{p["ip"]}', '<IP>', 'g') t2 FROM s1),
+s3 AS (SELECT *, len(regexp_extract_all(t2, '{p["phone"]}'))::BIGINT n_phone,
+       regexp_replace(t2, '{p["phone"]}', '<PHONE>', 'g') t3 FROM s2)
+SELECT doc_id, t3 AS text, n_email, n_ip, n_phone FROM s3 ORDER BY doc_id
+"""
+    ).df()
+    if len(got) == 0 and len(want) == 0:
+        return
+    pdt.assert_frame_equal(got, want, check_dtype=False)

@@ -11,7 +11,7 @@ engine-vs-independent-model discipline the mapping layer uses
 import itertools
 
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from etl_pipeline_rdf_star_ray.schema import ANNOTATIONS_TYPE
@@ -229,3 +229,102 @@ def test_alternation_equals_union_rewrite(triples, preds):
         )
 
     assert norm(got) == norm(want), (triples, preds)
+
+
+# ---------------------------------------------------------------------------
+# MINUS + HAVING (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _minus_reference(
+    triples, main_pats, minus_pats
+) -> list[dict]:
+    """SPARQL 1.1 §8.3 reference semantics over the naive evaluator:
+    remove μ1 iff some μ2 of the MINUS group is compatible on the shared
+    variables AND dom(μ1) ∩ dom(μ2) ≠ ∅."""
+    main = _naive_eval(triples, main_pats)
+    sub = _naive_eval(triples, minus_pats)
+    out = []
+    for m in main:
+        removed = False
+        for s2 in sub:
+            shared = set(m) & set(s2)
+            if shared and all(m[v] == s2[v] for v in shared):
+                removed = True
+                break
+        if not removed:
+            out.append(m)
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    triples=_triples,
+    main=st.lists(_pattern, min_size=1, max_size=2),
+    minus=st.lists(_pattern, min_size=1, max_size=2),
+)
+def test_minus_matches_spec_reference(triples, main, minus):
+    """Random BGPs on both sides of MINUS (shared-variable structure is
+    random: 0, 1 or many shared vars) against the §8.3 reference over the
+    naive evaluator — including the disjoint-domain keep-everything rule."""
+    quads = _quads_table(triples)
+    q_main, var_names = _to_sparql(main)
+    assume(var_names)  # an all-constant minuend has no projectable vars
+    body_main = q_main.split("WHERE { ")[1][:-2]
+
+    def term(t):
+        if isinstance(t, Var):
+            return f"?{t.name}"
+        if isinstance(t, Iri):
+            return f"<{t.value}>"
+        return f'"{t.value}"'
+
+    body_minus = " . ".join(
+        f"{term(p.s)} {term(p.p)} {term(p.o)}" for p in minus
+    )
+    sel = " ".join(f"?{v}" for v in var_names)
+    query = (
+        f"SELECT {sel} WHERE {{ {body_main} MINUS {{ {body_minus} }} }}"
+    )
+    got = sparql_select(query, quads)
+    want = sorted(
+        tuple(sol.get(v) for v in var_names)
+        for sol in _minus_reference(triples, main, minus)
+    )
+    got_rows = sorted(
+        tuple(r[v] for v in var_names) for r in got.to_pylist()
+    )
+    assert got_rows == want, (triples, query)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    triples=_triples,
+    threshold=st.integers(min_value=1, max_value=4),
+)
+def test_having_equals_post_filter(triples, threshold):
+    """GROUP BY + HAVING(COUNT > n) equals computing the ungated aggregate
+    and filtering afterwards."""
+    quads = _quads_table(triples)
+    gated = sparql_select(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+        f"HAVING (COUNT(?s) > {threshold}) ORDER BY ?p",
+        quads,
+    )
+    full = sparql_select(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p",
+        quads,
+    )
+    want = [
+        (p, n)
+        for p, n in zip(
+            full.column("p").to_pylist(), full.column("n").to_pylist()
+        )
+        if int(n) > threshold
+    ]
+    got = list(
+        zip(gated.column("p").to_pylist(), gated.column("n").to_pylist())
+    )
+    assert [(p, int(n)) for p, n in got] == [
+        (p, int(n)) for p, n in want
+    ], triples
