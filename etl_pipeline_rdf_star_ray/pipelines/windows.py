@@ -282,3 +282,86 @@ def mixture_sample(
         return batch.filter(pa.array(rn <= q)).drop_columns(["__h", "__rn"])
 
     return ranked.map_batches(quota_filter, batch_format="pyarrow")
+
+
+def ntile_global(
+    ds: "rd.Dataset",
+    *,
+    keys: list[str],
+    n: int,
+    out_col: str = "bucket",
+    num_shards: int = 64,
+    samples_per_block: int = 64,
+) -> "rd.Dataset":
+    """Global ``ntile(n) OVER (ORDER BY keys)`` — equal-size bucket
+    assignment over the TOTAL order (curriculum binning, difficulty
+    deciles) without any global sort shuffle.
+
+    SQL ntile semantics exactly: with ``N`` total rows, ``k = N // n``,
+    ``m = N % n``, the first ``m`` buckets hold ``k + 1`` rows and the
+    rest hold ``k``; ties are broken by the remaining sort keys, so pass a
+    unique tiebreaker as the last key for a deterministic assignment.
+    NULLS LAST like ``ORDER BY``.
+
+    Shape: the same distributed ordered-prefix machinery as
+    ``training.pack_items`` but counting ROWS — range-partition on the
+    first key (equal first keys colocate, so composite ordering is exact
+    within one shard), per-shard row counts reduce to ``num_shards``
+    scalars, the driver's exclusive scan broadcasts back as each shard's
+    global row offset, and one exchange later every shard computes its
+    rows' bucket ids from pure arithmetic. Rows move exactly once."""
+    import ray
+
+    from ..stages.exchange import exchange_apply
+    from ..stages.sortrange import range_tag
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if not keys:
+        raise ValueError("need at least one order key")
+
+    tagged = range_tag(
+        ds, keys[0], num_shards=num_shards,
+        samples_per_block=samples_per_block,
+    ).materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        agg = t.group_by("partition_id", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return agg
+
+    parts = tagged.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).take_all()
+    n_pids = 1 + max((int(r["partition_id"]) for r in parts), default=0)
+    totals = np.zeros(n_pids, dtype=np.int64)
+    for r in parts:
+        totals[int(r["partition_id"])] += int(r["count_all"])
+    total_rows = int(totals.sum())
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    meta_ref = ray.put((bases, total_rows))
+
+    k, m = divmod(total_rows, n) if total_rows else (0, 0)
+
+    def bucket_shard(t: pa.Table) -> pa.Table:
+        base_offsets, _N = ray.get(meta_ref)
+        pid = int(t.column("partition_id")[0].as_py())
+        t = t.drop_columns(["partition_id"]).sort_by(
+            [(c, "ascending") for c in keys]
+        )
+        r = base_offsets[pid] + np.arange(t.num_rows, dtype=np.int64)
+        if k == 0:
+            # fewer rows than buckets: row r lands in bucket r
+            bucket = r
+        else:
+            cut = m * (k + 1)
+            bucket = np.where(
+                r < cut, r // (k + 1), m + (r - cut) // max(k, 1)
+            )
+        return t.append_column(
+            out_col, pa.array(bucket + 1, pa.int64())  # ntile is 1-based
+        )
+
+    out = exchange_apply(tagged, bucket_shard, presorted=True)
+    return out

@@ -1487,6 +1487,28 @@ FROM ex
 )
 
 
+def q_orders_deciles(sf_dir: str):
+    """Global ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) —
+    curriculum-style difficulty deciles over the total order via the
+    prefix-count plane (windows.ntile_global): range-partition + per-shard
+    row counts + driver scan, no sort shuffle, rows move once."""
+    from .pipelines.windows import ntile_global
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ntile_global(
+        orders, keys=["o_totalprice", "o_orderkey"], n=10, out_col="decile"
+    )
+
+
+ORACLE_ORDERS_DECILES = """
+SELECT o_orderkey, o_totalprice,
+       ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS decile
+FROM orders
+"""
+
+
 def q_text_freq_stats(sf_dir: str):
     """Integer-exact unigram-frequency quality signals per document
     (corpus.token_frequency_stats): mean global token count and
@@ -1900,6 +1922,7 @@ def build_queries() -> dict:
         "sparql_minus_having": q_sparql_minus_having,
         "pack_conversations": q_pack_conversations,
         "text_freq_stats": q_text_freq_stats,
+        "orders_deciles": q_orders_deciles,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1923,10 +1946,10 @@ def build_queries() -> dict:
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
         "topk_orders": lambda sf: analytics.top_orders(sf),
-        "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "user_sessions": lambda sf: analytics.user_sessions(sf),
         "event_sessions": lambda sf: analytics.event_sessions(sf),
@@ -2004,6 +2027,7 @@ def build_oracles() -> dict[str, str]:
         "sparql_minus_having": ORACLE_SPARQL_MINUS_HAVING,
         "pack_conversations": ORACLE_PACK_CONVERSATIONS,
         "text_freq_stats": ORACLE_TEXT_FREQ_STATS,
+        "orders_deciles": ORACLE_ORDERS_DECILES,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

@@ -444,3 +444,70 @@ def test_mixture_sample_validates_quotas(ray_session):
         mixture_sample(
             ds, source_col="lang", id_col="doc_id", quotas={"en": -1}
         )
+
+
+def test_ntile_global_matches_duckdb(ray_session):
+    import numpy as np
+    """Global ntile over composite keys with nulls and ties: exact SQL
+    semantics (first N%n buckets get the extra row, NULLS LAST, 1-based)
+    at several bucket counts including n > N."""
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.pipelines.windows import ntile_global
+
+    rng = np.random.default_rng(13)
+    m = 1000
+    k = [None if rng.random() < 0.05 else int(x)
+         for x in rng.integers(0, 50, m)]
+    df = pd.DataFrame(
+        {"k": pd.array(k, dtype="Int64"),
+         "id": np.arange(m, dtype=np.int64)}
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    for n in (1, 3, 10, 1500):
+        got = (
+            ntile_global(
+                rd.from_pandas(df).repartition(5), keys=["k", "id"], n=n,
+                num_shards=7,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = con.execute(
+            f"SELECT k, id, ntile({n}) OVER (ORDER BY k, id) AS bucket "
+            "FROM t ORDER BY id"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["k", "id", "bucket"]], want, check_dtype=False
+        )
+
+
+def test_ntile_global_shard_invariance_and_validation(ray_session):
+    import numpy as np
+    from etl_pipeline_rdf_star_ray.pipelines.windows import ntile_global
+
+    df = pd.DataFrame(
+        {"k": np.arange(97, dtype=np.int64) % 13,
+         "id": np.arange(97, dtype=np.int64)}
+    )
+    ref = None
+    for shards, blocks in [(1, 1), (5, 3), (19, 6)]:
+        got = (
+            ntile_global(
+                rd.from_pandas(df).repartition(blocks), keys=["k", "id"],
+                n=7, num_shards=shards,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(got, ref)
+    with pytest.raises(ValueError, match="n must be positive"):
+        ntile_global(rd.from_pandas(df), keys=["k"], n=0)
+    with pytest.raises(ValueError, match="order key"):
+        ntile_global(rd.from_pandas(df), keys=[], n=4)
