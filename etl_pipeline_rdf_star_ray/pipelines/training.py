@@ -356,3 +356,85 @@ def conversation_weights(
         per_shard,
         num_shards=num_shards,
     )
+
+
+def changed_keys(
+    delta: "rd.Dataset", *, key_col: str = "conv_id"
+) -> pa.Array:
+    """Distinct key values touched by a change-log delta, reduced via
+    per-batch vectorized ``unique`` partials (only each block's distinct
+    keys leave the task — the delta's key set, not its rows, reaches the
+    driver). Returns a deduplicated Arrow array for broadcast.
+
+    Scale bound: the result is the number of DISTINCT entities in the
+    delta window — for incremental refresh that is ≤ the delta row count
+    and typically ≪ the corpus; callers that expect pathological deltas
+    should bound the window (the same contract as the minhash
+    verification rounds)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        u = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table({key_col: u}).replace_schema_metadata(None)
+
+    parts = [
+        t
+        for t in delta.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ]
+    import ray
+
+    tabs = [t for t in ray.get(parts) if len(t)]
+    if not tabs:
+        return pa.array([], pa.string())
+    merged = pa.concat_tables(tabs).column(key_col)
+    if isinstance(merged, pa.ChunkedArray):
+        merged = merged.combine_chunks()
+    # NULL keys never match (SQL join semantics: NULL = NULL is not true),
+    # so a delta row with a NULL key marks nothing as changed
+    return pc.unique(merged).drop_null()
+
+
+def training_pairs_delta(
+    state: "rd.Dataset",
+    delta: "rd.Dataset",
+    *,
+    k: int = 4,
+    target_role: str = "assistant",
+    key_col: str = "conv_id",
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Incremental SFT-pair refresh: recompute :func:`training_pairs` ONLY
+    for conversations the change-log ``delta`` touched — the CDC-native
+    training-data maintenance step (new turns arrive → only their
+    conversations' pairs are re-emitted; untouched conversations cost
+    nothing downstream).
+
+    The changed-key set (:func:`changed_keys`) is broadcast once via
+    ``ray.put``; a vectorized ``pc.is_in`` filter keeps each changed
+    conversation's FULL turn history (contexts need the old turns too),
+    then the standard windowed assembly runs on the filtered subset. One
+    streaming filter + one conversation-hash exchange over only the
+    changed conversations' rows."""
+    import ray
+
+    keys = changed_keys(delta, key_col=key_col)
+    keys_ref = ray.put(keys)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        col = batch.column(key_col)
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        mask = pc.is_in(col, value_set=ks)
+        return batch.filter(pc.fill_null(mask, False)).replace_schema_metadata(
+            None
+        )
+
+    touched = state.map_batches(keep, batch_format="pyarrow")
+    return training_pairs(
+        touched, k=k, target_role=target_role, num_shards=num_shards
+    )

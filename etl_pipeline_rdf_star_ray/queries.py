@@ -1442,6 +1442,38 @@ FROM ctx WHERE role = 'assistant'
 """
 
 
+def q_training_pairs_delta(sf_dir: str):
+    """Incremental SFT-pair refresh (CDC × training): recompute pairs ONLY
+    for conversations the post-T changelog delta touched — the changed-key
+    set is reduced via per-batch unique partials and broadcast once, each
+    changed conversation keeps its FULL turn history for context assembly
+    (training.training_pairs_delta)."""
+    from .pipelines import training
+
+    state = _upserted_state(sf_dir)
+    delta = changelog_from_events(sf_dir, lsn_lo=_t_split(sf_dir) + 1)
+    return training.training_pairs_delta(state, delta, k=3)
+
+
+ORACLE_TRAINING_PAIRS_DELTA = f"""{_CDC_PREFIX},
+changed AS (
+  SELECT DISTINCT conv_id FROM changelog WHERE lsn > {_T_SQL}),
+lines AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(role, '') || ': ' || coalesce(text, '') AS line
+  FROM state
+), ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(line, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context
+  FROM lines
+)
+SELECT c.conv_id, turn_idx, context, text AS response
+FROM ctx c JOIN changed USING (conv_id) WHERE role = 'assistant'
+"""
+
+
 #: shared by both pack oracles: global exclusive token prefix per doc
 _PACK_SPAN_SQL = r"""
 WITH tok AS (
@@ -1923,6 +1955,7 @@ def build_queries() -> dict:
         "pack_conversations": q_pack_conversations,
         "text_freq_stats": q_text_freq_stats,
         "orders_deciles": q_orders_deciles,
+        "training_pairs_delta": q_training_pairs_delta,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -1945,10 +1978,10 @@ def build_queries() -> dict:
         # --- one representative per family ----------------------------------
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
-        "topk_orders": lambda sf: analytics.top_orders(sf),
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "topk_orders": lambda sf: analytics.top_orders(sf),
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
         "user_sessions": lambda sf: analytics.user_sessions(sf),
@@ -2028,6 +2061,7 @@ def build_oracles() -> dict[str, str]:
         "pack_conversations": ORACLE_PACK_CONVERSATIONS,
         "text_freq_stats": ORACLE_TEXT_FREQ_STATS,
         "orders_deciles": ORACLE_ORDERS_DECILES,
+        "training_pairs_delta": ORACLE_TRAINING_PAIRS_DELTA,
         "agg_pricing_summary": ORACLE_PRICING,
         "join_top_customers": ORACLE_TOP_CUSTOMERS,
         "topk_orders": ORACLE_TOP_ORDERS,

@@ -342,3 +342,46 @@ def test_conversation_weights_and_packing_match_sql(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_training_pairs_delta_refreshes_only_touched_convs(ray_session):
+    """Narrow delta: only the touched conversations' pairs are re-emitted,
+    each with its FULL turn history for context; null delta keys mark
+    nothing changed (SQL join semantics); an empty delta yields zero
+    pairs."""
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.pipelines.training import (
+        changed_keys,
+        training_pairs_delta,
+    )
+
+    df = _transcripts(seed=44, n=2000, n_convs=80)
+    state = rd.from_pandas(df).repartition(5)
+    delta = pd.DataFrame({"conv_id": ["c3", "c3", "c17", None]})
+    got = (
+        training_pairs_delta(
+            state, rd.from_pandas(delta), k=3, num_shards=9
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert set(got.conv_id.unique()) <= {"c3", "c17"}
+    # equals the full assembly restricted to the touched conversations —
+    # i.e. the context windows saw the conversations' complete history
+    full = _pairs_oracle(df, 3, "assistant")
+    want = (
+        full[full.conv_id.isin(["c3", "c17"])]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) > 0  # the touched convs really have assistant turns
+
+    keys = changed_keys(rd.from_pandas(delta))
+    assert sorted(keys.to_pylist()) == ["c17", "c3"]  # null dropped
+
+    empty_delta = pd.DataFrame({"conv_id": pd.array([], dtype="string")})
+    out = training_pairs_delta(state, rd.from_pandas(empty_delta), k=2)
+    assert out.count() == 0
