@@ -1,8 +1,7 @@
 """Training-data assembly over transcripts and documents.
 
 The reference pipeline ends at the RDF lake; a training-data user of the
-same corpus needs two more steps this module provides, both expressed
-Ray-Data-first:
+same corpus needs these further steps, each expressed Ray-Data-first:
 
 - :func:`training_pairs` — supervised fine-tuning pair extraction over the
   upserted transcript state: for every turn of a target role, the
@@ -11,8 +10,14 @@ Ray-Data-first:
   ``string_agg(line) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS
   BETWEEN k PRECEDING AND 1 PRECEDING)``, so the driver oracle is
   hash-exact.
-- :func:`pack_sequences` — context-window packing of tokenized documents
-  into fixed-capacity bins over the GLOBAL ``doc_id`` order, via a
+- :func:`training_pairs_delta` / :func:`changed_keys` — the incremental
+  (CDC-native) variant: the change-log delta reduces to its distinct
+  conversation set, broadcast once, and only touched conversations (with
+  their FULL turn history) re-enter the assembly.
+- :func:`pack_items` / :func:`pack_sequences` /
+  :func:`conversation_weights` — context-window packing of weighted items
+  (token counts, per-conversation token sums, any positive integer
+  weight) into fixed-capacity bins over the GLOBAL ``id`` order, via a
   distributed ordered prefix sum (range-partition by id, per-shard local
   sums, driver-side exclusive scan over ``num_shards`` scalars, broadcast
   bases). Two deterministic, SQL-expressible modes:
@@ -389,7 +394,17 @@ def changed_keys(
 
     tabs = [t for t in ray.get(parts) if len(t)]
     if not tabs:
-        return pa.array([], pa.string())
+        # typed empty set: the caller's is_in must see the key column's
+        # real type (an int key vs a string empty set would throw)
+        sch = delta.schema()
+        ktype = (
+            dict(zip(sch.names, sch.types))[key_col]
+            if sch is not None
+            else pa.string()
+        )
+        if ktype is None or pa.types.is_null(ktype):
+            ktype = pa.string()
+        return pa.array([], ktype)
     merged = pa.concat_tables(tabs).column(key_col)
     if isinstance(merged, pa.ChunkedArray):
         merged = merged.combine_chunks()
