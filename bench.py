@@ -223,6 +223,27 @@ def run_bench() -> dict:
     )
     queries["join_lineitem_orders"] = sec
 
+    # round-4 training-data surfaces: windowed SFT-pair assembly over the
+    # upserted state and the distributed prefix-sum packer
+    from etl_pipeline_rdf_star_ray.pipelines import training
+
+    state = cdc.upsert_dataset(
+        changelog_from_events(SF_DIR), num_partitions=16
+    ).materialize()
+    sec, _ = timed(lambda: training.training_pairs(state, k=3).count())
+    queries["training_pairs"] = sec
+
+    sec, _ = timed(
+        lambda: training.pack_sequences(
+            read_parquet_clean(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            capacity=96,
+            mode="split",
+        ).count()
+    )
+    queries["pack_sequences"] = sec
+
     st = ops.status(lake)
     ray.shutdown()
 
