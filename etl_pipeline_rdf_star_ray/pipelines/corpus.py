@@ -679,6 +679,35 @@ def flatten_conversations(
     )
 
 
+def dedup_conversations(
+    state: "rd.Dataset",
+    *,
+    sep: str = "\n",
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Conversation-level exact dedup over the per-turn transcript state:
+    flatten each conversation to its canonical ``role: text`` transcript
+    (``flatten_conversations``), then keep the lexicographically-lowest
+    ``conv_id`` per distinct transcript (``dedup.dedup_exact`` on the
+    flattened doc) — the step that removes re-ingested or mirrored
+    conversations from a training corpus before pair assembly / packing.
+
+    SQL mirror: flatten via ``string_agg(role || ': ' || text, sep ORDER BY
+    turn_idx) GROUP BY conv_id`` then ``QUALIFY row_number() OVER (PARTITION
+    BY doc ORDER BY conv_id) = 1``.
+
+    Scale shape: the raw turns cross the wire once (the flatten's conv-hash
+    exchange); dedup then exchanges ONE row per conversation keyed by the
+    md5 content fingerprint — duplicate detection is global even though no
+    stage ever holds more than one shard of flattened docs."""
+    from .dedup import dedup_exact
+
+    flat = flatten_conversations(state, sep=sep, num_shards=num_shards)
+    return dedup_exact(
+        flat, text_col="doc", id_col="conv_id", num_shards=num_shards
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic hash sampling
 # ---------------------------------------------------------------------------

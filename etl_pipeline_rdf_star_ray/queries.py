@@ -1830,6 +1830,50 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup (corpus.dedup_conversations semantics:
+    flatten → keep lowest conv_id per distinct transcript). The synthetic
+    conversations are all distinct, so this query SALTS a deterministic
+    ~1/16 of them (md5(conv_id) leading hex digit '0') into 16 shared
+    transcripts on BOTH the Ray and SQL sides — the oracle proves rows are
+    actually REMOVED by the fingerprint-sharded dedup, not that it is a
+    no-op; unsalted conversations must all survive untouched."""
+    from .functions.hashing import md5_hex_column
+    from .pipelines import corpus
+
+    flat = corpus.flatten_conversations(_upserted_state(sf_dir))
+
+    def salt(t: pa.Table) -> pa.Table:
+        h = md5_hex_column(t.column("conv_id"), prefix=2)
+        dup = pc.equal(pc.utf8_slice_codeunits(h, 0, 1), "0")
+        doc = pc.if_else(
+            dup,
+            pc.binary_join_element_wise(
+                "dup:", pc.utf8_slice_codeunits(h, 1, 2), ""
+            ),
+            t.column("doc"),
+        )
+        return t.set_column(t.schema.get_field_index("doc"), "doc", doc)
+
+    salted = flat.map_batches(salt, batch_format="pyarrow")
+    return dedup.dedup_exact(salted, text_col="doc", id_col="conv_id")
+
+
+ORACLE_CONV_DEDUP = f"""{_CDC_PREFIX},
+flat AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+  FROM state GROUP BY conv_id),
+salted AS (
+  SELECT conv_id, n_turns,
+         CASE WHEN substr(md5(conv_id), 1, 1) = '0'
+              THEN 'dup:' || substr(md5(conv_id), 2, 1) ELSE doc END AS doc
+  FROM flat)
+SELECT conv_id, n_turns, doc FROM salted
+QUALIFY row_number() OVER (PARTITION BY doc ORDER BY conv_id) = 1
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Corpus text normalization (lowercase + whitespace collapse + trim,
     pure Arrow kernels — functions/text.normalize_text)."""
@@ -2024,6 +2068,7 @@ def build_queries() -> dict:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "conv_dedup": q_conv_dedup,
     }
 
 
@@ -2106,6 +2151,7 @@ def build_oracles() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "unpivot_user_matrix": ORACLE_UNPIVOT,
         "model_scores": ORACLE_MODEL_SCORES,
+        "conv_dedup": ORACLE_CONV_DEDUP,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -436,3 +436,52 @@ FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
     # the signals are live: some docs have rare tokens, some are all-common
     assert (want.rare_frac > 0).any() and (want.rare_frac == 0).any()
     assert (want.n_tokens == 0).any()  # null/punct-only docs score zero
+
+
+def test_conv_dedup_query_matches_oracle():
+    assert oracle_run(SF, ["conv_dedup"]) == 0
+
+
+def test_dedup_conversations_removes_exact_transcript_dups():
+    """Two conversations with identical turn sequences collapse to the
+    lexicographically-lowest conv_id; a conversation differing only in turn
+    ORDER is a different transcript and survives (flatten is ORDER BY
+    turn_idx, so the canonical form is order-sensitive)."""
+    import duckdb
+
+    state_tbl = pa.table(
+        {
+            "conv_id": ["c2", "c2", "c1", "c1", "c3", "c3", "c4"],
+            "turn_idx": pa.array([0, 1, 0, 1, 1, 0, 0], pa.int32()),
+            "role": ["user", "assistant"] * 2 + ["user", "assistant", "user"],
+            "text": ["hi", "yo", "hi", "yo", "hi", "yo", "solo"],
+        }
+    )
+    out = (
+        corpus.dedup_conversations(rd.from_arrow(state_tbl), num_shards=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.execute(
+            """
+            WITH flat AS (
+              SELECT conv_id, count(*)::BIGINT AS n_turns,
+                     string_agg(role || ': ' || text, chr(10)
+                                ORDER BY turn_idx) AS doc
+              FROM state_tbl GROUP BY conv_id)
+            SELECT conv_id, n_turns, doc FROM flat
+            QUALIFY row_number() OVER (PARTITION BY doc ORDER BY conv_id) = 1
+            ORDER BY conv_id
+            """
+        )
+        .arrow()
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        out[["conv_id", "n_turns", "doc"]], want, check_dtype=False
+    )
+    # c1/c2 share a transcript -> c1 survives; c3 (reversed order) and the
+    # singleton c4 survive: the dedup really removed a row
+    assert sorted(out["conv_id"]) == ["c1", "c3", "c4"]
