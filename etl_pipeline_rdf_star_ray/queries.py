@@ -2021,10 +2021,11 @@ def build_queries() -> dict:
         "sparql_construct_regions": q_sparql_construct_regions,
         # --- one representative per family ----------------------------------
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
-        "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
+        "conv_dedup": q_conv_dedup,
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
         "topk_orders": lambda sf: analytics.top_orders(sf),
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
         "events_hourly": lambda sf: analytics.events_hourly(sf),
@@ -2068,7 +2069,6 @@ def build_queries() -> dict:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
-        "conv_dedup": q_conv_dedup,
     }
 
 
