@@ -50,10 +50,13 @@ def _group_key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     return h
 
 
-def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
-    """TPC-H Q1-shaped pricing summary with partial aggregation: each batch
-    collapses to one row per (returnflag, linestatus) BEFORE the shuffle, so
-    the groupby moves O(groups × blocks) rows instead of O(rows)."""
+def _pricing_finest(sf_dir: str, cutoff: str) -> pd.DataFrame:
+    """Finest-grain pricing aggregate — one row per (returnflag, linestatus)
+    with exact int64 cents sums — via the partial-combine plane: each batch
+    collapses to one row per group BEFORE the shuffle, so the groupby moves
+    O(groups × blocks) rows instead of O(rows). Raw lineitem data is touched
+    exactly once; `pricing_summary` and `pricing_rollup` both derive their
+    outputs from this (small) result."""
     ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
@@ -108,7 +111,7 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    final = (
+    return (
         sharded_groups(
             partials,
             lambda b: _group_key_hash(b, ["l_returnflag", "l_linestatus"]),
@@ -118,6 +121,12 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+
+
+def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
+    """TPC-H Q1-shaped pricing summary over the finest-grain cents partials
+    (see :func:`_pricing_finest` for the scale shape)."""
+    final = _pricing_finest(sf_dir, cutoff)
     final["sum_base"] = final.pop("sum_base_c") / 100.0
     final["avg_disc"] = np.floor(
         final.pop("sum_disc_c") / final["count_order"] / 100.0 * 10000
@@ -126,6 +135,53 @@ def pricing_summary(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_base", "avg_disc", "count_order"]
     ]
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pricing_rollup(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
+    """``GROUP BY ROLLUP (l_returnflag, l_linestatus)`` — the hierarchical
+    grouping-sets aggregate: the finest level plus each coarser prefix level
+    (per returnflag, grand total), rolled-up columns NULL exactly as SQL
+    emits them.
+
+    Scale shape: raw data is scanned ONCE for the finest level (partial
+    combine inside :func:`_pricing_finest` — only per-batch group partials
+    move); every coarser level re-aggregates the previous level's already
+    tiny result (O(groups) rows) on the driver, never the raw table. Sums
+    stay int64 cents through every level so the rollup totals are exact and
+    hash-identical to the oracle regardless of aggregation order."""
+    fin = _pricing_finest(sf_dir, cutoff).drop(columns=["sum_disc_c"])
+    per_flag = (
+        fin.groupby("l_returnflag", sort=False)
+        .agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_c=("sum_base_c", "sum"),
+            count_order=("count_order", "sum"),
+        )
+        .reset_index()
+    )
+    per_flag["l_linestatus"] = None
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_qty": [fin["sum_qty"].sum()],
+            "sum_base_c": [fin["sum_base_c"].sum()],
+            "count_order": [fin["count_order"].sum()],
+        }
+    )
+    out = pd.concat([fin, per_flag, total], ignore_index=True)
+    out["sum_base"] = out.pop("sum_base_c") / 100.0
+    out = out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base", "count_order"]
+    ]
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    # the all-NULL rolled-up key columns must stay typed string (a pure-None
+    # pandas object column round-trips as Arrow `null` otherwise)
+    for name in ("l_returnflag", "l_linestatus"):
+        i = tbl.schema.get_field_index(name)
+        if pa.types.is_null(tbl.schema.field(i).type):
+            tbl = tbl.set_column(i, name, tbl.column(i).cast(pa.string()))
+    return tbl
 
 
 def top_customers_by_revenue(sf_dir: str, *, k: int = 10) -> pa.Table:
@@ -537,6 +593,127 @@ def turn_gaps(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Dataset":
         )
 
     pruned = state.select_columns(["conv_id", "turn_idx", "ts"])
+    return sharded_groups(
+        pruned,
+        lambda b: xxh64_column(b.column("conv_id")),
+        per_shard,
+        num_shards=num_shards,
+    )
+
+
+def tool_transitions(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Dataset":
+    """Tool-call transition matrix over agent transcripts: for every ordered
+    pair of consecutive tool calls WITHIN a conversation (non-tool turns
+    skipped), the global call count and the number of distinct conversations
+    exhibiting that transition — the agent-behavior-mining operator
+    (``lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)`` on the
+    tool-bearing rows, then ``GROUP BY prev_tool, tool``).
+
+    Scale shape: tool-bearing rows are a small filtered projection of the
+    state (3 columns, tool turns only) — the filter runs per batch in Arrow
+    before anything moves. Conversations are hash-sharded (one conv never
+    splits), so each shard's vectorized lag is exact AND its per-pair
+    ``nunique(conv_id)`` partial is exact: a conversation contributes to
+    exactly one shard, so distinct-conv partials SUM to the true global
+    distinct count with no distinct-merge problem. A second tiny exchange
+    (≤ |tools|² rows per shard) combines the partials.
+
+    Output: ``(prev_tool, tool, n_calls, n_convs)``."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    def only_tools(batch: pa.Table) -> pa.Table:
+        t = batch.select(["conv_id", "turn_idx", "tool"])
+        return t.filter(pc.is_valid(t.column("tool")))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        prev = g.groupby(g["conv_id"], sort=False)["tool"].shift()
+        m = prev.notna().to_numpy()
+        pairs = pd.DataFrame(
+            {
+                "prev_tool": prev.to_numpy()[m],
+                "tool": g["tool"].to_numpy()[m],
+                "conv_id": g["conv_id"].to_numpy()[m],
+            }
+        )
+        out = (
+            pairs.groupby(["prev_tool", "tool"], sort=False)
+            .agg(n_calls=("conv_id", "size"), n_convs=("conv_id", "nunique"))
+            .reset_index()
+        )
+        # pin dtypes: a shard whose conversations all have ≤1 tool call
+        # emits zero pairs, and empty object columns would round-trip as
+        # Arrow `null` type (one schema per block — round-4 invariant)
+        return out.astype(
+            {
+                "prev_tool": "string",
+                "tool": "string",
+                "n_calls": np.int64,
+                "n_convs": np.int64,
+            }
+        )
+
+    per_conv_shard = sharded_groups(
+        state.map_batches(only_tools, batch_format="pyarrow"),
+        lambda b: xxh64_column(b.column("conv_id")),
+        per_shard,
+        num_shards=num_shards,
+    )
+
+    def combine(shard: pd.DataFrame) -> pd.DataFrame:
+        return (
+            shard.groupby(["prev_tool", "tool"], sort=False)
+            .agg(n_calls=("n_calls", "sum"), n_convs=("n_convs", "sum"))
+            .reset_index()
+        )
+
+    return sharded_groups(
+        per_conv_shard,
+        lambda b: _group_key_hash(b, ["prev_tool", "tool"]),
+        combine,
+        num_shards=num_shards,
+    )
+
+
+def scrub_repeated_turns(
+    state: "rd.Dataset", *, num_shards: int = 64
+) -> "rd.Dataset":
+    """Transcript cleaning: drop every turn whose ``(role, text)`` is
+    NULL-safely identical to the immediately preceding turn of the SAME
+    conversation (ordered by ``turn_idx``) — collapsing stutter runs to
+    their first occurrence, the standard repeated-assistant-turn /
+    retry-echo scrub applied to chat corpora before training.
+
+    SQL mirror: ``lag(role)``/``lag(text)`` over
+    ``(PARTITION BY conv_id ORDER BY turn_idx)``, keep when ``rn = 1 OR NOT
+    (role IS NOT DISTINCT FROM prev_role AND text IS NOT DISTINCT FROM
+    prev_text)``.
+
+    Scale shape: conversation-hash exchange (a conv never splits), one
+    vectorized grouped-shift comparison per shard; rows move once and the
+    operator is a strict filter (no new columns, schema preserved).
+
+    Output: ``(conv_id, turn_idx, role, text)`` — the surviving turns."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        grp = g.groupby(g["conv_id"], sort=False)
+        prev_role = grp["role"].shift()
+        prev_text = grp["text"].shift()
+        first = grp.cumcount() == 0
+        same_role = (g["role"] == prev_role) | (
+            g["role"].isna() & prev_role.isna()
+        )
+        same_text = (g["text"] == prev_text) | (
+            g["text"].isna() & prev_text.isna()
+        )
+        keep = first | ~(same_role & same_text)
+        return g.loc[keep, ["conv_id", "turn_idx", "role", "text"]]
+
+    pruned = state.select_columns(["conv_id", "turn_idx", "role", "text"])
     return sharded_groups(
         pruned,
         lambda b: xxh64_column(b.column("conv_id")),

@@ -1874,6 +1874,96 @@ QUALIFY row_number() OVER (PARTITION BY doc ORDER BY conv_id) = 1
 """
 
 
+def q_tool_transitions(sf_dir: str):
+    """Tool-call transition matrix over the upserted agent-transcript state
+    (analytics.tool_transitions): consecutive tool-call pairs within each
+    conversation, with exact global call and distinct-conversation counts."""
+    return analytics.tool_transitions(_upserted_state(sf_dir))
+
+
+ORACLE_TOOL_TRANSITIONS = f"""{_CDC_PREFIX},
+seq AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM state WHERE tool IS NOT NULL)
+SELECT prev_tool, tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM seq WHERE prev_tool IS NOT NULL GROUP BY prev_tool, tool
+"""
+
+
+def q_scrub_turns(sf_dir: str):
+    """Consecutive-duplicate-turn scrub (analytics.scrub_repeated_turns).
+    The synthetic transcripts never repeat a turn verbatim, so this query
+    SALTS ~1/2 of the turns (md5(conv_id || ':' || turn_idx) leading hex
+    digit < '8') to the constant ('user', 'ping') on BOTH the Ray and SQL
+    sides — adjacent salted turns form real stutter runs, so the oracle
+    proves rows are actually DROPPED by the scrub, and every unsalted turn
+    must survive untouched."""
+    from .functions.hashing import md5_hex_column
+
+    state = _upserted_state(sf_dir)
+
+    def salt(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("conv_id"),
+            pc.cast(t.column("turn_idx"), pa.string()),
+            ":",
+        )
+        dup = pc.less(md5_hex_column(key, prefix=1), "8")
+        t = t.set_column(
+            t.schema.get_field_index("role"),
+            "role",
+            pc.if_else(dup, "user", t.column("role")),
+        )
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.if_else(dup, "ping", t.column("text")),
+        )
+
+    salted = state.map_batches(salt, batch_format="pyarrow")
+    return analytics.scrub_repeated_turns(salted)
+
+
+ORACLE_SCRUB_TURNS = f"""{_CDC_PREFIX},
+salted AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN substr(md5(conv_id || ':' || turn_idx), 1, 1) < '8'
+              THEN 'user' ELSE role END AS role,
+         CASE WHEN substr(md5(conv_id || ':' || turn_idx), 1, 1) < '8'
+              THEN 'ping' ELSE text END AS text
+  FROM state),
+lagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role) OVER w AS prev_role, lag(text) OVER w AS prev_text,
+         row_number() OVER w AS rn
+  FROM salted WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx, role, text FROM lagged
+WHERE rn = 1 OR NOT (role IS NOT DISTINCT FROM prev_role
+                     AND text IS NOT DISTINCT FROM prev_text)
+"""
+
+
+def q_rollup_pricing(sf_dir: str):
+    """Hierarchical GROUP BY ROLLUP over lineitem pricing
+    (analytics.pricing_rollup): finest (flag, status) level + per-flag
+    subtotals + grand total, raw data scanned once."""
+    return analytics.pricing_rollup(sf_dir)
+
+
+ORACLE_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100 AS sum_base,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Corpus text normalization (lowercase + whitespace collapse + trim,
     pure Arrow kernels — functions/text.normalize_text)."""
@@ -2000,6 +2090,9 @@ def build_queries() -> dict:
         "text_freq_stats": q_text_freq_stats,
         "orders_deciles": q_orders_deciles,
         "training_pairs_delta": q_training_pairs_delta,
+        "tool_transitions": q_tool_transitions,
+        "scrub_turns": q_scrub_turns,
+        "rollup_pricing": q_rollup_pricing,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -2017,14 +2110,14 @@ def build_queries() -> dict:
         "rdf_roundtrip": q_rdf_roundtrip,
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
-        "sparql_path_located": q_sparql_path_located,
-        "sparql_construct_regions": q_sparql_construct_regions,
         # --- one representative per family ----------------------------------
-        "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "conv_dedup": q_conv_dedup,
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "sparql_path_located": q_sparql_path_located,
+        "sparql_construct_regions": q_sparql_construct_regions,
+        "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
         "join_top_customers": lambda sf: analytics.top_customers_by_revenue(sf),
         "topk_orders": lambda sf: analytics.top_orders(sf),
         "distinct_event_types": lambda sf: analytics.event_type_counts(sf),
@@ -2152,6 +2245,9 @@ def build_oracles() -> dict[str, str]:
         "unpivot_user_matrix": ORACLE_UNPIVOT,
         "model_scores": ORACLE_MODEL_SCORES,
         "conv_dedup": ORACLE_CONV_DEDUP,
+        "tool_transitions": ORACLE_TOOL_TRANSITIONS,
+        "scrub_turns": ORACLE_SCRUB_TURNS,
+        "rollup_pricing": ORACLE_ROLLUP_PRICING,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

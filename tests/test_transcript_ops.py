@@ -1,0 +1,167 @@
+"""Agent-transcript mining + hierarchical rollup operators (round 4):
+tool-call transition matrix, consecutive-duplicate-turn scrub, and GROUP BY
+ROLLUP — each checked against its DuckDB oracle (the exact SQL the driver
+runs) at sf0.001 plus hand-built multi-block cases the driver data can't
+express (single-tool conversations, NULL-safe stutter runs, rollup level
+identities)."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+sys.path.insert(0, "/root/repo/tests")
+from oracle_harness import run as oracle_run
+
+from etl_pipeline_rdf_star_ray.pipelines import analytics
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_new_queries_match_oracles():
+    assert (
+        oracle_run(SF, ["tool_transitions", "scrub_turns", "rollup_pricing"])
+        == 0
+    )
+
+
+def _state(tbl: pa.Table, blocks: int) -> "rd.Dataset":
+    """Shuffle rows deterministically and split across blocks so every
+    conversation straddles block boundaries before the exchange."""
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(tbl.num_rows)
+    return rd.from_arrow(tbl.take(perm)).repartition(blocks)
+
+
+def test_tool_transitions_matches_window_oracle():
+    """Transitions skip non-tool turns, order by turn_idx (not input order),
+    never cross conversations, and n_convs counts DISTINCT conversations —
+    all verified against the lag-window SQL on a block-straddling corpus."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(40):
+        n = int(rng.integers(1, 12))
+        idxs = sorted(rng.choice(500, size=n, replace=False).tolist())
+        for i in idxs:
+            is_tool = rng.random() < 0.6
+            rows.append(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": i,
+                    "role": "tool" if is_tool else "user",
+                    "text": f"t{i}",
+                    "tool": f"tool_{int(rng.integers(3))}" if is_tool else None,
+                }
+            )
+    tbl = pa.Table.from_pylist(rows)
+    out = (
+        analytics.tool_transitions(_state(tbl, 5), num_shards=8)
+        .to_pandas()
+        .sort_values(["prev_tool", "tool"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.execute(
+            """
+            WITH seq AS (
+              SELECT conv_id, tool,
+                     lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_tool
+              FROM tbl WHERE tool IS NOT NULL)
+            SELECT prev_tool, tool, count(*)::BIGINT AS n_calls,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM seq WHERE prev_tool IS NOT NULL
+            GROUP BY prev_tool, tool ORDER BY prev_tool, tool
+            """
+        )
+        .arrow()
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # the distinct-conv count is live (strictly below the call count
+    # somewhere) — otherwise the test wouldn't notice a size-for-nunique bug
+    assert (out["n_convs"] < out["n_calls"]).any()
+
+
+def test_tool_transitions_single_call_convs_emit_nothing():
+    tbl = pa.table(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["tool", "user", "tool"],
+            "text": ["x", "y", "z"],
+            "tool": ["tool_1", None, "tool_2"],
+        }
+    )
+    assert analytics.tool_transitions(rd.from_arrow(tbl), num_shards=4).count() == 0
+
+
+def test_scrub_repeated_turns_matches_window_oracle():
+    """Stutter runs collapse to their first turn under NULL-safe (role,
+    text) equality, ordered by turn_idx; a change in EITHER role or text
+    breaks the run; every conversation keeps its first turn."""
+    tbl = pa.table(
+        {
+            "conv_id": ["a"] * 6 + ["b"] * 4 + ["c"],
+            "turn_idx": pa.array([0, 1, 2, 3, 4, 5, 0, 1, 2, 3, 0], pa.int32()),
+            "role": [
+                "user", "assistant", "assistant", "assistant", "user", "user",
+                "user", "user", None, None,
+                "assistant",
+            ],
+            "text": [
+                "hi", "ok", "ok", "ok", "ok", "ok",
+                None, None, None, "x",
+                "solo",
+            ],
+        }
+    )
+    out = (
+        analytics.scrub_repeated_turns(_state(tbl, 3), num_shards=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.execute(
+            """
+            WITH lagged AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lag(role) OVER w AS prev_role,
+                     lag(text) OVER w AS prev_text,
+                     row_number() OVER w AS rn
+              FROM tbl WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx, role, text FROM lagged
+            WHERE rn = 1 OR NOT (role IS NOT DISTINCT FROM prev_role
+                                 AND text IS NOT DISTINCT FROM prev_text)
+            ORDER BY conv_id, turn_idx
+            """
+        )
+        .arrow()
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # pin the semantics the SQL encodes: the assistant 'ok' run (1,2,3)
+    # collapses to turn 1, role-change at 4 survives, (user, NULL) stutter
+    # at b:1 drops (NULL-safe equality), NULL->'x' at b:3 survives
+    assert list(out["turn_idx"]) == [0, 1, 4, 0, 2, 3, 0]
+
+
+def test_pricing_rollup_level_identities():
+    """Each rollup level must be the exact aggregate of the level below —
+    the invariant the hierarchical re-aggregation relies on."""
+    t = analytics.pricing_rollup(SF).to_pandas()
+    finest = t[t["l_linestatus"].notna()]
+    per_flag = t[t["l_linestatus"].isna() & t["l_returnflag"].notna()]
+    total = t[t["l_returnflag"].isna()]
+    assert len(total) == 1
+    for col in ("sum_qty", "count_order"):
+        assert finest[col].sum() == total[col].iloc[0]
+        got = per_flag.set_index("l_returnflag")[col].sort_index()
+        want = finest.groupby("l_returnflag")[col].sum().sort_index()
+        assert (got == want).all()
+    # cents-exact: the double sum_base recombines exactly at every level
+    assert np.isclose(finest["sum_base"].sum(), total["sum_base"].iloc[0])
