@@ -1964,6 +1964,67 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _event_pair_sides(sf_dir: str):
+    """Two derived distinct-pair relations over events, split at value 0.5
+    (shared by the EXCEPT / INTERSECT queries): the (user, event_type)
+    behaviors observed above vs at-or-below the threshold. Both sides are
+    Arrow-filtered projections of one column-pruned read."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def hi(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("value"), 0.5)).select(
+            ["user_id", "event_type"]
+        )
+
+    def lo(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b.column("value"), 0.5)).select(
+            ["user_id", "event_type"]
+        )
+
+    return (
+        ev.map_batches(hi, batch_format="pyarrow"),
+        ev.map_batches(lo, batch_format="pyarrow"),
+    )
+
+
+def q_except_event_pairs(sf_dir: str):
+    """Distributed SQL EXCEPT (stages/setops.distinct_set_op): the distinct
+    (user, event_type) pairs that occur ONLY above the value threshold —
+    set-difference with SQL set-op semantics (DISTINCT output, NULL equals
+    NULL). Each side collapses to per-block distinct rows map-side, then one
+    128-bit-md5-fingerprint exchange colocates equal rows of both sides."""
+    from .stages.setops import distinct_set_op
+
+    left, right = _event_pair_sides(sf_dir)
+    return distinct_set_op(left, right, op="except")
+
+
+ORACLE_EXCEPT_EVENT_PAIRS = """
+SELECT user_id, event_type FROM events WHERE value > 0.5
+EXCEPT
+SELECT user_id, event_type FROM events WHERE value <= 0.5
+"""
+
+
+def q_intersect_event_pairs(sf_dir: str):
+    """Distributed SQL INTERSECT over the same derived pair relations —
+    the (user, event_type) behaviors observed on BOTH sides of the value
+    threshold (stages/setops.distinct_set_op, op='intersect')."""
+    from .stages.setops import distinct_set_op
+
+    left, right = _event_pair_sides(sf_dir)
+    return distinct_set_op(left, right, op="intersect")
+
+
+ORACLE_INTERSECT_EVENT_PAIRS = """
+SELECT user_id, event_type FROM events WHERE value > 0.5
+INTERSECT
+SELECT user_id, event_type FROM events WHERE value <= 0.5
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Corpus text normalization (lowercase + whitespace collapse + trim,
     pure Arrow kernels — functions/text.normalize_text)."""
@@ -2093,6 +2154,8 @@ def build_queries() -> dict:
         "tool_transitions": q_tool_transitions,
         "scrub_turns": q_scrub_turns,
         "rollup_pricing": q_rollup_pricing,
+        "except_event_pairs": q_except_event_pairs,
+        "intersect_event_pairs": q_intersect_event_pairs,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -2101,8 +2164,6 @@ def build_queries() -> dict:
         "cdc_value_history": q_cdc_value_history,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compact": q_cdc_compact,
-        "cdc_resalt": q_cdc_resalt,
-        "cdc_diff_summary": q_cdc_diff_summary,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
         "lift_delta": q_lift_delta,
@@ -2115,6 +2176,8 @@ def build_queries() -> dict:
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "cdc_resalt": q_cdc_resalt,
+        "cdc_diff_summary": q_cdc_diff_summary,
         "sparql_path_located": q_sparql_path_located,
         "sparql_construct_regions": q_sparql_construct_regions,
         "agg_pricing_summary": lambda sf: analytics.pricing_summary(sf),
@@ -2248,6 +2311,8 @@ def build_oracles() -> dict[str, str]:
         "tool_transitions": ORACLE_TOOL_TRANSITIONS,
         "scrub_turns": ORACLE_SCRUB_TURNS,
         "rollup_pricing": ORACLE_ROLLUP_PRICING,
+        "except_event_pairs": ORACLE_EXCEPT_EVENT_PAIRS,
+        "intersect_event_pairs": ORACLE_INTERSECT_EVENT_PAIRS,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -1,0 +1,166 @@
+"""Distributed DISTINCT set operations: SQL ``EXCEPT`` / ``INTERSECT``.
+
+The reference engine has no set operators (its only multi-source combine is
+the annotation equality join, ``rdf_star_etl_yarrrml.py:451-530``); these are
+the relational completions of the dedup family — "which distinct rows appear
+on one side and (not) on the other" — needed for corpus difference/overlap
+audits (e.g. which (user, event_type) behaviors exist only above a value
+threshold, which eval ids leaked into train).
+
+Semantics are SQL set-op semantics, NOT join semantics:
+
+- output is DISTINCT (one copy of each qualifying row, like ``EXCEPT`` /
+  ``INTERSECT`` without ``ALL``);
+- ``NULL`` compares EQUAL to ``NULL`` (set ops bucket nulls together —
+  ``SELECT NULL EXCEPT SELECT NULL`` is empty, unlike a join on NULL keys).
+
+Scale shape (both sides arbitrarily large):
+
+1. each block collapses to its DISTINCT rows map-side via Arrow
+   ``group_by`` over all columns (null-safe, C-speed) — the exchange
+   carries at most the per-block distinct count per side, never raw rows;
+2. rows gain a 128-bit md5 fingerprint over a canonical field-separated
+   rendering (DuckDB's C md5 kernel, zero-copy Arrow in/out — the same
+   exactness standard as ``pipelines/dedup.dedup_exact``'s content md5;
+   ``chr(30)`` separators + a NUL null sentinel make the rendering
+   injective for any value mix);
+3. ONE fingerprint exchange colocates equal rows from both sides
+   (equal rows ⇒ equal fingerprints ⇒ same shard);
+4. each shard emits its left-distinct rows filtered by right presence —
+   pure numpy membership on the two int64 fingerprint halves, no pandas
+   null-equality edge cases anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["distinct_set_op"]
+
+#: canonical-rendering separators: RS (0x1e) between fields, NUL+'N' for NULL
+#: — no varchar CAST of a non-NUL-bearing value can collide with either.
+_SEP = "chr(30)"
+_NULL = "chr(0)||'N'"
+
+
+def _fingerprint_sql(cols: list[str]) -> str:
+    canon = ", ".join(
+        f"coalesce(CAST(\"{c}\" AS VARCHAR), {_NULL})" for c in cols
+    )
+    return f"concat_ws({_SEP}, {canon})"
+
+
+def _distinct_fp_stage(cols: list[str], side: int):
+    """Per-block map: DISTINCT rows + (fp_lo, fp_hi, side) columns."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            batch = batch.select(cols).group_by(cols).aggregate([])
+        else:
+            batch = batch.select(cols)
+        import duckdb
+
+        fp = _fingerprint_sql(cols)
+        block = batch  # noqa: F841 (DuckDB replacement scan)
+        out = duckdb.execute(
+            f"SELECT *, md5_number_lower({fp}) AS __fp_lo, "
+            f"md5_number_upper({fp}) AS __fp_hi FROM block"
+        ).arrow()
+        # DuckDB returns uint64 halves; keep them (Arrow uint64 survives the
+        # exchange; the shard task views them as numpy uint64 directly)
+        out = out.append_column(
+            "__side", pa.array(np.full(out.num_rows, side, np.int8))
+        )
+        return out.replace_schema_metadata(None)
+
+    return stage
+
+
+def distinct_set_op(
+    left: "object",
+    right: "object",
+    *,
+    op: str = "except",
+    num_shards: int = 64,
+) -> "object":
+    """``left EXCEPT right`` or ``left INTERSECT right`` with SQL set-op
+    semantics over ALL of ``left``'s columns. ``right`` must carry the same
+    column names; its columns are aligned to ``left``'s order and cast to
+    ``left``'s types (a mismatch that cannot cast raises at execution).
+
+    Returns the distinct qualifying rows of ``left``.
+    """
+    if op not in ("except", "intersect"):
+        raise ValueError(f"op must be 'except' or 'intersect', got {op!r}")
+    lsch = left.schema()
+    cols = list(lsch.names)
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rnames = set(right.schema().names)
+    if set(cols) != rnames:
+        raise ValueError(
+            f"set-op sides must share column names: left={cols} "
+            f"right={sorted(rnames)}"
+        )
+
+    def align_right(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for c in cols:
+            col = batch.column(c)
+            want = ltypes[c]
+            if col.type != want and not pa.types.is_null(want):
+                col = col.cast(want)
+            arrays.append(col)
+        return pa.table(dict(zip(cols, arrays)))
+
+    tagged_l = left.map_batches(
+        _distinct_fp_stage(cols, 0), batch_format="pyarrow"
+    )
+    tagged_r = right.map_batches(align_right, batch_format="pyarrow").map_batches(
+        _distinct_fp_stage(cols, 1), batch_format="pyarrow"
+    )
+    both = tagged_l.union(tagged_r)
+
+    keep_present = op == "intersect"
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g["__fp_lo"].to_numpy(np.uint64)
+        hi = g["__fp_hi"].to_numpy(np.uint64)
+        side = g["__side"].to_numpy(np.int8)
+        # one integer identity per distinct 128-bit fingerprint in this
+        # shard (np.unique over the stacked halves — fully vectorized)
+        ids = np.unique(
+            np.stack([lo, hi], axis=1), axis=0, return_inverse=True
+        )[1].reshape(-1)
+        is_l = side == 0
+        # left-distinct across blocks: first occurrence of each identity
+        lidx = np.flatnonzero(is_l)
+        lids = ids[lidx]
+        order = np.argsort(lids, kind="stable")
+        keep_first = np.ones(len(order), bool)
+        keep_first[1:] = lids[order][1:] != lids[order][:-1]
+        lidx, lids = lidx[order][keep_first], lids[order][keep_first]
+        present = np.isin(lids, ids[~is_l])
+        keep = lidx[present if keep_present else ~present]
+        return g.iloc[np.sort(keep)].drop(
+            columns=["__fp_lo", "__fp_hi", "__side", "shard"]
+        )
+
+    from ..pipelines.dedup import sharded_groups
+
+    # no trailing map_batches: sharded_groups already restores each shard's
+    # declared column types (all-null shards included), and Ray rewrites
+    # zero-row blocks to zero-column blocks when a map stage follows —
+    # a shard whose every left row is filtered out would then emit a
+    # schema-drifting empty block
+    return sharded_groups(
+        both,
+        lambda b: np.bitwise_xor(
+            b.column("__fp_lo").to_numpy(zero_copy_only=False).astype(np.uint64),
+            b.column("__fp_hi").to_numpy(zero_copy_only=False).astype(np.uint64),
+        ),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
