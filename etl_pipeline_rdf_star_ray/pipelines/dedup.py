@@ -45,6 +45,48 @@ def _with_shard(key_source, num_shards: int):
     return stage
 
 
+def pandas_block_apply(
+    t: pa.Table, fn, *, nullable_ints: bool = False
+) -> pa.Table:
+    """One Arrow→pandas→Arrow application under the shard plane's exactness
+    contract (extracted from ``sharded_groups``' shard task so map-side
+    partial reducers — e.g. ``windows.argmax_rows`` — apply the identical
+    conversion rules per input block):
+
+    - ``nullable_ints=True`` maps integer columns to pandas nullable
+      extension dtypes so a null-bearing int64 column never floats
+      (2^53 identity corruption — ADVICE r3 / review r4);
+    - metadata is stripped so every output block hashes to one schema;
+    - a column that is ALL null in this block round-trips through pandas
+      as Arrow ``null`` type — restore the input's declared type so every
+      block carries the same schema (Ray's schema unification otherwise
+      warns, and downstream Arrow kernels that dispatch on type, e.g.
+      ``is_in``/``index_in``, reject the block)."""
+    if nullable_ints:
+        mapper = {
+            pa.int64(): pd.Int64Dtype(),
+            pa.int32(): pd.Int32Dtype(),
+            pa.int16(): pd.Int16Dtype(),
+            pa.int8(): pd.Int8Dtype(),
+        }.get
+        g = t.to_pandas(types_mapper=mapper)
+    else:
+        g = t.to_pandas()
+    out = pa.Table.from_pandas(
+        fn(g), preserve_index=False
+    ).replace_schema_metadata(None)
+    in_types = {f.name: f.type for f in t.schema}
+    for i, f in enumerate(out.schema):
+        want = in_types.get(f.name)
+        if (
+            pa.types.is_null(f.type)
+            and want is not None
+            and not pa.types.is_null(want)
+        ):
+            out = out.set_column(i, f.name, out.column(i).cast(want))
+    return out
+
+
 def sharded_groups(
     ds: "rd.Dataset",
     key_source,
@@ -90,38 +132,9 @@ def sharded_groups(
         names = [
             "shard" if c == "partition_id" else c for c in t.column_names
         ]
-        t = t.rename_columns(names)
-        if nullable_ints:
-            # null-bearing int64 columns must NOT float through the pandas
-            # conversion (2^53 exactness — ADVICE r3 / review r4): map all
-            # integer columns to pandas nullable extension dtypes
-            mapper = {
-                pa.int64(): pd.Int64Dtype(),
-                pa.int32(): pd.Int32Dtype(),
-                pa.int16(): pd.Int16Dtype(),
-                pa.int8(): pd.Int8Dtype(),
-            }.get
-            g = t.to_pandas(types_mapper=mapper)
-        else:
-            g = t.to_pandas()
-        out = pa.Table.from_pandas(
-            shard_fn(g), preserve_index=False
-        ).replace_schema_metadata(None)
-        # a column that is ALL null within this shard round-trips through
-        # pandas as Arrow `null` type — restore the shard input's declared
-        # type so every output block carries the same schema (Ray's schema
-        # unification otherwise warns and downstream Arrow kernels that
-        # dispatch on type, e.g. is_in/index_in, reject the block)
-        in_types = {f.name: f.type for f in t.schema}
-        for i, f in enumerate(out.schema):
-            want = in_types.get(f.name)
-            if (
-                pa.types.is_null(f.type)
-                and want is not None
-                and not pa.types.is_null(want)
-            ):
-                out = out.set_column(i, f.name, out.column(i).cast(want))
-        return out
+        return pandas_block_apply(
+            t.rename_columns(names), shard_fn, nullable_ints=nullable_ints
+        )
 
     return exchange_apply(
         ds.map_batches(add_pid, batch_format="pyarrow"), run

@@ -27,13 +27,65 @@ import pyarrow.compute as pc
 
 import ray.data as rd  # noqa: F401  (type refs in docstrings)
 
-from .dedup import sharded_groups
+from .dedup import pandas_block_apply, sharded_groups
 
 
 def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
     from .analytics import _group_key_hash
 
     return _group_key_hash(batch, cols)
+
+
+def argmax_rows(
+    ds: "rd.Dataset",
+    *,
+    group_cols: list[str],
+    order_by: list[str],
+    ascending: list[bool],
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Single best row per group — the distributed ``QUALIFY row_number()
+    OVER (PARTITION BY … ORDER BY … NULLS LAST) = 1`` — with the MAP-SIDE
+    PARTIAL REDUCE that :func:`rank_within_groups` (arbitrary k) cannot do:
+    arg-max is associative, so every input block first collapses to its own
+    per-group best row (one vectorized sort + ``drop_duplicates`` pass) and
+    the exchange then carries at most (distinct groups per block) rows
+    instead of every input row. At 100 TB with bounded group cardinality the
+    shuffle volume is blocks × groups-per-block, not corpus rows — the same
+    combiner argument as the aggregate partial plane, applied to whole rows.
+
+    Semantics pinned to the SQL oracle: NULLs sort LAST in every ordering
+    column regardless of direction (DuckDB's default null order); a NULL
+    group key forms its own partition (``dropna=False``).
+    ``order_by``/``ascending`` must make the order total within a group
+    (include a unique tiebreak column) for deterministic output."""
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            order_by,
+            ascending=ascending,
+            kind="mergesort",
+            na_position="last",
+        )
+        # drop_duplicates treats NA group keys as equal — the NULL partition
+        # keeps exactly one (best) row, matching PARTITION BY
+        return df.drop_duplicates(subset=group_cols, keep="first")
+
+    reduced = ds.map_batches(
+        lambda b: pandas_block_apply(b, best, nullable_ints=True),
+        batch_format="pyarrow",
+    )
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        return best(s.drop(columns=["shard"]))
+
+    return sharded_groups(
+        reduced,
+        lambda b: _key_hash(b, group_cols),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
 
 
 def rank_within_groups(

@@ -2025,6 +2025,34 @@ SELECT user_id, event_type FROM events WHERE value <= 0.5
 """
 
 
+def q_latest_events(sf_dir: str):
+    """Latest event row per user (windows.argmax_rows): the distributed
+    ``row_number() = 1`` arg-max with a MAP-SIDE partial reduce — each
+    input block collapses to its per-user best row before the exchange, so
+    the shuffle carries at most (users per block) rows, never the corpus.
+    Order: ts DESC then event_id DESC (total within a user)."""
+    from .pipelines.windows import argmax_rows
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return argmax_rows(
+        ev,
+        group_cols=["user_id"],
+        order_by=["ts", "event_id"],
+        ascending=[False, False],
+    )
+
+
+ORACLE_LATEST_EVENTS = """
+SELECT event_id, ts, user_id, event_type FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id
+  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Corpus text normalization (lowercase + whitespace collapse + trim,
     pure Arrow kernels — functions/text.normalize_text)."""
@@ -2156,6 +2184,7 @@ def build_queries() -> dict:
         "rollup_pricing": q_rollup_pricing,
         "except_event_pairs": q_except_event_pairs,
         "intersect_event_pairs": q_intersect_event_pairs,
+        "latest_events": q_latest_events,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -2170,12 +2199,12 @@ def build_queries() -> dict:
         "annotation_join": q_annotation_join,
         "rdf_roundtrip": q_rdf_roundtrip,
         "sparql_roles": q_sparql_roles,
-        "sparql_star_nation": q_sparql_star_nation,
         # --- one representative per family ----------------------------------
         "conv_dedup": q_conv_dedup,
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "sparql_star_nation": q_sparql_star_nation,
         "cdc_resalt": q_cdc_resalt,
         "cdc_diff_summary": q_cdc_diff_summary,
         "sparql_path_located": q_sparql_path_located,
@@ -2313,6 +2342,7 @@ def build_oracles() -> dict[str, str]:
         "rollup_pricing": ORACLE_ROLLUP_PRICING,
         "except_event_pairs": ORACLE_EXCEPT_EVENT_PAIRS,
         "intersect_event_pairs": ORACLE_INTERSECT_EVENT_PAIRS,
+        "latest_events": ORACLE_LATEST_EVENTS,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)
