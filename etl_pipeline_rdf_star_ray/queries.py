@@ -2053,6 +2053,42 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_conv_stats_refresh(sf_dir: str):
+    """Incremental materialized-view maintenance (incremental.refresh_view):
+    the per-conversation stats view computed at LSN T is refreshed with the
+    post-T changelog delta — untouched conversations keep their T-time view
+    rows verbatim (streamed anti-filter, zero recompute), touched ones are
+    recomputed from their full current state, post-T full-deletes vanish.
+    The oracle is the FULL recompute over the final state: hash-equality
+    proves the refresh converges exactly (the general
+    recompute-touched-groups IVM that stays correct for non-retractable
+    aggregates like max/count-distinct). Pytest proves the narrow part the
+    driver can't: untouched rows are really taken from the old view."""
+    from .pipelines.incremental import refresh_view
+
+    t = _t_split(sf_dir)
+    prev = analytics.conv_stats(
+        cdc.upsert_dataset(
+            changelog_from_events(sf_dir, lsn_hi=t + 1), num_partitions=16
+        )
+    )
+    delta = changelog_from_events(sf_dir, lsn_lo=t + 1)
+    return refresh_view(
+        prev, _upserted_state(sf_dir), delta, analytics.conv_stats
+    )
+
+
+#: identical to ORACLE_CONV_STATS — equality with the full recompute IS the
+#: refresh-convergence statement
+ORACLE_CONV_STATS_REFRESH = f"""{_CDC_PREFIX}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       count(DISTINCT role)::BIGINT AS n_roles,
+       sum(length(text))::BIGINT AS n_chars,
+       max(ts) AS last_ts
+FROM state GROUP BY conv_id
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Corpus text normalization (lowercase + whitespace collapse + trim,
     pure Arrow kernels — functions/text.normalize_text)."""
@@ -2185,6 +2221,7 @@ def build_queries() -> dict:
         "except_event_pairs": q_except_event_pairs,
         "intersect_event_pairs": q_intersect_event_pairs,
         "latest_events": q_latest_events,
+        "conv_stats_refresh": q_conv_stats_refresh,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -2198,12 +2235,12 @@ def build_queries() -> dict:
         "lift_delta": q_lift_delta,
         "annotation_join": q_annotation_join,
         "rdf_roundtrip": q_rdf_roundtrip,
-        "sparql_roles": q_sparql_roles,
         # --- one representative per family ----------------------------------
         "conv_dedup": q_conv_dedup,
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
         "cdc_resalt": q_cdc_resalt,
         "cdc_diff_summary": q_cdc_diff_summary,
@@ -2343,6 +2380,7 @@ def build_oracles() -> dict[str, str]:
         "except_event_pairs": ORACLE_EXCEPT_EVENT_PAIRS,
         "intersect_event_pairs": ORACLE_INTERSECT_EVENT_PAIRS,
         "latest_events": ORACLE_LATEST_EVENTS,
+        "conv_stats_refresh": ORACLE_CONV_STATS_REFRESH,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)
