@@ -722,6 +722,72 @@ def scrub_repeated_turns(
     )
 
 
+def conv_role_patterns(
+    state: "rd.Dataset", *, num_shards: int = 64
+) -> "rd.Dataset":
+    """Conversation-shape mining: group conversations by their ordered ROLE
+    SIGNATURE — roles joined with ``>`` in turn order (NULL role renders as
+    the empty string, SQL ``coalesce``) — and count how many conversations
+    exhibit each shape. The transcript-corpus audit that surfaces dialogue
+    patterns (``user>assistant>user>…`` vs tool-heavy agent loops) and their
+    prevalence before sampling/mixing decisions.
+
+    SQL mirror: ``string_agg(coalesce(role,''), '>' ORDER BY turn_idx)
+    GROUP BY conv_id`` then ``GROUP BY pattern``.
+
+    Scale shape (same two-level plan as :func:`tool_transitions`): the
+    conv-hash exchange colocates each conversation, one vectorized pass per
+    shard builds every signature and collapses them to per-shard
+    ``(pattern, n)`` partials — exact under summation because a conversation
+    lives in exactly one shard — then a second tiny pattern-hash exchange
+    sums partials (≤ distinct-patterns rows per shard). Raw turns move
+    once; the second exchange moves pattern rows only.
+
+    Output: ``(pattern, n_convs)``."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        roles = g["role"].fillna("").astype(str)
+        sig = (
+            pd.DataFrame({"conv_id": g["conv_id"], "r": roles})
+            .groupby("conv_id", sort=False)["r"]
+            .agg(">".join)
+        )
+        out = (
+            sig.value_counts()
+            .rename_axis("pattern")
+            .rename("n_convs")
+            .reset_index()
+        )
+        # pin dtypes: an all-empty shard's object column would round-trip
+        # as Arrow `null` type (one schema per block)
+        return out.astype({"pattern": "string", "n_convs": np.int64})
+
+    pruned = state.select_columns(["conv_id", "turn_idx", "role"])
+    partials = sharded_groups(
+        pruned,
+        lambda b: xxh64_column(b.column("conv_id")),
+        per_shard,
+        num_shards=num_shards,
+    )
+
+    def combine(shard: pd.DataFrame) -> pd.DataFrame:
+        return (
+            shard.groupby("pattern", sort=False)
+            .agg(n_convs=("n_convs", "sum"))
+            .reset_index()
+        )
+
+    return sharded_groups(
+        partials,
+        lambda b: _group_key_hash(b, ["pattern"]),
+        combine,
+        num_shards=num_shards,
+    )
+
+
 def grouped_quantiles(
     sf_dir: str, *, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
 ) -> "rd.Dataset":

@@ -2089,6 +2089,24 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_conv_role_patterns(sf_dir: str):
+    """Conversation role-signature mining over the upserted transcript
+    state (analytics.conv_role_patterns): each conversation's ordered
+    role sequence joined with '>' becomes its shape; output counts
+    conversations per shape. Two-level exchange: conv-hash signatures →
+    pattern-hash partial sums."""
+    return analytics.conv_role_patterns(_upserted_state(sf_dir))
+
+
+ORACLE_CONV_ROLE_PATTERNS = f"""{_CDC_PREFIX},
+sigs AS (
+  SELECT conv_id,
+         string_agg(coalesce(role, ''), '>' ORDER BY turn_idx) AS pattern
+  FROM state GROUP BY conv_id)
+SELECT pattern, count(*)::BIGINT AS n_convs FROM sigs GROUP BY pattern
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Corpus text normalization (lowercase + whitespace collapse + trim,
     pure Arrow kernels — functions/text.normalize_text)."""
@@ -2222,6 +2240,7 @@ def build_queries() -> dict:
         "intersect_event_pairs": q_intersect_event_pairs,
         "latest_events": q_latest_events,
         "conv_stats_refresh": q_conv_stats_refresh,
+        "conv_role_patterns": q_conv_role_patterns,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
@@ -2232,7 +2251,6 @@ def build_queries() -> dict:
         "cdc_compact": q_cdc_compact,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
-        "lift_delta": q_lift_delta,
         "annotation_join": q_annotation_join,
         "rdf_roundtrip": q_rdf_roundtrip,
         # --- one representative per family ----------------------------------
@@ -2240,6 +2258,7 @@ def build_queries() -> dict:
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "lift_delta": q_lift_delta,
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
         "cdc_resalt": q_cdc_resalt,
@@ -2381,6 +2400,7 @@ def build_oracles() -> dict[str, str]:
         "intersect_event_pairs": ORACLE_INTERSECT_EVENT_PAIRS,
         "latest_events": ORACLE_LATEST_EVENTS,
         "conv_stats_refresh": ORACLE_CONV_STATS_REFRESH,
+        "conv_role_patterns": ORACLE_CONV_ROLE_PATTERNS,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -165,3 +165,55 @@ def test_pricing_rollup_level_identities():
         assert (got == want).all()
     # cents-exact: the double sum_base recombines exactly at every level
     assert np.isclose(finest["sum_base"].sum(), total["sum_base"].iloc[0])
+
+
+def test_conv_role_patterns_queries_match_oracles():
+    assert (
+        oracle_run(SF, ["conv_role_patterns", "conv_stats_refresh"]) == 0
+    )
+
+
+def test_conv_role_patterns_matches_oracle():
+    """Signatures follow turn_idx order (not input order), NULL role
+    renders '', single-turn conversations get bare-role patterns, and
+    counts aggregate across block-straddling conversations."""
+    rng = np.random.default_rng(23)
+    rows = []
+    roles = ["user", "assistant", "tool", None]
+    for c in range(60):
+        n = int(rng.integers(1, 6))
+        idxs = sorted(rng.choice(100, size=n, replace=False).tolist())
+        for i in idxs:
+            rows.append(
+                {
+                    "conv_id": f"c{c}",
+                    "turn_idx": i,
+                    "role": roles[int(rng.integers(0, 4))],
+                    "text": "x",
+                }
+            )
+    tbl = pa.Table.from_pylist(rows)
+    out = (
+        analytics.conv_role_patterns(_state(tbl, 5), num_shards=8)
+        .to_pandas()
+        .sort_values("pattern")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.execute(
+            """
+            WITH sigs AS (
+              SELECT conv_id,
+                     string_agg(coalesce(role, ''), '>' ORDER BY turn_idx)
+                       AS pattern
+              FROM tbl GROUP BY conv_id)
+            SELECT pattern, count(*)::BIGINT AS n_convs
+            FROM sigs GROUP BY pattern ORDER BY pattern
+            """
+        )
+        .arrow()
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # live aggregation: at least one pattern shared by >1 conversation
+    assert (out["n_convs"] > 1).any()
