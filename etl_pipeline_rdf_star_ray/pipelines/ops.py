@@ -232,6 +232,140 @@ def _compact_task(
     return 1
 
 
+def retention(
+    lake_dir: str, min_lsn: int, *, batch_id: str | None = None
+) -> dict:
+    """TTL vacuum over the durable lake: physically drop every CONVERSATION
+    whose latest surviving-turn ``lsn`` is below ``min_lsn`` (inactive-
+    conversation expiry — the GDPR/retention companion to :func:`compact`,
+    which drops superseded versions but keeps every live key; no reference
+    analog — ``batch_manager.py:560-605`` archives whole batches only).
+
+    Key-partitioning makes this embarrassingly parallel: a conversation's
+    rows live in exactly ONE partition by construction, so each partition
+    task decides per-conversation expiry locally (one vectorized
+    ``max(lsn)`` groupby transform) and rewrites its file through the
+    marker-idempotent sink — no shuffle, no cross-partition coordination,
+    and a crashed vacuum re-runs to convergence (same ``batch_id`` →
+    already-committed partitions are marker no-ops).
+
+    A conversation deleted wholesale (all turns tombstoned) has no state
+    rows and needs no vacuum; ``min_lsn`` compares against the latest
+    LWW-surviving turn's lsn.
+
+    SALTED hot conversations are the one exception to partition-locality —
+    their rows spread over ``salt_buckets`` partitions, so a partition-local
+    max would wrongly expire the sub-partitions that happen to hold only
+    old turns. Phase 0 handles them: one scan task per partition computes
+    its max lsn for the (pinned, few) hot conversations only, the driver
+    reduces those to global per-conv maxima, and the rewrite tasks receive
+    the tiny dict — O(hot convs) driver state, no shuffle.
+
+    Returns ``{"partitions": rewritten, "rows_dropped": n}``."""
+    active = mf.active_versions(lake_dir)
+    if batch_id is None:
+        batch_id = f"retain-{min_lsn:020d}"
+    hot = list(mf.load_meta(lake_dir).hot_convs)
+    hot_max: dict[str, int] = {}
+    if hot:
+        scans = ray.get(
+            [
+                _hot_scan_task.remote(lake_dir, rec.file, hot)
+                for _pid, rec in sorted(active.items())
+            ]
+        )
+        for part in scans:
+            for conv, mx in part.items():
+                if conv not in hot_max or mx > hot_max[conv]:
+                    hot_max[conv] = mx
+    refs = [
+        _retention_task.remote(
+            lake_dir,
+            pid,
+            rec.file,
+            batch_id,
+            rec.lsn_lo,
+            rec.lsn_hi,
+            min_lsn,
+            hot_max,
+        )
+        for pid, rec in sorted(active.items())
+    ]
+    dropped = ray.get(refs)
+    return {"partitions": len(dropped), "rows_dropped": int(sum(dropped))}
+
+
+@ray.remote(num_cpus=1)
+def _hot_scan_task(lake_dir: str, rel_file: str, hot: list[str]) -> dict:
+    t = pq.read_table(
+        os.path.join(lake_dir, rel_file), columns=["conv_id", "lsn"]
+    )
+    mask = pc.is_in(t.column("conv_id"), value_set=pa.array(hot))
+    sub = t.filter(pc.fill_null(mask, False))
+    if not sub.num_rows:
+        return {}
+    g = (
+        pd.DataFrame(
+            {
+                "conv_id": sub.column("conv_id").to_pandas(),
+                "lsn": sub.column("lsn").to_pandas(),
+            }
+        )
+        .groupby("conv_id", sort=False)["lsn"]
+        .max()
+    )
+    return {str(k): int(v) for k, v in g.items()}
+
+
+@ray.remote(num_cpus=1)
+def _retention_task(
+    lake_dir: str,
+    pid: int,
+    rel_file: str,
+    batch_id: str,
+    lsn_lo: int,
+    lsn_hi: int,
+    min_lsn: int,
+    hot_max: dict,
+) -> int:
+    import time
+
+    from ..state.sink import commit_partition
+
+    t = pq.read_table(os.path.join(lake_dir, rel_file))
+    if t.num_rows:
+        df = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_pandas(),
+                "lsn": t.column("lsn").to_pandas(),
+            }
+        )
+        # per-conversation latest surviving lsn, broadcast back to rows —
+        # one C-level transform, no Python per group; salted hot convs take
+        # their GLOBAL max from the phase-0 scan
+        last = df.groupby("conv_id", sort=False, dropna=False)["lsn"].transform(
+            "max"
+        )
+        if hot_max:
+            glob = df["conv_id"].map(hot_max)
+            last = last.where(glob.isna(), glob)
+        keep = (last >= min_lsn).to_numpy()
+        kept = t.filter(pa.array(keep))
+    else:
+        kept = t
+    commit_partition(
+        kept,
+        lake_dir=lake_dir,
+        partition_id=pid,
+        batch_id=batch_id,
+        lsn_lo=lsn_lo,
+        lsn_hi=lsn_hi,
+        event_count=0,
+        wall_start=time.monotonic(),
+    )
+    return t.num_rows - kept.num_rows
+
+
 def resalt(lake_dir: str, add_hot_convs: list[str], *, batch_id: str | None = None) -> dict:
     """Migrate a lake table whose skew appeared AFTER creation: add newly-hot
     conversations to the pinned salt set and MOVE their existing state rows

@@ -132,6 +132,31 @@ def q_cdc_point_in_time(sf_dir: str):
     return read_state(lake, at_lsn=t).drop_columns(["partition_id"])
 
 
+def q_cdc_retention(sf_dir: str):
+    """Lake TTL vacuum (ops.retention): after the 3-micro-batch replay,
+    physically expire every conversation whose latest surviving turn is
+    older than the 0.97·max-lsn watermark (high enough that conversations
+    REALLY expire in the driver data — the vacuum provably drops rows) —
+    per-partition local decision with a phase-0 global-max scan for salted
+    hot conversations, marker-idempotent rewrite — then read the vacuumed
+    snapshot."""
+    lake, _t = _replayed_lake(sf_dir, "retain")
+    cutoff = int(np.floor(_max_lsn(sf_dir) * 0.97))
+    ops.retention(lake, cutoff)
+    return read_state(lake).drop_columns(["partition_id"])
+
+
+#: same 0.97 watermark arithmetic as the Python side
+_RETAIN_SQL = "(SELECT CAST(floor(max(event_id) * 0.97) AS BIGINT) FROM events)"
+
+ORACLE_CDC_RETENTION = f"""{_CDC_PREFIX},
+keep AS (
+  SELECT conv_id FROM state GROUP BY conv_id HAVING max(lsn) >= {_RETAIN_SQL})
+SELECT lsn, conv_id, turn_idx, role, text, tool, ts
+FROM state JOIN keep USING (conv_id)
+"""
+
+
 def q_cdc_diff(sf_dir: str):
     lake, t = _replayed_lake(sf_dir, "diff")
     return ops.diff(lake, t, _max_lsn(sf_dir))
@@ -2244,9 +2269,9 @@ def build_queries() -> dict:
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
+        "cdc_retention": q_cdc_retention,
         "cdc_point_in_time": q_cdc_point_in_time,
         "cdc_diff": q_cdc_diff,
-        "cdc_value_history": q_cdc_value_history,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compact": q_cdc_compact,
         # --- §2 core: mapping + SPARQL ---------------------------------------
@@ -2258,6 +2283,7 @@ def build_queries() -> dict:
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "cdc_value_history": q_cdc_value_history,
         "lift_delta": q_lift_delta,
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
@@ -2317,6 +2343,7 @@ def build_oracles() -> dict[str, str]:
     return {
         "cdc_upsert_full": ORACLE_CDC_FULL,
         "cdc_upsert_lake": ORACLE_CDC_FULL,
+        "cdc_retention": ORACLE_CDC_RETENTION,
         "cdc_point_in_time": ORACLE_CDC_PIT,
         "cdc_diff": ORACLE_CDC_DIFF,
         "cdc_value_history": ORACLE_CDC_HISTORY,

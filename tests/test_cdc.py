@@ -617,3 +617,48 @@ def test_exchange_skips_empty_passthrough_blocks(ray_session):
         )
         got = out.to_pandas()
         assert got.k.tolist() == [7] and got.v.tolist() == ["x"]
+
+
+def test_retention_vacuum_expires_and_keeps_salted_hot(tmp_path):
+    """TTL vacuum (ops.retention): conversations whose latest surviving lsn
+    is below the cutoff are physically dropped; the salted hot conversation
+    — whose rows spread over multiple partitions — survives INTACT whenever
+    its GLOBAL max clears the cutoff, even though most of its
+    sub-partitions' local maxima do not (the phase-0 scan); a re-run with
+    the same cutoff is a marker no-op."""
+    from etl_pipeline_rdf_star_ray.pipelines import ops as lakeops
+
+    lake = str(tmp_path / "lake")
+    cdc.ingest(_mk_log(0, 4000), lake, num_partitions=8)
+    assert "conv_hot" in mf.load_meta(lake).hot_convs
+    before = state_table(lake).to_pandas()
+    hot = before[before["conv_id"] == "conv_hot"]
+    assert hot["partition_id"].nunique() > 1  # really salted
+    # cutoff = the hot conv's global max: every sub-partition except the one
+    # holding that max has a LOCAL max below the cutoff — a partition-local
+    # vacuum would wrongly expire them
+    cutoff = int(hot["lsn"].max())
+    per_conv_max = before.groupby("conv_id")["lsn"].max()
+    keep = set(per_conv_max[per_conv_max >= cutoff].index)
+    drop = set(per_conv_max.index) - keep
+    assert "conv_hot" in keep and drop  # both classes live
+
+    res = lakeops.retention(lake, cutoff)
+    after = state_table(lake).to_pandas()
+    assert set(after["conv_id"].unique()) == keep
+    # the hot conversation survives with EVERY row, across all partitions
+    assert len(after[after["conv_id"] == "conv_hot"]) == len(hot)
+    assert res["rows_dropped"] == len(before) - len(after)
+    expect = before[before["conv_id"].isin(keep)]
+    assert_frames_equal(
+        after.drop(columns=["partition_id"]).sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True),
+        expect.drop(columns=["partition_id"]).sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+
+    # idempotent re-run: same cutoff → same batch_id → marker no-op
+    res2 = lakeops.retention(lake, cutoff)
+    assert res2["rows_dropped"] == 0
+    again = state_table(lake).to_pandas()
+    assert len(again) == len(after)
