@@ -135,6 +135,84 @@ def hash_join_broadcast(
     return left.map_batches(stage, batch_format="pyarrow")
 
 
+def bloom_filter_left(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    fp_rate: float = 0.01,
+    left_key_type=None,
+):
+    """Bloom semi-join pushdown: drop left rows whose key CANNOT match any
+    right key BEFORE they enter the exchange — the classic shuffle-volume
+    reduction for selective inner/semi/right joins (a left row without a
+    right partner contributes nothing to those join types, so removing it
+    early is semantics-preserving; Bloom false positives only let a few
+    doomed rows through to be dropped in the shard merge — never a false
+    negative, so results are exact).
+
+    The right side is ``materialize()``d (it is consumed twice: key scan +
+    join tagging) — no extra cost in practice, because the exchange's
+    routing step materializes every tagged block anyway; this just moves
+    the materialization one stage earlier. The bit array is built from
+    per-block partials (one Ray task per block, OR-merged on the driver —
+    ``functions/bloom`` mergeable contract) and broadcast once via
+    ``ray.put``: ~1.2 MB per million right keys at fp=1e-2.
+
+    Right keys are cast to the LEFT key type before hashing (the same
+    normalization the join's tag stage applies) so both sides probe one
+    canonical representation. NULL left keys are dropped too — inner/semi/
+    right joins emit nothing for them.
+
+    Returns ``(filtered_left, materialized_right)``; pass BOTH onward so
+    the join reuses the materialized right."""
+    import ray
+
+    from ..functions.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+        bloom_params,
+    )
+
+    right_on = right_on or on
+    right = right.materialize()
+    n = right.count()
+    m, k = bloom_params(n, fp_rate)
+    cast_to = left_key_type
+    if cast_to is None:
+        lsch = left.schema()
+        cast_to = dict(zip(lsch.names, lsch.types))[on]
+
+    @ray.remote(num_cpus=1)
+    def _partial(ref_tbl: pa.Table) -> np.ndarray:
+        col = ref_tbl.column(right_on)
+        if col.type != cast_to:
+            col = col.cast(cast_to)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return bloom_build(col.drop_null(), m, k)
+
+    parts = [_partial.remote(r) for r in right.to_arrow_refs()]
+    bits = (
+        bloom_merge(*ray.get(parts))
+        if parts
+        else np.zeros((m + 7) // 8, dtype=np.uint8)
+    )
+    bits_ref = ray.put(bits)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        key = batch.column(on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        mask = bloom_contains(ray.get(bits_ref), key, m, k)
+        keep = pa.array(mask & np.asarray(key.is_valid()))
+        return batch.filter(keep)
+
+    return left.map_batches(prefilter, batch_format="pyarrow"), right
+
+
 def hash_join_sharded(
     left,  # rd.Dataset
     right,  # rd.Dataset
@@ -146,6 +224,8 @@ def hash_join_sharded(
     suffix: str = "_r",
     hot_keys=None,
     salt_buckets: int = 8,
+    bloom_prefilter: bool = False,
+    bloom_fp_rate: float = 0.01,
 ):
     """Sharded equi-join for two large sides. ``on``/``right_on`` take one
     column name or a list (composite keys: the shard hash chains the
@@ -178,6 +258,18 @@ def hash_join_sharded(
     if len(ons) != len(r_ons):
         raise ValueError("on and right_on must name the same number of columns")
     semi_anti = how in ("semi", "anti")
+    if bloom_prefilter:
+        # only join types where an unmatched LEFT row contributes nothing
+        # may drop left rows early; left/outer/anti must keep them all
+        if how not in ("inner", "semi", "right"):
+            raise ValueError(
+                "bloom_prefilter is valid for inner/semi/right joins only"
+            )
+        if len(ons) > 1:
+            raise ValueError("bloom_prefilter supports single-column keys")
+        left, right = bloom_filter_left(
+            left, right, on=ons[0], right_on=r_ons[0], fp_rate=bloom_fp_rate
+        )
     if isinstance(hot_keys, str) and hot_keys == "auto":
         if len(ons) > 1:
             raise ValueError("hot_keys='auto' supports single-column keys")

@@ -265,3 +265,72 @@ def test_frame_sample_truncated_png_fake_fallback():
         # strict mode: the parse error surfaces
         with pytest.raises((ValueError, _struct.error)):
             mm.FrameSampleStage(stride=3, allow_fake=False)(batch)
+
+
+def test_bloom_prefilter_parity_and_reduction(ray_session):
+    """Bloom semi-join pushdown: inner/semi/right results are IDENTICAL
+    with and without the prefilter (no false negatives by construction;
+    false positives die in the shard merge), the prefiltered left is a
+    small superset of the matchable rows, and invalid configurations are
+    rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.stages.join import (
+        bloom_filter_left,
+        hash_join_sharded,
+    )
+
+    rng = np.random.default_rng(17)
+    n_left = 5000
+    # left keys 0..999, right matches only keys 0..49 → ~95% of left rows
+    # cannot match and should vanish before the exchange
+    lk = rng.integers(0, 1000, n_left).astype(np.int64)
+    lk[rng.random(n_left) < 0.01] = -1  # sentinel for null
+    left = pa.table(
+        {
+            "k": pa.array([None if v == -1 else int(v) for v in lk], pa.int64()),
+            "lv": pa.array(np.arange(n_left), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, 300), pa.int64()),
+            "rv": pa.array(np.arange(300), pa.int64()),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(4)
+    rds = rd.from_arrow(right).repartition(3)
+
+    filtered, _right_mat = bloom_filter_left(lds, rds, on="k")
+    n_filtered = filtered.count()
+    n_matchable = sum(1 for v in lk if 0 <= v < 50)
+    assert n_matchable <= n_filtered <= n_matchable + 0.05 * n_left
+
+    for how in ("inner", "semi", "right"):
+        base = hash_join_sharded(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            on="k", how=how, num_shards=8,
+        ).to_pandas()
+        fast = hash_join_sharded(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            on="k", how=how, num_shards=8, bloom_prefilter=True,
+        ).to_pandas()
+        key = lambda d: sorted(map(tuple, d.astype(str).values.tolist()))
+        assert key(base) == key(fast), how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/semi/right"):
+        hash_join_sharded(lds, rds, on="k", how="left", bloom_prefilter=True)
+    with _pytest.raises(ValueError, match="single-column"):
+        hash_join_sharded(
+            lds.map_batches(lambda b: b.append_column("k2", b.column("k")),
+                            batch_format="pyarrow"),
+            rds.map_batches(lambda b: b.append_column("k2", b.column("k")),
+                            batch_format="pyarrow"),
+            on=["k", "k2"], how="inner", bloom_prefilter=True,
+        )
