@@ -244,6 +244,19 @@ def run_bench() -> dict:
     )
     queries["pack_sequences"] = sec
 
+    # round-4 relational completions: map-side-reduced arg-max (latest
+    # event per user) and the fingerprint-exchange set difference
+    from etl_pipeline_rdf_star_ray.queries import (
+        q_except_event_pairs,
+        q_latest_events,
+    )
+
+    sec, _ = timed(lambda: q_latest_events(SF_DIR).count())
+    queries["latest_events"] = sec
+
+    sec, _ = timed(lambda: q_except_event_pairs(SF_DIR).count())
+    queries["except_event_pairs"] = sec
+
     st = ops.status(lake)
     ray.shutdown()
 

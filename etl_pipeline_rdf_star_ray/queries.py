@@ -2114,6 +2114,42 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_dup_gram_fraction(sf_dir: str):
+    """Per-document duplicated-3-gram fraction against the rest of the
+    corpus (dedup.dup_gram_fraction) — the substring-level duplication
+    signal (Lee et al. 2022) computed with NO gram-set broadcast: distinct
+    (doc, gram-md5) pairs ride one gram-hash exchange where group size IS
+    the doc count, per-doc partials ride a second tiny doc-hash exchange."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.dup_gram_fraction(docs, k=3)
+
+
+ORACLE_DUP_GRAM_FRACTION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         array_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                      x -> x <> '') AS ts
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[t.i : t.i + 2], ' ') AS g
+  FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS t(i)
+  WHERE len(ts) >= 3),
+gc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM pairs GROUP BY g),
+per AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM pairs p JOIN gc USING (g) GROUP BY p.doc_id)
+SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
+            ELSE floor(n_dup::DOUBLE / n_grams * 10000) / 10000
+       END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_conv_role_patterns(sf_dir: str):
     """Conversation role-signature mining over the upserted transcript
     state (analytics.conv_role_patterns): each conversation's ordered
@@ -2266,12 +2302,12 @@ def build_queries() -> dict:
         "latest_events": q_latest_events,
         "conv_stats_refresh": q_conv_stats_refresh,
         "conv_role_patterns": q_conv_role_patterns,
+        "text_dup_grams": q_dup_gram_fraction,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_retention": q_cdc_retention,
         "cdc_point_in_time": q_cdc_point_in_time,
-        "cdc_diff": q_cdc_diff,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compact": q_cdc_compact,
         # --- §2 core: mapping + SPARQL ---------------------------------------
@@ -2283,6 +2319,7 @@ def build_queries() -> dict:
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
         "lift_delta": q_lift_delta,
         "sparql_roles": q_sparql_roles,
@@ -2428,6 +2465,7 @@ def build_oracles() -> dict[str, str]:
         "latest_events": ORACLE_LATEST_EVENTS,
         "conv_stats_refresh": ORACLE_CONV_STATS_REFRESH,
         "conv_role_patterns": ORACLE_CONV_ROLE_PATTERNS,
+        "text_dup_grams": ORACLE_DUP_GRAM_FRACTION,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)
