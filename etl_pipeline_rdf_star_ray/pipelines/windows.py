@@ -96,21 +96,67 @@ def rank_within_groups(
     ascending: list[bool],
     k: int,
     rank_col: str = "rn",
+    method: str = "row_number",
 ) -> "rd.Dataset":
     """Top-k rows per group with their 1-based rank: the distributed
-    ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY …) <= k``.
-    ``order_by``/``ascending`` must make the order total (include a unique
-    tiebreak column) for deterministic output."""
+    ``QUALIFY <rank fn>() OVER (PARTITION BY group ORDER BY …) <= k``.
+
+    ``method`` picks the SQL ranking function:
+
+    - ``"row_number"`` (default): ties broken by position —
+      ``order_by``/``ascending`` must make the order total (include a
+      unique tiebreak column) for deterministic output;
+    - ``"rank"``: tied rows share the FIRST row number of their run and
+      the next distinct value jumps past the run (SQL ``rank()``);
+    - ``"dense_rank"``: tied rows share a rank and ranks are consecutive
+      (SQL ``dense_rank()``).
+
+    For ``rank``/``dense_rank`` a tie is rows equal on EVERY ``order_by``
+    column under SQL null semantics (NULL ties with NULL — ORDER BY groups
+    nulls together), and ``<= k`` keeps every tied row like QUALIFY does —
+    output row COUNT can exceed k·groups, but the row SET and rank values
+    are deterministic without a tiebreak column."""
+    if method not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown rank method {method!r}")
 
     def per_shard(s: pd.DataFrame) -> pd.DataFrame:
         s = s.drop(columns=["shard"]).sort_values(
-            order_by, ascending=ascending, kind="mergesort"
+            order_by, ascending=ascending, kind="mergesort",
+            na_position="last",
         )
         # dropna=False: SQL's PARTITION BY keeps NULL as its own partition;
         # pandas' default would silently drop null-key rows AND float the
         # rank column (NaN cumcount) in shards containing them
         grp = s.groupby(group_cols, sort=False, dropna=False)
-        s = s.assign(**{rank_col: grp.cumcount() + 1})
+        rn = grp.cumcount() + 1
+        if method == "row_number":
+            s = s.assign(**{rank_col: rn})
+            return s[s[rank_col] <= k]
+        # null-safe "differs from the previous row OF THE SAME GROUP" per
+        # order column (grouped shift — a global shift would compare
+        # against another group's row since rows are sorted by order_by
+        # only), reset at each group's first row (rn == 1)
+        changed = rn == 1
+        for c in order_by:
+            col, prev = s[c], grp[c].shift()
+            # nullable dtypes propagate NA through ==; fillna(False) keeps
+            # the mask a plain bool (NA == anything is "not same" unless
+            # both sides are null)
+            same = ((col == prev) | (col.isna() & prev.isna())).fillna(
+                False
+            ).astype(bool)
+            changed = changed | ~same
+        if method == "dense_rank":
+            rank = changed.groupby(
+                [s[c] for c in group_cols], sort=False, dropna=False
+            ).cumsum()
+        else:  # rank: first row number of the tie run, carried forward
+            rank = (
+                rn.where(changed)
+                .groupby([s[c] for c in group_cols], sort=False, dropna=False)
+                .ffill()
+            )
+        s = s.assign(**{rank_col: rank.astype(np.int64)})
         return s[s[rank_col] <= k]
 
     # nullable_ints: a null-bearing int64 column (e.g. ids) must come back

@@ -2114,6 +2114,47 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_event_day_ranks(sf_dir: str):
+    """SQL dense_rank(): each user's events on their first two distinct
+    activity DAYS (windows.rank_within_groups, method='dense_rank') — tied
+    rows (same user, same day) share a rank and every tied row survives
+    the QUALIFY, exactly like the SQL; no tiebreak column needed."""
+    from .pipelines.windows import rank_within_groups
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def add_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "day": pc.floor_temporal(b.column("ts"), unit="day"),
+            }
+        )
+
+    return rank_within_groups(
+        ev.map_batches(add_day, batch_format="pyarrow"),
+        group_cols=["user_id"],
+        order_by=["day"],
+        ascending=[True],
+        k=2,
+        rank_col="day_rank",
+        method="dense_rank",
+    )
+
+
+ORACLE_EVENT_DAY_RANKS = """
+WITH e AS (
+  SELECT event_id, user_id, date_trunc('day', ts) AS day FROM events)
+SELECT event_id, user_id, day,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY day)::BIGINT
+         AS day_rank
+FROM e QUALIFY day_rank <= 2
+"""
+
+
 def q_dup_gram_fraction(sf_dir: str):
     """Per-document duplicated-3-gram fraction against the rest of the
     corpus (dedup.dup_gram_fraction) — the substring-level duplication
@@ -2303,12 +2344,12 @@ def build_queries() -> dict:
         "conv_stats_refresh": q_conv_stats_refresh,
         "conv_role_patterns": q_conv_role_patterns,
         "text_dup_grams": q_dup_gram_fraction,
+        "event_day_ranks": q_event_day_ranks,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_retention": q_cdc_retention,
         "cdc_point_in_time": q_cdc_point_in_time,
-        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compact": q_cdc_compact,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
@@ -2321,6 +2362,7 @@ def build_queries() -> dict:
         # a declared no-oracle approximate op with a pytest property oracle)
         "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "lift_delta": q_lift_delta,
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
@@ -2466,6 +2508,7 @@ def build_oracles() -> dict[str, str]:
         "conv_stats_refresh": ORACLE_CONV_STATS_REFRESH,
         "conv_role_patterns": ORACLE_CONV_ROLE_PATTERNS,
         "text_dup_grams": ORACLE_DUP_GRAM_FRACTION,
+        "event_day_ranks": ORACLE_EVENT_DAY_RANKS,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

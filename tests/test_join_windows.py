@@ -511,3 +511,72 @@ def test_ntile_global_shard_invariance_and_validation(ray_session):
         ntile_global(rd.from_pandas(df), keys=["k"], n=0)
     with pytest.raises(ValueError, match="order key"):
         ntile_global(rd.from_pandas(df), keys=[], n=4)
+
+
+def test_rank_methods_match_duckdb(ray_session):
+    """rank() and dense_rank() vs DuckDB on random tie-heavy data with
+    NULL order values and NULL group keys: tied rows share the rank, every
+    tied row survives the <= k QUALIFY, rank jumps past runs while
+    dense_rank stays consecutive."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.pipelines.windows import rank_within_groups
+
+    rng = np.random.default_rng(41)
+    n = 400
+    tbl = pa.table(
+        {
+            "g": pa.array(
+                [None if rng.random() < 0.1 else int(v)
+                 for v in rng.integers(0, 12, n)],
+                pa.int64(),
+            ),
+            # tiny value domain → heavy ties; ~15% null order values
+            "v": pa.array(
+                [None if rng.random() < 0.15 else int(x)
+                 for x in rng.integers(0, 5, n)],
+                pa.int64(),
+            ),
+            "rid": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for method, fn in (("rank", "rank"), ("dense_rank", "dense_rank")):
+        got = (
+            rank_within_groups(
+                rd.from_arrow(tbl).repartition(5),
+                group_cols=["g"],
+                order_by=["v"],
+                ascending=[True],
+                k=3,
+                rank_col="r",
+                method=method,
+            )
+            .to_pandas()
+            .sort_values(["g", "v", "rid"])
+            .reset_index(drop=True)
+        )
+        want = con.sql(
+            f"""SELECT g, v, rid,
+                  {fn}() OVER (PARTITION BY g ORDER BY v NULLS LAST)::BIGINT
+                    AS r
+                FROM t QUALIFY r <= 3
+                ORDER BY g, v, rid"""
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # the tie semantics are live: some rank value appears >1× per group
+        dup = got.groupby(["g", "r"], dropna=False).size()
+        assert (dup > 1).any(), method
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rank method"):
+        rank_within_groups(
+            rd.from_arrow(tbl), group_cols=["g"], order_by=["v"],
+            ascending=[True], k=1, method="percent_rank",
+        )
