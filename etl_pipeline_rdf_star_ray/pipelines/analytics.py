@@ -149,35 +149,75 @@ def pricing_rollup(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
     tiny result (O(groups) rows) on the driver, never the raw table. Sums
     stay int64 cents through every level so the rollup totals are exact and
     hash-identical to the oracle regardless of aggregation order."""
+    return _pricing_grouping_sets(
+        sf_dir,
+        cutoff,
+        [("l_returnflag", "l_linestatus"), ("l_returnflag",), ()],
+    )
+
+
+def pricing_cube(sf_dir: str, *, cutoff: str = "1996-01-01") -> pa.Table:
+    """``GROUP BY CUBE (l_returnflag, l_linestatus)`` — ALL 2^k grouping
+    sets (finest, per-flag, per-status, grand total). Non-hierarchical
+    sets (per-status) cannot reuse a prefix rollup, but every set is still
+    a re-aggregation of the FINEST level's tiny result — raw data is
+    scanned once, same as :func:`pricing_rollup`."""
+    return _pricing_grouping_sets(
+        sf_dir,
+        cutoff,
+        [
+            ("l_returnflag", "l_linestatus"),
+            ("l_returnflag",),
+            ("l_linestatus",),
+            (),
+        ],
+    )
+
+
+def _pricing_grouping_sets(
+    sf_dir: str, cutoff: str, sets: list[tuple]
+) -> pa.Table:
+    """Shared grouping-sets engine for ROLLUP / CUBE: the finest level is
+    computed once through the partial-combine plane; every other grouping
+    set re-aggregates that already-tiny frame (O(groups) rows, driver-side
+    by design); int64 cents throughout so totals are exact at any
+    aggregation order."""
+    all_keys = ["l_returnflag", "l_linestatus"]
     fin = _pricing_finest(sf_dir, cutoff).drop(columns=["sum_disc_c"])
-    per_flag = (
-        fin.groupby("l_returnflag", sort=False)
-        .agg(
-            sum_qty=("sum_qty", "sum"),
-            sum_base_c=("sum_base_c", "sum"),
-            count_order=("count_order", "sum"),
-        )
-        .reset_index()
-    )
-    per_flag["l_linestatus"] = None
-    total = pd.DataFrame(
-        {
-            "l_returnflag": [None],
-            "l_linestatus": [None],
-            "sum_qty": [fin["sum_qty"].sum()],
-            "sum_base_c": [fin["sum_base_c"].sum()],
-            "count_order": [fin["count_order"].sum()],
-        }
-    )
-    out = pd.concat([fin, per_flag, total], ignore_index=True)
+
+    def reagg(keys: list[str]) -> pd.DataFrame:
+        if keys == all_keys:
+            g = fin.copy()
+        elif keys:
+            g = (
+                fin.groupby(keys, sort=False)
+                .agg(
+                    sum_qty=("sum_qty", "sum"),
+                    sum_base_c=("sum_base_c", "sum"),
+                    count_order=("count_order", "sum"),
+                )
+                .reset_index()
+            )
+        else:
+            g = pd.DataFrame(
+                {
+                    "sum_qty": [fin["sum_qty"].sum()],
+                    "sum_base_c": [fin["sum_base_c"].sum()],
+                    "count_order": [fin["count_order"].sum()],
+                }
+            )
+        for missing in all_keys:
+            if missing not in keys:
+                g[missing] = None
+        return g
+
+    out = pd.concat([reagg(list(s)) for s in sets], ignore_index=True)
     out["sum_base"] = out.pop("sum_base_c") / 100.0
-    out = out[
-        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base", "count_order"]
-    ]
+    out = out[all_keys + ["sum_qty", "sum_base", "count_order"]]
     tbl = pa.Table.from_pandas(out, preserve_index=False)
     # the all-NULL rolled-up key columns must stay typed string (a pure-None
     # pandas object column round-trips as Arrow `null` otherwise)
-    for name in ("l_returnflag", "l_linestatus"):
+    for name in all_keys:
         i = tbl.schema.get_field_index(name)
         if pa.types.is_null(tbl.schema.field(i).type):
             tbl = tbl.set_column(i, name, tbl.column(i).cast(pa.string()))

@@ -2114,6 +2114,25 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_cube_pricing(sf_dir: str):
+    """``GROUP BY CUBE`` over lineitem pricing (analytics.pricing_cube):
+    all four grouping sets, raw data scanned once for the finest level,
+    every other set re-aggregated from its tiny result."""
+    return analytics.pricing_cube(sf_dir)
+
+
+ORACLE_CUBE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+         / 100 AS sum_base,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_event_day_ranks(sf_dir: str):
     """SQL dense_rank(): each user's events on their first two distinct
     activity DAYS (windows.rank_within_groups, method='dense_rank') — tied
@@ -2345,12 +2364,12 @@ def build_queries() -> dict:
         "conv_role_patterns": q_conv_role_patterns,
         "text_dup_grams": q_dup_gram_fraction,
         "event_day_ranks": q_event_day_ranks,
+        "cube_pricing": q_cube_pricing,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_retention": q_cdc_retention,
         "cdc_point_in_time": q_cdc_point_in_time,
-        "cdc_compact": q_cdc_compact,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
         "annotation_join": q_annotation_join,
@@ -2363,6 +2382,7 @@ def build_queries() -> dict:
         "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_compact": q_cdc_compact,
         "lift_delta": q_lift_delta,
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
@@ -2509,6 +2529,7 @@ def build_oracles() -> dict[str, str]:
         "conv_role_patterns": ORACLE_CONV_ROLE_PATTERNS,
         "text_dup_grams": ORACLE_DUP_GRAM_FRACTION,
         "event_day_ranks": ORACLE_EVENT_DAY_RANKS,
+        "cube_pricing": ORACLE_CUBE_PRICING,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -217,3 +217,31 @@ def test_conv_role_patterns_matches_oracle():
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
     # live aggregation: at least one pattern shared by >1 conversation
     assert (out["n_convs"] > 1).any()
+
+
+def test_cube_levels_are_consistent():
+    """CUBE level identities: per-status rows sum to the grand total, and
+    the per-status level equals re-aggregating the finest level."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import pricing_cube
+
+    tbl = pricing_cube(SF).to_pandas()
+    fin = tbl.dropna(subset=["l_returnflag", "l_linestatus"])
+    per_status = tbl[
+        tbl["l_returnflag"].isna() & tbl["l_linestatus"].notna()
+    ]
+    per_flag = tbl[
+        tbl["l_returnflag"].notna() & tbl["l_linestatus"].isna()
+    ]
+    total = tbl[tbl["l_returnflag"].isna() & tbl["l_linestatus"].isna()]
+    assert len(total) == 1
+    for col in ("sum_qty", "count_order"):
+        assert per_status[col].sum() == total[col].iloc[0]
+        assert per_flag[col].sum() == total[col].iloc[0]
+        assert fin[col].sum() == total[col].iloc[0]
+    want_status = (
+        fin.groupby("l_linestatus")["sum_qty"].sum().sort_index().to_numpy()
+    )
+    got_status = (
+        per_status.set_index("l_linestatus")["sum_qty"].sort_index().to_numpy()
+    )
+    assert (want_status == got_status).all()
