@@ -1145,7 +1145,12 @@ def dup_gram_fraction(
 
     def gram_shard(s: pd.DataFrame) -> pd.DataFrame:
         mark = np.asarray(s["is_marker"], dtype=np.int8) == 1
-        grams = s[~mark]
+        # GLOBAL per-doc distinctness: the map-side unique is per BATCH, so
+        # a doc_id repeated across rows/blocks would double-count its grams
+        # and mark them as cross-document duplicates (review r4). All
+        # holders of a gram are colocated here, so dedup by (doc, gram) is
+        # exact in-shard; null-safe and dtype-agnostic via drop_duplicates.
+        grams = s[~mark].drop_duplicates([id_col, "fp_lo", "fp_hi"])
         rec = np.empty(len(grams), dtype=[("l", "u8"), ("h", "u8")])
         rec["l"] = grams["fp_lo"].to_numpy(np.uint64)
         rec["h"] = grams["fp_hi"].to_numpy(np.uint64)

@@ -1992,8 +1992,12 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def _event_pair_sides(sf_dir: str):
     """Two derived distinct-pair relations over events, split at value 0.5
     (shared by the EXCEPT / INTERSECT queries): the (user, event_type)
-    behaviors observed above vs at-or-below the threshold. Both sides are
-    Arrow-filtered projections of one column-pruned read."""
+    behaviors observed above vs at-or-below the threshold. Each side is an
+    Arrow-filtered projection running its OWN streaming scan of the pruned
+    read — two scans by design: materializing the corpus-sized projection
+    to save the second scan would hold the whole table in the object store,
+    the wrong trade at 100 TB (set-op sides are normally distinct
+    relations; deriving both from one table is a driver-data artifact)."""
     ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
     )

@@ -39,15 +39,24 @@ import pyarrow as pa
 
 __all__ = ["distinct_set_op"]
 
-#: canonical-rendering separators: RS (0x1e) between fields, NUL+'N' for NULL
-#: — no varchar CAST of a non-NUL-bearing value can collide with either.
+#: canonical rendering, INJECTIVE for any value mix including values that
+#: contain the separator/escape bytes themselves: NUL is the escape char
+#: (NUL → NUL+'e'), the RS (0x1e) field separator is escaped to NUL+'s',
+#: and NULL renders as NUL+'N' — in an escaped value every NUL is followed
+#: by 'e' or 's', so no real value can render as the NULL sentinel, and no
+#: bare RS survives inside a value to masquerade as a field boundary
+#: (review r4: "x\x1ey","z" vs "x","y\x1ez" must NOT collide).
 _SEP = "chr(30)"
 _NULL = "chr(0)||'N'"
 
 
 def _fingerprint_sql(cols: list[str]) -> str:
     canon = ", ".join(
-        f"coalesce(CAST(\"{c}\" AS VARCHAR), {_NULL})" for c in cols
+        "coalesce(replace(replace(CAST(\"{c}\" AS VARCHAR), chr(0), "
+        "chr(0)||'e'), chr(30), chr(0)||'s'), {null})".format(
+            c=c, null=_NULL
+        )
+        for c in cols
     )
     return f"concat_ws({_SEP}, {canon})"
 

@@ -117,3 +117,28 @@ def test_k_larger_than_any_doc(ray_session):
     got = _got(tbl, 5, 2)
     assert (got["n_grams"] == 0).all()
     assert (got["dup_frac"] == 0).all()
+
+
+def test_repeated_doc_id_rows_count_once(ray_session):
+    """A doc_id appearing in MULTIPLE rows (even across blocks) is one
+    document: its grams dedupe globally and self-copies are NOT
+    cross-document duplication (review r4)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "text": ["a b c", "a b c", "x y z"],
+        }
+    )
+    got = _got(tbl, 3, 3)  # each row its own block
+    by = got.set_index("doc_id")
+    assert by.loc[1, "n_grams"] == 1 and by.loc[1, "n_dup"] == 0
+    assert by.loc[1, "dup_frac"] == 0.0
+    # a REAL cross-doc duplicate still counts
+    tbl2 = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "text": ["a b c", "a b c", "a b c"],
+        }
+    )
+    by2 = _got(tbl2, 3, 3).set_index("doc_id")
+    assert by2.loc[1, "n_dup"] == 1 and by2.loc[2, "n_dup"] == 1

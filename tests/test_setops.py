@@ -161,3 +161,30 @@ def test_random_frames_match_duckdb(ray_session):
                 )
             )
             assert _rows(got) == _rows(_duck(l, r, op)), (trial, op)
+
+
+def test_separator_and_sentinel_bytes_do_not_collide(ray_session):
+    """Injectivity of the canonical rendering (review r4): values containing
+    the RS field separator or the NUL escape/sentinel bytes must not
+    conflate distinct rows, and a literal '\\x00N' string is not NULL."""
+    l = pa.table(
+        {
+            "a": ["x\x1ey", "x", "\x00N", None, "p\x00q"],
+            "b": ["z", "y\x1ez", "w", "w", "r"],
+        }
+    )
+    r = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    got = _collect(
+        distinct_set_op(rd.from_arrow(l).repartition(2), rd.from_arrow(r), op="except")
+    )
+    assert got.num_rows == 5  # every distinct row survives
+    assert _rows(got) == _rows(_duck(l, r, "except"))
+    # and INTERSECT does not falsely match across the separator shift
+    r2 = pa.table({"a": ["x\x1ey", None], "b": ["z", "w"]})
+    got2 = _collect(
+        distinct_set_op(
+            rd.from_arrow(l).repartition(2), rd.from_arrow(r2), op="intersect"
+        )
+    )
+    assert _rows(got2) == _rows(_duck(l, r2, "intersect"))
+    assert got2.num_rows == 2  # ('x\x1ey','z') and (NULL,'w') only
