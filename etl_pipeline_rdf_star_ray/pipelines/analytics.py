@@ -846,6 +846,40 @@ def grouped_quantiles(
     from .dedup import sharded_groups
     from ..functions.hashing import xxh64_column
 
+    hist = _event_value_hist(sf_dir)
+
+    qs = list(quantiles)
+    names = [f"p{int(q * 100)}_c" for q in qs]
+
+    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in shard.groupby("event_type", sort=False):
+            g = g.sort_values("value_c")
+            n = int(g["n"].sum())
+            cum = g["n"].cumsum().to_numpy()
+            vals = g["value_c"].to_numpy()
+            ranks = [max(1, int(np.ceil(q * n))) for q in qs]
+            picks = [int(vals[np.searchsorted(cum, r)]) for r in ranks]
+            rows.append([et, *picks])
+        return pd.DataFrame(rows, columns=["event_type", *names]).astype(
+            {c: np.int64 for c in names}
+        )
+
+    return sharded_groups(
+        hist,
+        lambda b: xxh64_column(b.column("event_type")),
+        per_shard,
+        num_shards=8,
+    )
+
+
+def _event_value_hist(sf_dir: str) -> "rd.Dataset":
+    """Summed (event_type, value_c) → n histogram, shared by the discrete
+    and continuous grouped-quantile operators: per-batch histogram partials
+    (each batch collapses before the shuffle), one combine over the
+    exchange — histogram rows move, data rows never do."""
+    from .dedup import sharded_groups
+
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
@@ -865,7 +899,7 @@ def grouped_quantiles(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = sharded_groups(
+    return sharded_groups(
         ds.map_batches(hist_partial, batch_format="pyarrow"),
         lambda b: _group_key_hash(b, ["event_type", "value_c"]),
         lambda s: s.groupby(["event_type", "value_c"], sort=False)
@@ -873,8 +907,40 @@ def grouped_quantiles(
         .reset_index(),
     )
 
-    qs = list(quantiles)
-    names = [f"p{int(q * 100)}_c" for q in qs]
+
+def grouped_quantiles_cont(
+    sf_dir: str, *, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> "rd.Dataset":
+    """Interpolated (continuous) per-group percentiles — SQL
+    ``quantile_cont`` / ``percentile_cont`` — from the SAME summed-histogram
+    plane as :func:`grouped_quantiles` (shuffles move histogram rows, never
+    data rows; no global sort).
+
+    Position ``h = (n-1)·q`` between the 0-indexed order statistics
+    ``v[⌊h⌋]`` and ``v[⌈h⌉]``. The interpolation is computed in EXACT
+    integer arithmetic: each quantile is taken as its decimal fraction
+    ``p/r`` (so 0.95 means 19/20, not the binary double), ``rem =
+    ((n-1)·p) mod r``, and the result is emitted in int64 MILLI-cents
+    ``v_lo·1000 + rem·(v_hi−v_lo)·(1000/r)`` — exact whenever ``r`` divides
+    1000 (any 3-decimal quantile), which is validated. Integer output keeps
+    the oracle comparison hash-exact with no float laundering, and at
+    n ~ 10^12 rows the exact ``(n−1)·p mod r`` avoids the double-precision
+    drift DuckDB's own ``(n-1)*q`` would show. Output:
+    ``(event_type, p25_cont_mc, …)``."""
+    from fractions import Fraction
+
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    qs = [Fraction(str(q)) for q in quantiles]
+    for q in qs:
+        if 1000 % q.denominator:
+            raise ValueError(
+                f"quantile {q} needs a denominator dividing 1000 for exact "
+                "milli-cent output"
+            )
+    names = [f"p{int(q * 100)}_cont_mc" for q in quantiles]
+    hist = _event_value_hist(sf_dir)
 
     def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -883,9 +949,19 @@ def grouped_quantiles(
             n = int(g["n"].sum())
             cum = g["n"].cumsum().to_numpy()
             vals = g["value_c"].to_numpy()
-            ranks = [max(1, int(np.ceil(q * n))) for q in qs]
-            picks = [int(vals[np.searchsorted(cum, r)]) for r in ranks]
-            rows.append([et, *picks])
+            out = []
+            for q in qs:
+                hp = (n - 1) * q.numerator
+                r = q.denominator
+                lo_i, rem = divmod(hp, r)
+                lo = int(vals[np.searchsorted(cum, lo_i + 1)])
+                if rem:
+                    hi = int(vals[np.searchsorted(cum, lo_i + 2)])
+                    mc = lo * 1000 + rem * (hi - lo) * (1000 // r)
+                else:
+                    mc = lo * 1000
+                out.append(mc)
+            rows.append([et, *out])
         return pd.DataFrame(rows, columns=["event_type", *names]).astype(
             {c: np.int64 for c in names}
         )

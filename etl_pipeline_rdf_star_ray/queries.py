@@ -2118,6 +2118,27 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_grouped_quantiles_cont(sf_dir: str):
+    """Interpolated per-event-type percentiles — SQL quantile_cont — from
+    the summed-histogram plane (analytics.grouped_quantiles_cont): exact
+    integer milli-cent interpolation, no global sort, no float laundering."""
+    return analytics.grouped_quantiles_cont(sf_dir)
+
+
+ORACLE_GROUPED_QUANTILES_CONT = """
+SELECT event_type,
+       CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)
+                  * 1000, 0) AS BIGINT) AS p25_cont_mc,
+       CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.50)
+                  * 1000, 0) AS BIGINT) AS p50_cont_mc,
+       CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)
+                  * 1000, 0) AS BIGINT) AS p75_cont_mc,
+       CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95)
+                  * 1000, 0) AS BIGINT) AS p95_cont_mc
+FROM events GROUP BY event_type
+"""
+
+
 def q_cube_pricing(sf_dir: str):
     """``GROUP BY CUBE`` over lineitem pricing (analytics.pricing_cube):
     all four grouping sets, raw data scanned once for the finest level,
@@ -2369,11 +2390,11 @@ def build_queries() -> dict:
         "text_dup_grams": q_dup_gram_fraction,
         "event_day_ranks": q_event_day_ranks,
         "cube_pricing": q_cube_pricing,
+        "quantiles_cont": q_grouped_quantiles_cont,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_retention": q_cdc_retention,
-        "cdc_point_in_time": q_cdc_point_in_time,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
         "annotation_join": q_annotation_join,
@@ -2383,6 +2404,7 @@ def build_queries() -> dict:
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "cdc_point_in_time": q_cdc_point_in_time,
         "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -2534,6 +2556,7 @@ def build_oracles() -> dict[str, str]:
         "text_dup_grams": ORACLE_DUP_GRAM_FRACTION,
         "event_day_ranks": ORACLE_EVENT_DAY_RANKS,
         "cube_pricing": ORACLE_CUBE_PRICING,
+        "quantiles_cont": ORACLE_GROUPED_QUANTILES_CONT,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -245,3 +245,29 @@ def test_cube_levels_are_consistent():
         per_status.set_index("l_linestatus")["sum_qty"].sort_index().to_numpy()
     )
     assert (want_status == got_status).all()
+
+
+def test_quantiles_cont_matches_numpy_and_validates():
+    """Continuous quantiles: driver query green at sf0.001 (oracle run),
+    exact interpolation equals numpy's 'linear' method in millicents, and
+    non-1000-denominator quantiles are rejected."""
+    import pytest
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        grouped_quantiles_cont,
+    )
+
+    assert oracle_run(SF, ["quantiles_cont"]) == 0
+    got = grouped_quantiles_cont(SF).to_pandas().set_index("event_type")
+    import duckdb
+
+    vals = duckdb.execute(
+        f"""SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    for et, g in vals.groupby("event_type"):
+        for q, col in ((0.25, "p25_cont_mc"), (0.95, "p95_cont_mc")):
+            want = int(round(np.quantile(g["c"], q, method="linear") * 1000))
+            assert got.loc[et, col] == want, (et, q)
+    with pytest.raises(ValueError, match="denominator dividing 1000"):
+        grouped_quantiles_cont(SF, quantiles=(1 / 3,))
