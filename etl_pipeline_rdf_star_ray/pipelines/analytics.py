@@ -762,6 +762,103 @@ def scrub_repeated_turns(
     )
 
 
+def events_sliding(
+    sf_dir: str, *, width_hours: int = 3, hop_hours: int = 1
+) -> "rd.Dataset":
+    """Sliding (hopping) window aggregate: events per ``(event_type,
+    window_start)`` with distinct users, where windows are ``width_hours``
+    wide and hop every ``hop_hours`` — each event belongs to
+    ``width/hop`` overlapping windows (the tumbling :func:`events_hourly`
+    is the width==hop special case).
+
+    Scale shape: the ×(width/hop) expansion happens INSIDE the per-batch
+    partial — the replicated rows live only within the batch and collapse
+    to ``(event_type, window, user)`` partials before anything moves; the
+    two shuffles then carry pre-aggregated partials exactly like
+    :func:`events_hourly` (window count per event is a small constant, so
+    shuffle volume is ≤ k × the tumbling partials, usually far less after
+    collapse). No per-window Python calls anywhere.
+
+    Output: ``(event_type, wstart, n, n_users, sum_value_c)``."""
+    if width_hours <= 0 or hop_hours <= 0 or width_hours % hop_hours:
+        raise ValueError("width_hours must be a positive multiple of hop_hours")
+    k = width_hours // hop_hours
+    hop_us = np.int64(hop_hours) * 3_600_000_000
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "user_id", "value"],
+    )
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        base = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                # hop-aligned bucket of the event itself (its newest window)
+                "w0": pc.floor_temporal(
+                    batch.column("ts"), multiple=hop_hours, unit="hour"
+                ),
+                "user_id": batch.column("user_id"),
+                "value_c": pc.cast(
+                    pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        ).to_pandas()
+        n = len(base)
+        rep = base.iloc[np.repeat(np.arange(n), k)].reset_index(drop=True)
+        offs = np.tile(np.arange(k, dtype=np.int64), n) * hop_us
+        w64 = rep["w0"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rep["wstart"] = (w64 - offs).astype("datetime64[us]")
+        g = (
+            rep.groupby(["event_type", "wstart", "user_id"], sort=False)
+            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from .dedup import sharded_groups
+
+    per_user = sharded_groups(
+        ds.map_batches(per_user_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type", "wstart", "user_id"]),
+        lambda s: s.groupby(["event_type", "wstart", "user_id"], sort=False)
+        .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
+        .reset_index(),
+    )
+
+    def per_window_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["event_type", "wstart"], sort=False)
+            .agg(
+                n=("n", "sum"),
+                n_users=("user_id", "size"),
+                sum_value_c=("sum_value_c", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def cast_ts(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("wstart")
+        return batch.set_column(
+            i, "wstart", pc.cast(batch.column("wstart"), pa.timestamp("us"))
+        )
+
+    return sharded_groups(
+        per_user.map_batches(per_window_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type", "wstart"]),
+        lambda s: s.groupby(["event_type", "wstart"], sort=False)
+        .agg(
+            n=("n", "sum"),
+            n_users=("n_users", "sum"),
+            sum_value_c=("sum_value_c", "sum"),
+        )
+        .reset_index(),
+    ).map_batches(cast_ts, batch_format="pyarrow")
+
+
 def conv_role_patterns(
     state: "rd.Dataset", *, num_shards: int = 64
 ) -> "rd.Dataset":

@@ -2118,6 +2118,28 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 3-hour windows hopping hourly (analytics.events_sliding):
+    each event lands in 3 overlapping windows; the ×3 expansion lives
+    inside the per-batch partial, the shuffles move pre-aggregated
+    partials only."""
+    return analytics.events_sliding(sf_dir, width_hours=3, hop_hours=1)
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH j AS (SELECT unnest(range(0, 3)) AS j),
+e AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 100) AS BIGINT) AS value_c,
+         date_trunc('hour', ts) - to_hours(j.j) AS wstart
+  FROM events, j)
+SELECT event_type, wstart, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(value_c)::BIGINT AS sum_value_c
+FROM e GROUP BY 1, 2
+"""
+
+
 def q_grouped_quantiles_cont(sf_dir: str):
     """Interpolated per-event-type percentiles — SQL quantile_cont — from
     the summed-histogram plane (analytics.grouped_quantiles_cont): exact
@@ -2391,8 +2413,8 @@ def build_queries() -> dict:
         "event_day_ranks": q_event_day_ranks,
         "cube_pricing": q_cube_pricing,
         "quantiles_cont": q_grouped_quantiles_cont,
+        "events_sliding": q_events_sliding,
         # --- §2 core: CDC ---------------------------------------------------
-        "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_retention": q_cdc_retention,
         # --- §2 core: mapping + SPARQL ---------------------------------------
@@ -2404,6 +2426,7 @@ def build_queries() -> dict:
         # ---------------- end of the 50-entry driver window -----------------
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
+        "cdc_upsert_full": q_cdc_upsert_full,
         "cdc_point_in_time": q_cdc_point_in_time,
         "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
@@ -2557,6 +2580,7 @@ def build_oracles() -> dict[str, str]:
         "event_day_ranks": ORACLE_EVENT_DAY_RANKS,
         "cube_pricing": ORACLE_CUBE_PRICING,
         "quantiles_cont": ORACLE_GROUPED_QUANTILES_CONT,
+        "events_sliding": ORACLE_EVENTS_SLIDING,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -271,3 +271,39 @@ def test_quantiles_cont_matches_numpy_and_validates():
             assert got.loc[et, col] == want, (et, q)
     with pytest.raises(ValueError, match="denominator dividing 1000"):
         grouped_quantiles_cont(SF, quantiles=(1 / 3,))
+
+
+def test_events_sliding_window_identities():
+    """Sliding-window structure: width==hop degenerates to the tumbling
+    hourly aggregate; with width=3·hop every event appears in exactly 3
+    windows (sum of n across windows == 3 × event count); invalid
+    width/hop rejected."""
+    import pytest
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        events_hourly,
+        events_sliding,
+    )
+
+    tumb = (
+        events_sliding(SF, width_hours=1, hop_hours=1)
+        .to_pandas()
+        .rename(columns={"wstart": "hour"})
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    hourly = (
+        events_hourly(SF)
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        tumb[["event_type", "hour", "n", "n_users", "sum_value_c"]],
+        hourly[["event_type", "hour", "n", "n_users", "sum_value_c"]],
+        check_dtype=False,
+    )
+    slid = events_sliding(SF, width_hours=3, hop_hours=1).to_pandas()
+    assert slid["n"].sum() == 3 * hourly["n"].sum()
+    with pytest.raises(ValueError, match="positive multiple"):
+        events_sliding(SF, width_hours=3, hop_hours=2)
