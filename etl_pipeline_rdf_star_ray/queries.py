@@ -2054,6 +2054,24 @@ SELECT user_id, event_type FROM events WHERE value <= 0.5
 """
 
 
+def q_except_all_event_pairs(sf_dir: str):
+    """SQL EXCEPT ALL — bag-semantics set difference (stages/setops,
+    op='except_all'): each (user, event_type) pair keeps max(0, n_hi −
+    n_lo) copies, multiplicities summed from per-block count partials so
+    the exchange still carries distinct rows only."""
+    from .stages.setops import distinct_set_op
+
+    left, right = _event_pair_sides(sf_dir)
+    return distinct_set_op(left, right, op="except_all")
+
+
+ORACLE_EXCEPT_ALL_EVENT_PAIRS = """
+SELECT user_id, event_type FROM events WHERE value > 0.5
+EXCEPT ALL
+SELECT user_id, event_type FROM events WHERE value <= 0.5
+"""
+
+
 def q_latest_events(sf_dir: str):
     """Latest event row per user (windows.argmax_rows): the distributed
     ``row_number() = 1`` arg-max with a MAP-SIDE partial reduce — each
@@ -2414,8 +2432,8 @@ def build_queries() -> dict:
         "cube_pricing": q_cube_pricing,
         "quantiles_cont": q_grouped_quantiles_cont,
         "events_sliding": q_events_sliding,
+        "except_all_event_pairs": q_except_all_event_pairs,
         # --- §2 core: CDC ---------------------------------------------------
-        "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_retention": q_cdc_retention,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
@@ -2427,6 +2445,7 @@ def build_queries() -> dict:
         # everything below carried a green CORRECTNESS_r03 driver row (or is
         # a declared no-oracle approximate op with a pytest property oracle)
         "cdc_upsert_full": q_cdc_upsert_full,
+        "cdc_upsert_lake": q_cdc_upsert_lake,
         "cdc_point_in_time": q_cdc_point_in_time,
         "cdc_diff": q_cdc_diff,
         "cdc_value_history": q_cdc_value_history,
@@ -2581,6 +2600,7 @@ def build_oracles() -> dict[str, str]:
         "cube_pricing": ORACLE_CUBE_PRICING,
         "quantiles_cont": ORACLE_GROUPED_QUANTILES_CONT,
         "events_sliding": ORACLE_EVENTS_SLIDING,
+        "except_all_event_pairs": ORACLE_EXCEPT_ALL_EVENT_PAIRS,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -62,13 +62,22 @@ def _fingerprint_sql(cols: list[str]) -> str:
 
 
 def _distinct_fp_stage(cols: list[str], side: int):
-    """Per-block map: DISTINCT rows + (fp_lo, fp_hi, side) columns."""
+    """Per-block map: the block's DISTINCT rows with their within-block
+    multiplicity (``__n``) + (fp_lo, fp_hi, side) columns. Distinct ops
+    ignore ``__n``; the ALL (bag) ops sum it per shard."""
 
     def stage(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            batch = batch.select(cols).group_by(cols).aggregate([])
+            batch = (
+                batch.select(cols)
+                .group_by(cols)
+                .aggregate([([], "count_all")])
+                .rename_columns(cols + ["__n"])
+            )
         else:
-            batch = batch.select(cols)
+            batch = batch.select(cols).append_column(
+                "__n", pa.array([], pa.int64())
+            )
         import duckdb
 
         fp = _fingerprint_sql(cols)
@@ -94,15 +103,26 @@ def distinct_set_op(
     op: str = "except",
     num_shards: int = 64,
 ) -> "object":
-    """``left EXCEPT right`` or ``left INTERSECT right`` with SQL set-op
-    semantics over ALL of ``left``'s columns. ``right`` must carry the same
-    column names; its columns are aligned to ``left``'s order and cast to
-    ``left``'s types (a mismatch that cannot cast raises at execution).
+    """SQL set operations over ALL of ``left``'s columns, NULL equals NULL:
 
-    Returns the distinct qualifying rows of ``left``.
+    - ``"except"`` / ``"intersect"``: DISTINCT output (set semantics);
+    - ``"except_all"`` / ``"intersect_all"``: bag semantics — per distinct
+      row with left multiplicity ``cl`` and right multiplicity ``cr``, the
+      output carries ``max(0, cl − cr)`` / ``min(cl, cr)`` copies (the SQL
+      ``EXCEPT ALL`` / ``INTERSECT ALL`` multiset laws). Multiplicities are
+      summed from per-block ``count_all`` partials, so the exchange still
+      moves at most each block's DISTINCT rows per side.
+
+    ``right`` must carry the same column names; its columns are aligned to
+    ``left``'s order and cast to ``left``'s types (a mismatch that cannot
+    cast raises at execution). Returns the qualifying rows of ``left``.
     """
-    if op not in ("except", "intersect"):
-        raise ValueError(f"op must be 'except' or 'intersect', got {op!r}")
+    if op not in ("except", "intersect", "except_all", "intersect_all"):
+        raise ValueError(
+            "op must be one of except/intersect/except_all/intersect_all, "
+            f"got {op!r}"
+        )
+    all_mode = op.endswith("_all")
     lsch = left.schema()
     cols = list(lsch.names)
     ltypes = dict(zip(lsch.names, lsch.types))
@@ -131,7 +151,8 @@ def distinct_set_op(
     )
     both = tagged_l.union(tagged_r)
 
-    keep_present = op == "intersect"
+    keep_present = op in ("intersect", "intersect_all")
+    drop_cols = ["__fp_lo", "__fp_hi", "__side", "__n", "shard"]
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         lo = g["__fp_lo"].to_numpy(np.uint64)
@@ -139,22 +160,36 @@ def distinct_set_op(
         side = g["__side"].to_numpy(np.int8)
         # one integer identity per distinct 128-bit fingerprint in this
         # shard (np.unique over the stacked halves — fully vectorized)
-        ids = np.unique(
+        uniq, inv = np.unique(
             np.stack([lo, hi], axis=1), axis=0, return_inverse=True
-        )[1].reshape(-1)
+        )
+        ids = inv.reshape(-1)
         is_l = side == 0
-        # left-distinct across blocks: first occurrence of each identity
+        # representative left row per identity: first occurrence
         lidx = np.flatnonzero(is_l)
         lids = ids[lidx]
         order = np.argsort(lids, kind="stable")
         keep_first = np.ones(len(order), bool)
         keep_first[1:] = lids[order][1:] != lids[order][:-1]
         lidx, lids = lidx[order][keep_first], lids[order][keep_first]
+        if all_mode:
+            # exact int64 multiplicity sums per identity and side (no
+            # float-weighted bincount — counts must stay exact)
+            n = np.asarray(g["__n"], dtype=np.int64)
+            k = len(uniq)
+            cl = np.zeros(k, np.int64)
+            cr = np.zeros(k, np.int64)
+            np.add.at(cl, ids[is_l], n[is_l])
+            np.add.at(cr, ids[~is_l], n[~is_l])
+            mult = (
+                np.minimum(cl, cr) if keep_present
+                else np.maximum(cl - cr, 0)
+            )[lids]
+            take = np.repeat(lidx, mult)
+            return g.iloc[take].drop(columns=drop_cols)
         present = np.isin(lids, ids[~is_l])
         keep = lidx[present if keep_present else ~present]
-        return g.iloc[np.sort(keep)].drop(
-            columns=["__fp_lo", "__fp_hi", "__side", "shard"]
-        )
+        return g.iloc[np.sort(keep)].drop(columns=drop_cols)
 
     from ..pipelines.dedup import sharded_groups
 

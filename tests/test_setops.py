@@ -188,3 +188,69 @@ def test_separator_and_sentinel_bytes_do_not_collide(ray_session):
     )
     assert _rows(got2) == _rows(_duck(l, r2, "intersect"))
     assert got2.num_rows == 2  # ('x\x1ey','z') and (NULL,'w') only
+
+
+@pytest.mark.parametrize("op,sql", [
+    ("except_all", "EXCEPT ALL"), ("intersect_all", "INTERSECT ALL"),
+])
+def test_bag_semantics_match_duckdb(op, sql, ray_session):
+    """EXCEPT ALL / INTERSECT ALL multiset laws: per distinct row the
+    output carries max(0, cl−cr) / min(cl, cr) copies — multiplicities
+    summed exactly across blocks, NULL rows included."""
+    l = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, None, None, 3], pa.int64()),
+            "b": ["x", "x", "x", "y", None, None, "z"],
+        }
+    )
+    r = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 9], pa.int64()),
+            "b": ["x", "y", "y", None, "w"],
+        }
+    )
+    got = _collect(
+        distinct_set_op(
+            rd.from_arrow(l).repartition(3),
+            rd.from_arrow(r).repartition(2),
+            op=op,
+        )
+    )
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    want = con.sql(f"SELECT a, b FROM l {sql} SELECT a, b FROM r").arrow()
+    assert _rows(got) == _rows(want)
+    if op == "except_all":
+        # (1,'x'): 3 left − 1 right = 2 copies; (None,None): 2 − 1 = 1
+        vals = got.to_pylist()
+        assert sum(1 for v in vals if v["a"] == 1) == 2
+        assert sum(1 for v in vals if v["a"] is None and v["b"] is None) == 1
+
+
+def test_bag_random_frames_match_duckdb(ray_session):
+    rng = np.random.default_rng(13)
+
+    def mk(n):
+        a = rng.integers(0, 4, n).astype(np.int64)
+        null = rng.random(n) < 0.15
+        return pa.table(
+            {"a": pa.array(pd.array(np.where(null, pd.NA, a), dtype="Int64"))}
+        )
+
+    for trial in range(3):
+        l, r = mk(60), mk(45)
+        for op, sql in (("except_all", "EXCEPT ALL"),
+                        ("intersect_all", "INTERSECT ALL")):
+            got = _collect(
+                distinct_set_op(
+                    rd.from_arrow(l).repartition(5),
+                    rd.from_arrow(r).repartition(4),
+                    op=op, num_shards=8,
+                )
+            )
+            con = duckdb.connect()
+            con.register("l", l)
+            con.register("r", r)
+            want = con.sql(f"SELECT a FROM l {sql} SELECT a FROM r").arrow()
+            assert _rows(got) == _rows(want), (trial, op)
