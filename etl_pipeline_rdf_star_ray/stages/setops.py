@@ -124,9 +124,19 @@ def distinct_set_op(
         )
     all_mode = op.endswith("_all")
     lsch = left.schema()
+    if lsch is None:
+        # a fully empty left (Ray reports no schema) has an empty result
+        # for every op; the left dataset IS that result
+        return left
     cols = list(lsch.names)
     ltypes = dict(zip(lsch.names, lsch.types))
-    rnames = set(right.schema().names)
+    rsch = right.schema()
+    if rsch is None:
+        # empty right: INTERSECT* is empty, EXCEPT* is left-distinct (or
+        # left-as-bag) — run the normal plan with zero right rows
+        rnames = set(cols)
+    else:
+        rnames = set(rsch.names)
     if set(cols) != rnames:
         raise ValueError(
             f"set-op sides must share column names: left={cols} "
