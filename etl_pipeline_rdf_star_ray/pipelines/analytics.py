@@ -1071,6 +1071,51 @@ def grouped_quantiles_cont(
     )
 
 
+def grouped_mad(sf_dir: str) -> "rd.Dataset":
+    """Robust per-group dispersion: median and Median Absolute Deviation
+    (MAD = median of |v − median|) per event type, integer-exact in cents —
+    the outlier-robust scale statistic (quality-filter thresholds like
+    "keep docs within k·MAD of the median" beat mean/σ under heavy tails).
+
+    Both statistics fall out of ONE summed histogram (:func:`_event_value_hist`
+    — data rows never shuffle): the shard task walks each group's histogram
+    for the median, then rebuilds the |v − med| histogram IN-SHARD (pure
+    integer arithmetic on the same rows) and walks it again. ``quantile_disc``
+    rank convention (element at rank ⌈n/2⌉) for both walks, matching the SQL
+    oracle exactly. Output: ``(event_type, median_c, mad_c)``."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    hist = _event_value_hist(sf_dir)
+
+    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in shard.groupby("event_type", sort=False):
+            g = g.sort_values("value_c")
+            n = int(g["n"].sum())
+            cnt = g["n"].to_numpy()
+            vals = g["value_c"].to_numpy()
+            cum = np.cumsum(cnt)
+            rank = max(1, int(np.ceil(0.5 * n)))
+            med = int(vals[np.searchsorted(cum, rank)])
+            # |v − med| histogram: same counts, folded values, re-sorted
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            dcum = np.cumsum(cnt[order])
+            mad = int(dev[order][np.searchsorted(dcum, rank)])
+            rows.append([et, med, mad])
+        return pd.DataFrame(
+            rows, columns=["event_type", "median_c", "mad_c"]
+        ).astype({"median_c": np.int64, "mad_c": np.int64})
+
+    return sharded_groups(
+        hist,
+        lambda b: xxh64_column(b.column("event_type")),
+        per_shard,
+        num_shards=8,
+    )
+
+
 def pivot_counts(
     ds: "rd.Dataset",
     *,

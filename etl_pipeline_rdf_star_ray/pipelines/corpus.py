@@ -679,6 +679,31 @@ def flatten_conversations(
     )
 
 
+def tail_turns(
+    state: "rd.Dataset", *, k: int = 4, num_shards: int = 64
+) -> "rd.Dataset":
+    """Context truncation: keep each conversation's LAST ``k`` turns (by
+    ``turn_idx``) with a 1-based ``recency`` rank (1 = latest) — the
+    standard context-window budget step before pair assembly when long
+    conversations exceed the model context (the windowed
+    :func:`training.training_pairs` consumes full history; this bounds it).
+
+    A thin composition over the grouped-ranking plane
+    (``windows.rank_within_groups`` descending on ``turn_idx``): one
+    conv-hash exchange, one vectorized pass per shard. Output:
+    ``(conv_id, turn_idx, role, text, recency)``."""
+    from .windows import rank_within_groups
+
+    return rank_within_groups(
+        state.select_columns(["conv_id", "turn_idx", "role", "text"]),
+        group_cols=["conv_id"],
+        order_by=["turn_idx"],
+        ascending=[False],
+        k=k,
+        rank_col="recency",
+    )
+
+
 def dedup_conversations(
     state: "rd.Dataset",
     *,

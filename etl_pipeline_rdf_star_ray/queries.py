@@ -2179,6 +2179,41 @@ FROM events GROUP BY event_type
 """
 
 
+def q_tail_turns(sf_dir: str):
+    """Last-4-turns context truncation over the upserted transcript state
+    (corpus.tail_turns): per conversation, the most recent 4 turns with
+    their recency rank — the context-budget step before pair assembly."""
+    from .pipelines import corpus
+
+    return corpus.tail_turns(_upserted_state(sf_dir), k=4)
+
+
+ORACLE_TAIL_TURNS = f"""{_CDC_PREFIX}
+SELECT conv_id, turn_idx, role, text,
+       row_number() OVER (PARTITION BY conv_id
+                          ORDER BY turn_idx DESC)::BIGINT AS recency
+FROM state QUALIFY recency <= 4
+"""
+
+
+def q_value_mad(sf_dir: str):
+    """Robust dispersion per event type: median + Median Absolute
+    Deviation in exact int64 cents (analytics.grouped_mad) — both walks
+    over ONE summed histogram, data rows never shuffle."""
+    return analytics.grouped_mad(sf_dir)
+
+
+ORACLE_VALUE_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+m AS (
+  SELECT event_type, quantile_disc(c, 0.5) AS med FROM c GROUP BY 1)
+SELECT c.event_type, CAST(max(m.med) AS BIGINT) AS median_c,
+       CAST(quantile_disc(abs(c.c - m.med), 0.5) AS BIGINT) AS mad_c
+FROM c JOIN m USING (event_type) GROUP BY c.event_type
+"""
+
+
 def q_cube_pricing(sf_dir: str):
     """``GROUP BY CUBE`` over lineitem pricing (analytics.pricing_cube):
     all four grouping sets, raw data scanned once for the finest level,
@@ -2433,12 +2468,12 @@ def build_queries() -> dict:
         "quantiles_cont": q_grouped_quantiles_cont,
         "events_sliding": q_events_sliding,
         "except_all_event_pairs": q_except_all_event_pairs,
+        "value_mad": q_value_mad,
+        "tail_turns": q_tail_turns,
         # --- §2 core: CDC ---------------------------------------------------
         "cdc_retention": q_cdc_retention,
         # --- §2 core: mapping + SPARQL ---------------------------------------
         "lift_triples": q_lift_triples,
-        "annotation_join": q_annotation_join,
-        "rdf_roundtrip": q_rdf_roundtrip,
         # --- one representative per family ----------------------------------
         "conv_dedup": q_conv_dedup,
         # ---------------- end of the 50-entry driver window -----------------
@@ -2451,6 +2486,8 @@ def build_queries() -> dict:
         "cdc_value_history": q_cdc_value_history,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compact": q_cdc_compact,
+        "annotation_join": q_annotation_join,
+        "rdf_roundtrip": q_rdf_roundtrip,
         "lift_delta": q_lift_delta,
         "sparql_roles": q_sparql_roles,
         "sparql_star_nation": q_sparql_star_nation,
@@ -2601,6 +2638,8 @@ def build_oracles() -> dict[str, str]:
         "quantiles_cont": ORACLE_GROUPED_QUANTILES_CONT,
         "events_sliding": ORACLE_EVENTS_SLIDING,
         "except_all_event_pairs": ORACLE_EXCEPT_ALL_EVENT_PAIRS,
+        "value_mad": ORACLE_VALUE_MAD,
+        "tail_turns": ORACLE_TAIL_TURNS,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

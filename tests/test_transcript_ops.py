@@ -307,3 +307,44 @@ def test_events_sliding_window_identities():
     assert slid["n"].sum() == 3 * hourly["n"].sum()
     with pytest.raises(ValueError, match="positive multiple"):
         events_sliding(SF, width_hours=3, hop_hours=2)
+
+
+def test_mad_and_tail_turns_match_oracles():
+    assert oracle_run(SF, ["value_mad", "tail_turns"]) == 0
+
+
+def test_grouped_mad_matches_numpy():
+    """Median and MAD per group equal the direct multiset statistics
+    (quantile_disc rank convention: element at rank ceil(n/2))."""
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import grouped_mad
+
+    got = grouped_mad(SF).to_pandas().set_index("event_type")
+    vals = duckdb.execute(
+        f"""SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM '{SF}/events.parquet'"""
+    ).df()
+    for et, g in vals.groupby("event_type"):
+        c = np.sort(g["c"].to_numpy())
+        rank = max(1, int(np.ceil(0.5 * len(c))))
+        med = int(c[rank - 1])
+        dev = np.sort(np.abs(c - med))
+        assert got.loc[et, "median_c"] == med
+        assert got.loc[et, "mad_c"] == int(dev[rank - 1])
+
+
+def test_tail_turns_keeps_latest_k():
+    """Every surviving turn is among its conversation's k latest; recency
+    1 is the max turn_idx; conversations shorter than k keep all turns."""
+    from etl_pipeline_rdf_star_ray.pipelines import corpus
+    from etl_pipeline_rdf_star_ray.queries import _upserted_state
+
+    k = 3
+    out = corpus.tail_turns(_upserted_state(SF), k=k).to_pandas()
+    state = _upserted_state(SF).to_pandas()
+    per_conv = state.groupby("conv_id")["turn_idx"]
+    for conv, g in out.groupby("conv_id"):
+        all_idx = sorted(per_conv.get_group(conv).tolist())
+        assert sorted(g["turn_idx"]) == all_idx[-k:]
+        assert g.loc[g["recency"] == 1, "turn_idx"].iloc[0] == all_idx[-1]
