@@ -12,6 +12,7 @@ Verbs:
   export    lift a snapshot through the transcripts mapping → N-Triples/Quads
   query     run DuckDB SQL against a snapshot (view name: state)
   compact   rewrite each partition's active version
+  vacuum    expire conversations whose latest surviving lsn < --min-lsn
   resalt    migrate late-appearing hot conversations into salted partitions
   import    parse RDF text files (nt/nq/ttl/trig) into a triples parquet
   provenance  facts + RDF-star annotations for one subject (reference
@@ -92,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("compact")
     sp.add_argument("lake")
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("lake")
+    sp.add_argument("--min-lsn", type=int, required=True,
+                    help="retention watermark: conversations whose latest "
+                         "surviving turn lsn is below this are dropped")
 
     sp = sub.add_parser("resalt")
     sp.add_argument("lake")
@@ -281,6 +288,10 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.ops import compact
 
         print(f"compacted {compact(args.lake)} partitions")
+    elif args.verb == "vacuum":
+        from .pipelines.ops import retention
+
+        print(json.dumps(retention(args.lake, args.min_lsn)))
     elif args.verb == "resalt":
         from .pipelines.ops import resalt
 

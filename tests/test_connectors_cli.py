@@ -254,3 +254,28 @@ def test_cli_provenance_import_resalt(tmp_path):
     ).fetchone()
     subj = f"http://example.org/turn/{row[0]}_{row[1]}"
     assert main(["provenance", lake, subj]) == 0
+
+
+def test_cli_vacuum(tmp_path, capsys):
+    """The round-4 vacuum verb: expire inactive conversations through the
+    CLI, report rows dropped, leave the snapshot readable."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.cli import main
+    from etl_pipeline_rdf_star_ray.sources.synthetic import changelog_table
+    from etl_pipeline_rdf_star_ray.state.lake import state_table
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(changelog_table(1500), str(log / "log.parquet"))
+    lake = str(tmp_path / "lake")
+    assert main(["--num-cpus", "2", "ingest", str(log), lake,
+                 "--num-partitions", "4"]) == 0
+    before = state_table(lake).to_pandas()
+    cutoff = int(before.groupby("conv_id")["lsn"].max().median())
+    assert main(["vacuum", lake, "--min-lsn", str(cutoff)]) == 0
+    out = capsys.readouterr().out
+    assert '"rows_dropped"' in out
+    after = state_table(lake).to_pandas()
+    keep = before.groupby("conv_id")["lsn"].max()
+    assert set(after["conv_id"].unique()) == set(keep[keep >= cutoff].index)
