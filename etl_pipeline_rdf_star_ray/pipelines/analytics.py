@@ -328,79 +328,15 @@ def event_type_counts(sf_dir: str) -> "rd.Dataset":
 
 
 def events_hourly(sf_dir: str) -> "rd.Dataset":
-    """Tumbling-window aggregate: events per (event_type, hour) with distinct
-    users. Two-level partial aggregation, NO per-group Python calls: each
-    batch collapses to (event_type, hour, user_id) partials, one groupby on
-    that triple dedups users globally, then a second groupby over the already
-    tiny per-user rows produces the window rows. Both shuffles move only
-    pre-aggregated partials (round-1 verdict fix: the old per-group
-    ``map_groups`` ran one Python call per window — millions at scale)."""
-    ds = read_parquet_clean(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id", "value"]
+    """Tumbling-window aggregate: events per (event_type, hour) with exact
+    distinct users — the width==hop special case of :func:`events_sliding`
+    (ONE shared implementation: per-batch (type, window, user) partials,
+    global triple dedup, per-window combine; both shuffles move
+    pre-aggregated partials only — review r4 deduplicated the two copies).
+    Output: ``(event_type, hour, n, n_users, sum_value_c)``."""
+    return events_sliding(
+        sf_dir, width_hours=1, hop_hours=1, window_col="hour"
     )
-
-    def per_user_partial(batch: pa.Table) -> pa.Table:
-        df = pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
-                "user_id": batch.column("user_id"),
-                "value_c": pc.cast(
-                    pc.floor(pc.multiply(batch.column("value"), 100.0)), pa.int64()
-                ),
-            }
-        ).to_pandas()
-        g = (
-            df.groupby(["event_type", "hour", "user_id"], sort=False)
-            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    from .dedup import sharded_groups
-
-    per_user = sharded_groups(
-        ds.map_batches(per_user_partial, batch_format="pyarrow"),
-        lambda b: _group_key_hash(b, ["event_type", "hour", "user_id"]),
-        lambda s: s.groupby(["event_type", "hour", "user_id"], sort=False)
-        .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
-        .reset_index(),
-    )
-
-    def per_window_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = (
-            df.groupby(["event_type", "hour"], sort=False)
-            .agg(
-                n=("n", "sum"),
-                n_users=("n", "size"),
-                sum_value_c=("sum_value_c", "sum"),
-            )
-            .reset_index()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def cast_hour(batch: pa.Table) -> pa.Table:
-        # the shuffle's pandas round-trip narrows the hour key to second
-        # precision; restore the source tables' timestamp[us] for exact
-        # schema parity with the oracle
-        i = batch.schema.get_field_index("hour")
-        return batch.set_column(
-            i, "hour", pc.cast(batch.column("hour"), pa.timestamp("us"))
-        )
-
-    return sharded_groups(
-        per_user.map_batches(per_window_partial, batch_format="pyarrow"),
-        lambda b: _group_key_hash(b, ["event_type", "hour"]),
-        lambda s: s.groupby(["event_type", "hour"], sort=False)
-        .agg(
-            n=("n", "sum"),
-            n_users=("n_users", "sum"),
-            sum_value_c=("sum_value_c", "sum"),
-        )
-        .reset_index(),
-    ).map_batches(cast_hour, batch_format="pyarrow")
-
 
 def _sessionize(g: "pd.DataFrame", gap: "np.timedelta64") -> "pd.DataFrame":
     """Shared session-boundary computation: sorted by (user, ts, event_id),
@@ -763,7 +699,11 @@ def scrub_repeated_turns(
 
 
 def events_sliding(
-    sf_dir: str, *, width_hours: int = 3, hop_hours: int = 1
+    sf_dir: str,
+    *,
+    width_hours: int = 3,
+    hop_hours: int = 1,
+    window_col: str = "wstart",
 ) -> "rd.Dataset":
     """Sliding (hopping) window aggregate: events per ``(event_type,
     window_start)`` with distinct users, where windows are ``width_hours``
@@ -779,7 +719,7 @@ def events_sliding(
     shuffle volume is ≤ k × the tumbling partials, usually far less after
     collapse). No per-window Python calls anywhere.
 
-    Output: ``(event_type, wstart, n, n_users, sum_value_c)``."""
+    Output: ``(event_type, <window_col>, n, n_users, sum_value_c)``."""
     if width_hours <= 0 or hop_hours <= 0 or width_hours % hop_hours:
         raise ValueError("width_hours must be a positive multiple of hop_hours")
     k = width_hours // hop_hours
@@ -809,9 +749,9 @@ def events_sliding(
         rep = base.iloc[np.repeat(np.arange(n), k)].reset_index(drop=True)
         offs = np.tile(np.arange(k, dtype=np.int64), n) * hop_us
         w64 = rep["w0"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        rep["wstart"] = (w64 - offs).astype("datetime64[us]")
+        rep[window_col] = (w64 - offs).astype("datetime64[us]")
         g = (
-            rep.groupby(["event_type", "wstart", "user_id"], sort=False)
+            rep.groupby(["event_type", window_col, "user_id"], sort=False)
             .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
             .reset_index()
         )
@@ -821,8 +761,8 @@ def events_sliding(
 
     per_user = sharded_groups(
         ds.map_batches(per_user_partial, batch_format="pyarrow"),
-        lambda b: _group_key_hash(b, ["event_type", "wstart", "user_id"]),
-        lambda s: s.groupby(["event_type", "wstart", "user_id"], sort=False)
+        lambda b: _group_key_hash(b, ["event_type", window_col, "user_id"]),
+        lambda s: s.groupby(["event_type", window_col, "user_id"], sort=False)
         .agg(n=("n", "sum"), sum_value_c=("sum_value_c", "sum"))
         .reset_index(),
     )
@@ -830,7 +770,7 @@ def events_sliding(
     def per_window_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = (
-            df.groupby(["event_type", "wstart"], sort=False)
+            df.groupby(["event_type", window_col], sort=False)
             .agg(
                 n=("n", "sum"),
                 n_users=("user_id", "size"),
@@ -841,15 +781,16 @@ def events_sliding(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def cast_ts(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("wstart")
+        i = batch.schema.get_field_index(window_col)
         return batch.set_column(
-            i, "wstart", pc.cast(batch.column("wstart"), pa.timestamp("us"))
+            i, window_col,
+            pc.cast(batch.column(window_col), pa.timestamp("us")),
         )
 
     return sharded_groups(
         per_user.map_batches(per_window_partial, batch_format="pyarrow"),
-        lambda b: _group_key_hash(b, ["event_type", "wstart"]),
-        lambda s: s.groupby(["event_type", "wstart"], sort=False)
+        lambda b: _group_key_hash(b, ["event_type", window_col]),
+        lambda s: s.groupby(["event_type", window_col], sort=False)
         .agg(
             n=("n", "sum"),
             n_users=("n_users", "sum"),
@@ -925,6 +866,53 @@ def conv_role_patterns(
     )
 
 
+def _q_name(q, suffix: str) -> str:
+    """Exact percent label for a quantile column: the quantile is read as
+    its DECIMAL fraction (0.29 → 29, 0.125 → 12_5) — ``int(q * 100)`` on
+    the binary double truncates 0.29·100 = 28.999… to 28 and collides
+    0.56/0.57 (review r4)."""
+    from fractions import Fraction
+
+    pct10 = Fraction(str(q)) * 1000
+    if pct10.denominator != 1:
+        raise ValueError(f"quantile {q} needs at most 3 decimals")
+    n = pct10.numerator
+    head, tenth = divmod(n, 10)
+    return f"p{head}{'' if tenth == 0 else f'_{tenth}'}{suffix}"
+
+
+def _hist_group_stats(sf_dir: str, names: list[str], group_stat):
+    """Shared scaffolding for every histogram-walk statistic
+    (:func:`grouped_quantiles`, :func:`grouped_quantiles_cont`,
+    :func:`grouped_mad`): build the summed per-group value histogram once,
+    then one shard task per group hash calls ``group_stat(vals, cnt, cum,
+    n)`` with the value-sorted histogram arrays and emits the named int64
+    stat columns."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import xxh64_column
+
+    hist = _event_value_hist(sf_dir)
+
+    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in shard.groupby("event_type", sort=False):
+            g = g.sort_values("value_c")
+            cnt = g["n"].to_numpy()
+            vals = g["value_c"].to_numpy()
+            cum = np.cumsum(cnt)
+            rows.append([et, *group_stat(vals, cnt, cum, int(cum[-1]))])
+        return pd.DataFrame(rows, columns=["event_type", *names]).astype(
+            {c: np.int64 for c in names}
+        )
+
+    return sharded_groups(
+        hist,
+        lambda b: xxh64_column(b.column("event_type")),
+        per_shard,
+        num_shards=8,
+    )
+
+
 def grouped_quantiles(
     sf_dir: str, *, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
 ) -> "rd.Dataset":
@@ -940,34 +928,13 @@ def grouped_quantiles(
     Rank convention mirrors DuckDB's ``quantile_disc``: element at 1-indexed
     rank ``ceil(q·n)``. Output: ``(event_type, p25_c, p50_c, p75_c, p95_c)``
     in int64 cents (exact, hash-comparable)."""
-    from .dedup import sharded_groups
-    from ..functions.hashing import xxh64_column
-
-    hist = _event_value_hist(sf_dir)
-
     qs = list(quantiles)
-    names = [f"p{int(q * 100)}_c" for q in qs]
 
-    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in shard.groupby("event_type", sort=False):
-            g = g.sort_values("value_c")
-            n = int(g["n"].sum())
-            cum = g["n"].cumsum().to_numpy()
-            vals = g["value_c"].to_numpy()
-            ranks = [max(1, int(np.ceil(q * n))) for q in qs]
-            picks = [int(vals[np.searchsorted(cum, r)]) for r in ranks]
-            rows.append([et, *picks])
-        return pd.DataFrame(rows, columns=["event_type", *names]).astype(
-            {c: np.int64 for c in names}
-        )
+    def stat(vals, cnt, cum, n):
+        ranks = [max(1, int(np.ceil(q * n))) for q in qs]
+        return [int(vals[np.searchsorted(cum, r)]) for r in ranks]
 
-    return sharded_groups(
-        hist,
-        lambda b: xxh64_column(b.column("event_type")),
-        per_shard,
-        num_shards=8,
-    )
+    return _hist_group_stats(sf_dir, [_q_name(q, "_c") for q in qs], stat)
 
 
 def _event_value_hist(sf_dir: str) -> "rd.Dataset":
@@ -1026,9 +993,6 @@ def grouped_quantiles_cont(
     ``(event_type, p25_cont_mc, …)``."""
     from fractions import Fraction
 
-    from .dedup import sharded_groups
-    from ..functions.hashing import xxh64_column
-
     qs = [Fraction(str(q)) for q in quantiles]
     for q in qs:
         if 1000 % q.denominator:
@@ -1036,38 +1000,24 @@ def grouped_quantiles_cont(
                 f"quantile {q} needs a denominator dividing 1000 for exact "
                 "milli-cent output"
             )
-    names = [f"p{int(q * 100)}_cont_mc" for q in quantiles]
-    hist = _event_value_hist(sf_dir)
 
-    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in shard.groupby("event_type", sort=False):
-            g = g.sort_values("value_c")
-            n = int(g["n"].sum())
-            cum = g["n"].cumsum().to_numpy()
-            vals = g["value_c"].to_numpy()
-            out = []
-            for q in qs:
-                hp = (n - 1) * q.numerator
-                r = q.denominator
-                lo_i, rem = divmod(hp, r)
-                lo = int(vals[np.searchsorted(cum, lo_i + 1)])
-                if rem:
-                    hi = int(vals[np.searchsorted(cum, lo_i + 2)])
-                    mc = lo * 1000 + rem * (hi - lo) * (1000 // r)
-                else:
-                    mc = lo * 1000
-                out.append(mc)
-            rows.append([et, *out])
-        return pd.DataFrame(rows, columns=["event_type", *names]).astype(
-            {c: np.int64 for c in names}
-        )
+    def stat(vals, cnt, cum, n):
+        out = []
+        for q in qs:
+            hp = (n - 1) * q.numerator
+            r = q.denominator
+            lo_i, rem = divmod(hp, r)
+            lo = int(vals[np.searchsorted(cum, lo_i + 1)])
+            if rem:
+                hi = int(vals[np.searchsorted(cum, lo_i + 2)])
+                mc = lo * 1000 + rem * (hi - lo) * (1000 // r)
+            else:
+                mc = lo * 1000
+            out.append(mc)
+        return out
 
-    return sharded_groups(
-        hist,
-        lambda b: xxh64_column(b.column("event_type")),
-        per_shard,
-        num_shards=8,
+    return _hist_group_stats(
+        sf_dir, [_q_name(q, "_cont_mc") for q in quantiles], stat
     )
 
 
@@ -1083,37 +1033,16 @@ def grouped_mad(sf_dir: str) -> "rd.Dataset":
     integer arithmetic on the same rows) and walks it again. ``quantile_disc``
     rank convention (element at rank ⌈n/2⌉) for both walks, matching the SQL
     oracle exactly. Output: ``(event_type, median_c, mad_c)``."""
-    from .dedup import sharded_groups
-    from ..functions.hashing import xxh64_column
+    def stat(vals, cnt, cum, n):
+        rank = max(1, int(np.ceil(0.5 * n)))
+        med = int(vals[np.searchsorted(cum, rank)])
+        # |v − med| histogram: same counts, folded values, re-sorted
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dcum = np.cumsum(cnt[order])
+        return [med, int(dev[order][np.searchsorted(dcum, rank)])]
 
-    hist = _event_value_hist(sf_dir)
-
-    def per_shard(shard: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for et, g in shard.groupby("event_type", sort=False):
-            g = g.sort_values("value_c")
-            n = int(g["n"].sum())
-            cnt = g["n"].to_numpy()
-            vals = g["value_c"].to_numpy()
-            cum = np.cumsum(cnt)
-            rank = max(1, int(np.ceil(0.5 * n)))
-            med = int(vals[np.searchsorted(cum, rank)])
-            # |v − med| histogram: same counts, folded values, re-sorted
-            dev = np.abs(vals - med)
-            order = np.argsort(dev, kind="stable")
-            dcum = np.cumsum(cnt[order])
-            mad = int(dev[order][np.searchsorted(dcum, rank)])
-            rows.append([et, med, mad])
-        return pd.DataFrame(
-            rows, columns=["event_type", "median_c", "mad_c"]
-        ).astype({"median_c": np.int64, "mad_c": np.int64})
-
-    return sharded_groups(
-        hist,
-        lambda b: xxh64_column(b.column("event_type")),
-        per_shard,
-        num_shards=8,
-    )
+    return _hist_group_stats(sf_dir, ["median_c", "mad_c"], stat)
 
 
 def pivot_counts(

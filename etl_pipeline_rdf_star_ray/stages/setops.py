@@ -126,7 +126,11 @@ def distinct_set_op(
     lsch = left.schema()
     if lsch is None:
         # a fully empty left (Ray reports no schema) has an empty result
-        # for every op; the left dataset IS that result
+        # for every op; the left dataset IS that result. Caveat: with no
+        # left schema there are no column names to validate against, so a
+        # mismatched right side cannot be detected on empty-left runs —
+        # callers wanting a deterministic mismatch error should validate
+        # schemas themselves before data-dependent filters
         return left
     cols = list(lsch.names)
     ltypes = dict(zip(lsch.names, lsch.types))

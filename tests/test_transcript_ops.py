@@ -348,3 +348,16 @@ def test_tail_turns_keeps_latest_k():
         all_idx = sorted(per_conv.get_group(conv).tolist())
         assert sorted(g["turn_idx"]) == all_idx[-k:]
         assert g.loc[g["recency"] == 1, "turn_idx"].iloc[0] == all_idx[-1]
+
+
+def test_quantile_labels_are_exact():
+    """Column labels come from the decimal fraction, not the binary double:
+    int(0.29*100) == 28 would mislabel, and 0.56/0.57 would collide
+    (review r4)."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import _q_name
+
+    assert _q_name(0.29, "_c") == "p29_c"
+    assert _q_name(0.56, "_c") == "p56_c"
+    assert _q_name(0.57, "_c") == "p57_c"
+    assert _q_name(0.125, "_mc") == "p12_5_mc"
+    assert _q_name(0.95, "_c") == "p95_c"
