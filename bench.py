@@ -257,6 +257,19 @@ def run_bench() -> dict:
     sec, _ = timed(lambda: q_except_event_pairs(SF_DIR).count())
     queries["except_event_pairs"] = sec
 
+    # sliding windows (×3 in-batch expansion + two partial shuffles) and
+    # the incremental view refresh (two upserts + changed-key broadcast)
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import events_sliding
+    from etl_pipeline_rdf_star_ray.queries import q_conv_stats_refresh
+
+    sec, _ = timed(
+        lambda: events_sliding(SF_DIR, width_hours=3, hop_hours=1).count()
+    )
+    queries["events_sliding"] = sec
+
+    sec, _ = timed(lambda: q_conv_stats_refresh(SF_DIR).count())
+    queries["conv_stats_refresh"] = sec
+
     st = ops.status(lake)
     ray.shutdown()
 
