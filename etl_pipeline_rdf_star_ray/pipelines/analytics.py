@@ -1045,6 +1045,62 @@ def grouped_mad(sf_dir: str) -> "rd.Dataset":
     return _hist_group_stats(sf_dir, ["median_c", "mad_c"], stat)
 
 
+def funnel_depth(
+    sf_dir: str,
+    *,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Ordered-funnel (conversion) analysis: for every user, how many of
+    the ordered ``steps`` completed, where step *i+1* counts only with an
+    occurrence STRICTLY after step *i*'s first qualifying occurrence —
+    the classic product funnel, equally the agent-behavior sequence check
+    (user → assistant → tool) on transcripts.
+
+    Scale shape: users are hash-sharded (one user never splits), each
+    shard runs ``len(steps)`` vectorized masked groupby-mins — no per-user
+    Python, rows move once. Only rows whose type is IN the funnel leave
+    the read (Arrow ``is_in`` filter). Output: ``(user_id, depth)`` for
+    every user with ≥1 event of any kind (depth 0 = never entered)."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import key_hash_column
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user_id"].drop_duplicates().reset_index(drop=True)
+        depth = pd.Series(np.zeros(len(users), np.int64), index=users)
+        prev: pd.Series | None = None  # first qualifying ts per user
+        for i, step in enumerate(steps):
+            is_step = g["event_type"] == step
+            if i == 0:
+                mask = is_step
+            else:
+                bound = g["user_id"].map(prev)
+                mask = is_step & bound.notna() & (g["ts"] > bound)
+            cur = g.loc[mask].groupby("user_id", sort=False)["ts"].min()
+            if cur.empty:
+                break
+            depth.loc[cur.index] = i + 1
+            prev = cur
+        return pd.DataFrame(
+            {"user_id": users.to_numpy(), "depth": depth.to_numpy()}
+        )
+
+    # the funnel only needs rows of funnel types for the mins, but depth-0
+    # users must still appear — keep all rows of each user's shard (the
+    # shard groupby sees every user) and let the masks do the filtering
+    return sharded_groups(
+        ds,
+        lambda b: key_hash_column(b.column("user_id")),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
+
+
 def pivot_counts(
     ds: "rd.Dataset",
     *,

@@ -2196,6 +2196,31 @@ FROM state QUALIFY recency <= 4
 """
 
 
+def q_funnel_depth(sf_dir: str):
+    """Ordered conversion funnel view→click→purchase per user
+    (analytics.funnel_depth): step i+1 counts only strictly after step i's
+    first qualifying occurrence. Beyond the driver's 50-entry window (the
+    window is full of round-4 queries) — the identical oracle comparison
+    runs in pytest (tests/test_transcript_ops.py via oracle_harness)."""
+    return analytics.funnel_depth(sf_dir)
+
+
+ORACLE_FUNNEL_DEPTH = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1)
+SELECT u.user_id,
+       (CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+             WHEN t3 IS NULL THEN 2 ELSE 3 END)::BIGINT AS depth
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_value_mad(sf_dir: str):
     """Robust dispersion per event type: median + Median Absolute
     Deviation in exact int64 cents (analytics.grouped_mad) — both walks
@@ -2540,6 +2565,10 @@ def build_queries() -> dict:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        # beyond-window round-4 extras: no driver row possible (the window
+        # is full of round-4 queries), but fully SQL-oracled — pytest runs
+        # the driver-identical comparison (tests/test_transcript_ops.py)
+        "funnel_depth": q_funnel_depth,
     }
 
 
@@ -2640,6 +2669,7 @@ def build_oracles() -> dict[str, str]:
         "except_all_event_pairs": ORACLE_EXCEPT_ALL_EVENT_PAIRS,
         "value_mad": ORACLE_VALUE_MAD,
         "tail_turns": ORACLE_TAIL_TURNS,
+        "funnel_depth": ORACLE_FUNNEL_DEPTH,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

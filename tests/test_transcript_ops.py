@@ -361,3 +361,47 @@ def test_quantile_labels_are_exact():
     assert _q_name(0.57, "_c") == "p57_c"
     assert _q_name(0.125, "_mc") == "p12_5_mc"
     assert _q_name(0.95, "_c") == "p95_c"
+
+
+def test_funnel_depth_oracle_and_strictness():
+    """Funnel: driver-identical oracle comparison (beyond-window entry),
+    plus the strict-order edge the driver data can't isolate — a step at
+    the SAME timestamp as the previous step's completion does not count,
+    and a later re-occurrence does."""
+    import duckdb
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import funnel_depth
+
+    assert oracle_run(SF, ["funnel_depth"]) == 0
+
+    # hand case through the same per-shard kernel via a fake sf_dir is not
+    # possible (funnel_depth reads parquet), so drive the kernel with a
+    # temp parquet table
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+            "event_type": [
+                "view", "click", "purchase",      # u1: full funnel
+                "view", "click", "purchase",      # u2: click AT view's ts
+                "click",                          # u3: never viewed
+            ],
+            "ts": pa.array([10, 20, 30, 10, 10, 30, 5], pa.timestamp("us")),
+            "value": [0.0] * 7,
+            "event_id": pa.array(range(7), pa.int64()),
+            "props": ["{}"] * 7,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = (
+            funnel_depth(d, num_shards=4)
+            .to_pandas()
+            .set_index("user_id")["depth"]
+        )
+    assert got[1] == 3
+    assert got[2] == 1  # click at ts==view's ts is NOT strictly after
+    assert got[3] == 0  # entered mid-funnel: never completed step 1
