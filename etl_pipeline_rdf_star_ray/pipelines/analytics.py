@@ -1101,6 +1101,92 @@ def funnel_depth(
     )
 
 
+def cohort_retention(
+    sf_dir: str, *, num_shards: int = 64
+) -> "rd.Dataset":
+    """Weekly cohort retention matrix: users are cohorted by the epoch-week
+    of their FIRST ``signup`` event; for every ``(cohort_week,
+    week_offset ≥ 0)`` cell, the number of DISTINCT cohort users with ANY
+    event in that week — the classic retention triangle.
+
+    Weeks are plain epoch arithmetic (``epoch_us // 604800e6``) so the
+    Python and SQL sides share one definition (DuckDB's ISO
+    ``date_trunc('week')`` would anchor to Monday; the epoch week anchors
+    to the 1970-01-01 Thursday — either works as long as both sides
+    agree).
+
+    Scale shape (the :func:`tool_transitions` pattern): users are
+    hash-sharded, so each shard computes its users' cohorts and DISTINCT
+    ``(cohort, offset, user)`` triples locally — the per-cell distinct-user
+    partial is EXACT under summation because a user lives in exactly one
+    shard — then a tiny second exchange sums cell partials. Events before
+    the signup week (negative offset) are excluded like the SQL filter."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import key_hash_column
+
+    WEEK_US = np.int64(604_800_000_000)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ts64 = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        week = ts64 // WEEK_US
+        sign = (
+            pd.DataFrame(
+                {"user_id": g["user_id"], "w": week}
+            )[g["event_type"].to_numpy() == "signup"]
+            .groupby("user_id", sort=False)["w"]
+            .min()
+        )
+        cohort = g["user_id"].map(sign)
+        keep = cohort.notna().to_numpy()
+        cells = pd.DataFrame(
+            {
+                "cohort_w": cohort.to_numpy()[keep].astype(np.int64),
+                "week_offset": week[keep]
+                - cohort.to_numpy()[keep].astype(np.int64),
+                "user_id": g["user_id"].to_numpy()[keep],
+            }
+        )
+        cells = cells[cells["week_offset"] >= 0].drop_duplicates()
+        out = (
+            cells.groupby(["cohort_w", "week_offset"], sort=False)
+            .agg(n_users=("user_id", "size"))
+            .reset_index()
+        )
+        return out.astype(
+            {
+                "cohort_w": np.int64,
+                "week_offset": np.int64,
+                "n_users": np.int64,
+            }
+        )
+
+    partials = sharded_groups(
+        ds,
+        lambda b: key_hash_column(b.column("user_id")),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
+
+    def combine(s: pd.DataFrame) -> pd.DataFrame:
+        return (
+            s.groupby(["cohort_w", "week_offset"], sort=False)
+            .agg(n_users=("n_users", "sum"))
+            .reset_index()
+        )
+
+    return sharded_groups(
+        partials,
+        lambda b: _group_key_hash(b, ["cohort_w", "week_offset"]),
+        combine,
+        num_shards=num_shards,
+    )
+
+
 def pivot_counts(
     ds: "rd.Dataset",
     *,

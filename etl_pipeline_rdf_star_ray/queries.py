@@ -2221,6 +2221,29 @@ FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle (analytics.cohort_retention):
+    users cohorted by first-signup epoch week, distinct active users per
+    (cohort, offset) cell. Beyond-window entry — the driver-identical
+    oracle comparison runs in pytest."""
+    return analytics.cohort_retention(sf_dir)
+
+
+ORACLE_COHORT_RETENTION = """
+WITH s AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_w
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, s.cohort_w,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - s.cohort_w
+           AS week_offset
+  FROM events e JOIN s USING (user_id))
+SELECT cohort_w, week_offset, count(*)::BIGINT AS n_users
+FROM a WHERE week_offset >= 0 GROUP BY 1, 2
+"""
+
+
 def q_value_mad(sf_dir: str):
     """Robust dispersion per event type: median + Median Absolute
     Deviation in exact int64 cents (analytics.grouped_mad) — both walks
@@ -2569,6 +2592,7 @@ def build_queries() -> dict:
         # is full of round-4 queries), but fully SQL-oracled — pytest runs
         # the driver-identical comparison (tests/test_transcript_ops.py)
         "funnel_depth": q_funnel_depth,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2670,6 +2694,7 @@ def build_oracles() -> dict[str, str]:
         "value_mad": ORACLE_VALUE_MAD,
         "tail_turns": ORACLE_TAIL_TURNS,
         "funnel_depth": ORACLE_FUNNEL_DEPTH,
+        "cohort_retention": ORACLE_COHORT_RETENTION,
         # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
         # similarity_topk_lsh — approx ops with no faithful SQL form
         # (property-oracled in pytest instead, see COVERAGE.md)

@@ -405,3 +405,49 @@ def test_funnel_depth_oracle_and_strictness():
     assert got[1] == 3
     assert got[2] == 1  # click at ts==view's ts is NOT strictly after
     assert got[3] == 0  # entered mid-funnel: never completed step 1
+
+
+def test_cohort_retention_oracle_and_edges():
+    """Cohort retention: driver-identical oracle comparison plus the edges
+    the driver data can't isolate — events BEFORE the signup week are
+    excluded, re-signups keep the FIRST cohort, users without signup never
+    appear, and per-cell counts are distinct users (not events)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import cohort_retention
+
+    assert oracle_run(SF, ["cohort_retention"]) == 0
+
+    WEEK = 604_800_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": [
+                "view",                    # u1: BEFORE signup week
+                "signup", "view", "view",  # u1: cohort w1, week-1 events
+                "signup", "signup",        # u2: re-signup later keeps w1
+                "click",                   # u3: never signed up
+            ],
+            "ts": pa.array(
+                [0, WEEK, WEEK + 1000, WEEK + 2000, WEEK, 3 * WEEK, WEEK],
+                pa.timestamp("us"),
+            ),
+            "value": [0.0] * 7,
+            "event_id": pa.array(range(7), pa.int64()),
+            "props": ["{}"] * 7,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = cohort_retention(d, num_shards=4).to_pandas()
+    cells = got.set_index(["cohort_w", "week_offset"])["n_users"].to_dict()
+    # cohort week 1: u1 (week-1 events dedup to one user) + u2 at offset 0
+    assert cells[(1, 0)] == 2
+    # u2's re-signup at week 3 is offset 2 of the SAME cohort
+    assert cells[(1, 2)] == 1
+    # u1's pre-signup view (week 0) never appears; u3 has no cohort
+    assert all(off >= 0 for (_, off) in cells)
+    assert all(c == 1 for (c, _) in cells)
