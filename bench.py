@@ -259,12 +259,12 @@ def run_bench() -> dict:
 
     # sliding windows (×3 in-batch expansion + two partial shuffles) and
     # the incremental view refresh (two upserts + changed-key broadcast)
-    from etl_pipeline_rdf_star_ray.pipelines.analytics import events_sliding
-    from etl_pipeline_rdf_star_ray.queries import q_conv_stats_refresh
-
-    sec, _ = timed(
-        lambda: events_sliding(SF_DIR, width_hours=3, hop_hours=1).count()
+    from etl_pipeline_rdf_star_ray.queries import (
+        q_conv_stats_refresh,
+        q_events_sliding,
     )
+
+    sec, _ = timed(lambda: q_events_sliding(SF_DIR).count())
     queries["events_sliding"] = sec
 
     sec, _ = timed(lambda: q_conv_stats_refresh(SF_DIR).count())

@@ -50,6 +50,31 @@ def _group_key_hash(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     return h
 
 
+def _sum_partials(
+    partials, key_cols: list[str], sum_cols: list[str], *, num_shards: int = 64
+):
+    """The tiny second exchange every two-level distinct/count operator
+    ends with (tool_transitions, conv_role_patterns, cohort_retention):
+    partial rows grouped by ``key_cols``, each ``sum_cols`` summed — one
+    implementation so dtype/empty-shard fixes land once (second review
+    pass extracted the third copy)."""
+    from .dedup import sharded_groups
+
+    def combine(s: pd.DataFrame) -> pd.DataFrame:
+        return (
+            s.groupby(key_cols, sort=False)
+            .agg({c: "sum" for c in sum_cols})
+            .reset_index()
+        )
+
+    return sharded_groups(
+        partials,
+        lambda b: _group_key_hash(b, key_cols),
+        combine,
+        num_shards=num_shards,
+    )
+
+
 def _pricing_finest(sf_dir: str, cutoff: str) -> pd.DataFrame:
     """Finest-grain pricing aggregate — one row per (returnflag, linestatus)
     with exact int64 cents sums — via the partial-combine plane: each batch
@@ -637,17 +662,10 @@ def tool_transitions(state: "rd.Dataset", *, num_shards: int = 64) -> "rd.Datase
         num_shards=num_shards,
     )
 
-    def combine(shard: pd.DataFrame) -> pd.DataFrame:
-        return (
-            shard.groupby(["prev_tool", "tool"], sort=False)
-            .agg(n_calls=("n_calls", "sum"), n_convs=("n_convs", "sum"))
-            .reset_index()
-        )
-
-    return sharded_groups(
+    return _sum_partials(
         per_conv_shard,
-        lambda b: _group_key_hash(b, ["prev_tool", "tool"]),
-        combine,
+        ["prev_tool", "tool"],
+        ["n_calls", "n_convs"],
         num_shards=num_shards,
     )
 
@@ -851,34 +869,23 @@ def conv_role_patterns(
         num_shards=num_shards,
     )
 
-    def combine(shard: pd.DataFrame) -> pd.DataFrame:
-        return (
-            shard.groupby("pattern", sort=False)
-            .agg(n_convs=("n_convs", "sum"))
-            .reset_index()
-        )
-
-    return sharded_groups(
-        partials,
-        lambda b: _group_key_hash(b, ["pattern"]),
-        combine,
-        num_shards=num_shards,
+    return _sum_partials(
+        partials, ["pattern"], ["n_convs"], num_shards=num_shards
     )
 
 
 def _q_name(q, suffix: str) -> str:
     """Exact percent label for a quantile column: the quantile is read as
-    its DECIMAL fraction (0.29 → 29, 0.125 → 12_5) — ``int(q * 100)`` on
-    the binary double truncates 0.29·100 = 28.999… to 28 and collides
-    0.56/0.57 (review r4)."""
-    from fractions import Fraction
+    its DECIMAL string (0.29 → p29, 0.125 → p12_5, 0.0625 → p6_25) —
+    ``int(q * 100)`` on the binary double truncates 0.29·100 = 28.999… to
+    28 and collides 0.56/0.57 (review r4). Any decimal works; labeling
+    never rejects a quantile the statistic itself can compute (second
+    review pass)."""
+    from decimal import Decimal
 
-    pct10 = Fraction(str(q)) * 1000
-    if pct10.denominator != 1:
-        raise ValueError(f"quantile {q} needs at most 3 decimals")
-    n = pct10.numerator
-    head, tenth = divmod(n, 10)
-    return f"p{head}{'' if tenth == 0 else f'_{tenth}'}{suffix}"
+    pct = (Decimal(str(q)) * 100).normalize()
+    text = format(pct, "f")
+    return f"p{text.replace('.', '_')}{suffix}"
 
 
 def _hist_group_stats(sf_dir: str, names: list[str], group_stat):
@@ -1059,9 +1066,11 @@ def funnel_depth(
 
     Scale shape: users are hash-sharded (one user never splits), each
     shard runs ``len(steps)`` vectorized masked groupby-mins — no per-user
-    Python, rows move once. Only rows whose type is IN the funnel leave
-    the read (Arrow ``is_in`` filter). Output: ``(user_id, depth)`` for
-    every user with ≥1 event of any kind (depth 0 = never entered)."""
+    Python, rows move once. ALL event rows ride the exchange on purpose:
+    depth-0 users whose only events are non-funnel types must still appear
+    in the output (filtering funnel types at the read would drop them).
+    Output: ``(user_id, depth)`` for every user with ≥1 event of any kind
+    (depth 0 = never entered)."""
     from .dedup import sharded_groups
     from ..functions.hashing import key_hash_column
 
@@ -1115,12 +1124,16 @@ def cohort_retention(
     to the 1970-01-01 Thursday — either works as long as both sides
     agree).
 
-    Scale shape (the :func:`tool_transitions` pattern): users are
-    hash-sharded, so each shard computes its users' cohorts and DISTINCT
-    ``(cohort, offset, user)`` triples locally — the per-cell distinct-user
-    partial is EXACT under summation because a user lives in exactly one
-    shard — then a tiny second exchange sums cell partials. Events before
-    the signup week (negative offset) are excluded like the SQL filter."""
+    Scale shape: each batch first collapses MAP-SIDE to its distinct
+    ``(user_id, week, is_signup)`` triples (Arrow ``group_by`` with an
+    ``is_signup`` min — everything the cohort math needs, idempotent under
+    re-dedup), so the user-hash exchange carries at most one row per
+    (user, week, signup-flag) per block instead of every event (second
+    review pass: the file's pre-aggregation contract). Each shard then
+    computes its users' cohorts and distinct cells exactly — a user lives
+    in one shard, so per-cell distinct-user partials sum exactly — and a
+    tiny cell-hash exchange totals them. Events before the signup week
+    (negative offset) are excluded like the SQL filter."""
     from .dedup import sharded_groups
     from ..functions.hashing import key_hash_column
 
@@ -1130,18 +1143,41 @@ def cohort_retention(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
 
+    def week_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        week = pa.array(
+            ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US,
+            pa.int64(),
+        )
+        sign = pc.cast(
+            pc.equal(batch.column("event_type"), "signup"), pa.int8()
+        ).fill_null(0)
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": week,
+                "is_signup": sign,
+            }
+        )
+        return (
+            t.group_by(["user_id", "week"])
+            .aggregate([("is_signup", "max")])
+            .rename_columns(["user_id", "week", "is_signup"])
+        )
+
+    triples = ds.map_batches(week_partial, batch_format="pyarrow")
+
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        ts64 = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        week = ts64 // WEEK_US
         sign = (
-            pd.DataFrame(
-                {"user_id": g["user_id"], "w": week}
-            )[g["event_type"].to_numpy() == "signup"]
-            .groupby("user_id", sort=False)["w"]
+            g[np.asarray(g["is_signup"], dtype=np.int8) == 1]
+            .groupby("user_id", sort=False)["week"]
             .min()
         )
         cohort = g["user_id"].map(sign)
         keep = cohort.notna().to_numpy()
+        week = g["week"].to_numpy(dtype=np.int64, na_value=0)
         cells = pd.DataFrame(
             {
                 "cohort_w": cohort.to_numpy()[keep].astype(np.int64),
@@ -1165,27 +1201,16 @@ def cohort_retention(
         )
 
     partials = sharded_groups(
-        ds,
+        triples,
         lambda b: key_hash_column(b.column("user_id")),
         per_shard,
         num_shards=num_shards,
         nullable_ints=True,
     )
-
-    def combine(s: pd.DataFrame) -> pd.DataFrame:
-        return (
-            s.groupby(["cohort_w", "week_offset"], sort=False)
-            .agg(n_users=("n_users", "sum"))
-            .reset_index()
-        )
-
-    return sharded_groups(
-        partials,
-        lambda b: _group_key_hash(b, ["cohort_w", "week_offset"]),
-        combine,
+    return _sum_partials(
+        partials, ["cohort_w", "week_offset"], ["n_users"],
         num_shards=num_shards,
     )
-
 
 def pivot_counts(
     ds: "rd.Dataset",
