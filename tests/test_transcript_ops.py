@@ -451,3 +451,98 @@ def test_cohort_retention_oracle_and_edges():
     # u1's pre-signup view (week 0) never appears; u3 has no cohort
     assert all(off >= 0 for (_, off) in cells)
     assert all(c == 1 for (c, _) in cells)
+
+
+def test_funnel_and_cohort_randomized_parity():
+    """Randomized multi-seed parity vs DuckDB for the two beyond-window
+    operators: arbitrary event streams with timestamp ties, users missing
+    arbitrary steps, and multi-signup users."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        cohort_retention,
+        funnel_depth,
+    )
+
+    WEEK = 604_800_000_000
+    for seed in (3, 17, 51):
+        rng = np.random.default_rng(seed)
+        n = 300
+        t = pa.table(
+            {
+                "user_id": pa.array(
+                    rng.integers(0, 25, n).astype(np.int64), pa.int64()
+                ),
+                "event_type": pa.array(
+                    rng.choice(
+                        ["view", "click", "purchase", "signup", "error"], n
+                    )
+                ),
+                # coarse grid → heavy timestamp ties incl. across types
+                "ts": pa.array(
+                    (rng.integers(0, 40, n) * (WEEK // 10)).astype(np.int64),
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(np.zeros(n)),
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            fun = (
+                funnel_depth(d, num_shards=4)
+                .to_pandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+            coh = (
+                cohort_retention(d, num_shards=4)
+                .to_pandas()
+                .sort_values(["cohort_w", "week_offset"])
+                .reset_index(drop=True)
+            )
+        con = duckdb.connect()
+        con.register("events", t)
+        want_fun = con.sql(
+            """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1)
+            SELECT u.user_id,
+                   (CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+                         WHEN t3 IS NULL THEN 2 ELSE 3 END)::BIGINT AS depth
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+            ORDER BY user_id
+            """
+        ).df()
+        pd.testing.assert_frame_equal(fun, want_fun, check_dtype=False)
+        want_coh = con.sql(
+            """
+            WITH s AS (
+              SELECT user_id,
+                     CAST(floor(epoch(min(ts)) / 604800) AS BIGINT)
+                       AS cohort_w
+              FROM events WHERE event_type = 'signup' GROUP BY 1),
+            a AS (
+              SELECT DISTINCT e.user_id, s.cohort_w,
+                     CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - s.cohort_w
+                       AS week_offset
+              FROM events e JOIN s USING (user_id))
+            SELECT cohort_w, week_offset, count(*)::BIGINT AS n_users
+            FROM a WHERE week_offset >= 0 GROUP BY 1, 2
+            ORDER BY cohort_w, week_offset
+            """
+        ).df()
+        pd.testing.assert_frame_equal(coh, want_coh, check_dtype=False)
