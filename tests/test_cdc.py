@@ -662,3 +662,68 @@ def test_retention_vacuum_expires_and_keeps_salted_hot(tmp_path):
     assert res2["rows_dropped"] == 0
     again = state_table(lake).to_pandas()
     assert len(again) == len(after)
+
+
+def test_retention_vacuum_after_ingest_at_same_watermark(tmp_path):
+    """Regression (r4 advice): the default batch_id must change when the
+    lake state changes. vacuum → ingest a DELETE that lowers a
+    conversation's latest surviving lsn below the old watermark → vacuum at
+    the SAME min_lsn must physically drop that conversation and report the
+    honest count (previously: marker no-op + phantom rows_dropped). An
+    explicit re-used batch_id must report 0, not a recomputed delta."""
+    from etl_pipeline_rdf_star_ray.pipelines import ops as lakeops
+
+    def _log(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "op": pa.array([r[0] for r in rows]),
+                    "lsn": pa.array([r[1] for r in rows], pa.int64()),
+                    "conv_id": pa.array([r[2] for r in rows]),
+                    "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+                    "role": pa.array(["user"] * len(rows)),
+                    "text": pa.array([f"t{r[1]}" for r in rows]),
+                    "tool": pa.array([None] * len(rows), pa.string()),
+                    "ts": pa.array([None] * len(rows), pa.timestamp("us")),
+                }
+            )
+        )
+
+    lake = str(tmp_path / "lake")
+    # A: stale (max lsn 3 < 5). B: turn0@2 + turn1@10 → max 10, survives.
+    cdc.ingest(
+        _log(
+            [
+                ("insert", 1, "A", 0),
+                ("insert", 3, "A", 1),
+                ("insert", 2, "B", 0),
+                ("insert", 10, "B", 1),
+            ]
+        ),
+        lake,
+        num_partitions=4,
+        hot_convs=[],
+    )
+    res1 = lakeops.retention(lake, 5)
+    assert res1["rows_dropped"] == 2  # A's two turns
+    s1 = state_table(lake).to_pandas()
+    assert set(s1["conv_id"]) == {"B"}
+
+    # delete B's fresh turn → B's latest SURVIVING lsn is now 2 (< 5);
+    # C arrives fresh and must survive
+    cdc.ingest(
+        _log([("delete", 20, "B", 1), ("insert", 21, "C", 0)]),
+        lake,
+        num_partitions=4,
+        hot_convs=[],
+    )
+    res2 = lakeops.retention(lake, 5)  # SAME watermark
+    s2 = state_table(lake).to_pandas()
+    assert set(s2["conv_id"]) == {"C"}, "stale B must be physically dropped"
+    assert res2["rows_dropped"] == 1  # B's surviving turn0 row
+
+    # explicit batch_id reuse: duplicate commits report 0, never a
+    # recomputed (phantom) delta
+    r_a = lakeops.retention(lake, 5, batch_id="vac-x")
+    r_b = lakeops.retention(lake, 5, batch_id="vac-x")
+    assert r_b["rows_dropped"] == 0

@@ -80,3 +80,13 @@ def test_weighted_and_validation():
         cms_build(vals, w, d, weights=np.array([1, -1, 0]))
     with pytest.raises(ValueError, match="in \\(0, 1\\)"):
         cms_params(0, 0.5)
+    # r4-advice regression: non-integral float weights must be REJECTED,
+    # not silently floored (flooring undercounts → breaks the one-sided
+    # never-below-the-true-count guarantee)
+    with pytest.raises(ValueError, match="integral"):
+        cms_build(vals, w, d, weights=np.array([2.9, 1.0, 1.0]))
+    with pytest.raises(ValueError, match="integral"):
+        cms_build(vals, w, d, weights=np.array([np.nan, 1.0, 1.0]))
+    # integral-VALUED floats are fine (a common benign case)
+    sk2 = cms_build(vals, w, d, weights=np.array([5.0, 2.0, 1.0]))
+    assert sk2.n == 8

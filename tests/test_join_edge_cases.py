@@ -334,3 +334,42 @@ def test_bloom_prefilter_parity_and_reduction(ray_session):
                             batch_format="pyarrow"),
             on=["k", "k2"], how="inner", bloom_prefilter=True,
         )
+
+
+def test_bloom_prefilter_fully_empty_left(ray_session):
+    """Regression (r4 advice): a fully-EMPTY left dataset reports
+    schema() None (Ray quirk), which used to crash bloom_filter_left's
+    key-type inference with AttributeError. The prefilter must short-circuit
+    and the join must return the correct (empty / right-null) result."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.stages.join import (
+        bloom_filter_left,
+        hash_join_sharded,
+    )
+
+    empty_left = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64())})
+    ).filter(lambda r: False)
+    assert empty_left.schema() is None  # the quirk under test
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "rv": pa.array([10, 20], pa.int64())})
+    )
+
+    fl, _r = bloom_filter_left(empty_left, right, on="k")
+    assert fl.count() == 0
+
+    def _mk_empty():
+        return rd.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()),
+                      "lv": pa.array([], pa.int64())})
+        ).filter(lambda r: False)
+
+    for how, want in (("inner", 0), ("semi", 0), ("right", 2)):
+        out = hash_join_sharded(
+            _mk_empty(), right, on="k", how=how, num_shards=4,
+            bloom_prefilter=True,
+        )
+        assert out.count() == want, how

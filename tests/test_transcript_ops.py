@@ -546,3 +546,39 @@ def test_funnel_and_cohort_randomized_parity():
             """
         ).df()
         pd.testing.assert_frame_equal(coh, want_coh, check_dtype=False)
+
+
+def test_cohort_retention_null_ts_rows_excluded():
+    """Regression (r4 advice): NULL-ts events used to crash the epoch-week
+    cast (or, via na_value=0, fabricate epoch-week-0 activity). They must
+    simply be excluded — the SQL oracle drops them by NULL propagation —
+    matching events_sliding's tolerance."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import cohort_retention
+
+    WEEK = 604_800_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": ["signup", "view", "view", "signup", "view"],
+            # u1: null-ts view must not count as activity anywhere;
+            # u2: null-ts SIGNUP row → u2 still cohorts from its valid signup
+            "ts": pa.array(
+                [WEEK, WEEK + 5, None, 2 * WEEK, 2 * WEEK + 5],
+                pa.timestamp("us"),
+            ),
+            "value": [0.0] * 5,
+            "event_id": pa.array(range(5), pa.int64()),
+            "props": ["{}"] * 5,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = cohort_retention(d, num_shards=4).to_pandas()
+    cells = got.set_index(["cohort_w", "week_offset"])["n_users"].to_dict()
+    # only the two valid-ts offset-0 cells exist; nothing at epoch week 0
+    assert cells == {(1, 0): 1, (2, 0): 1}
