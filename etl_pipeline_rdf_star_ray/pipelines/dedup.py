@@ -22,6 +22,7 @@ import ray
 import ray.data as rd
 
 from ..functions.text import fingerprint_md5
+from .similarity import vectors_to_numpy
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -859,7 +860,7 @@ def embedding_neardup(
     def pairs(batch: pa.Table) -> pa.Table:
         c_ids, c_mat = ray.get(ref)
         b_ids = batch.column(id_col).to_numpy()
-        b_mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        b_mat = vectors_to_numpy(batch.column(vec_col))
         bn = np.linalg.norm(b_mat, axis=1)
         bn[bn == 0] = 1.0
         sims = (b_mat / bn[:, None]) @ c_mat.T
@@ -967,7 +968,7 @@ def embedding_neardup_blockpairs(
     rows_per_block = max(rows_per_block, math.ceil(n / 90))
 
     def norm_block(batch: pa.Table) -> pa.Table:
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = vectors_to_numpy(batch.column(vec_col))
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]

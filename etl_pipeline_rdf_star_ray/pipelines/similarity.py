@@ -21,6 +21,21 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def vectors_to_numpy(col, dtype=np.float64) -> np.ndarray:
+    """Arrow-native ``list<float>`` / ``fixed_size_list<float>`` column →
+    ``(n, d)`` ndarray. ``flatten()`` accounts for list offsets and slicing,
+    so the values buffer is read directly — no per-element Python-object
+    detour like ``np.stack(col.to_pylist())`` (r4 verdict item 4). Assumes
+    equal-length, non-null vectors (the embedding-column contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    values = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(values.reshape(n, -1), dtype=dtype)
+
+
 def cosine_topk(
     ds: "rd.Dataset",
     query: np.ndarray,
@@ -46,7 +61,7 @@ def cosine_topk(
     def score(batch: pa.Table) -> pa.Table:
         qv = ray.get(qref)
         ids = batch.column(id_col).to_numpy()
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = vectors_to_numpy(batch.column(vec_col))
         sims = _normalize(mat) @ qv
         # +1e-9 nudges exact grid values (e.g. self-similarity 1.0 computed as
         # 0.999...98) onto the same side of the floor in both engines
@@ -86,7 +101,7 @@ def embedding_lsh_buckets(
     identical everywhere, nothing shipped."""
 
     def assign(batch: pa.Table) -> pa.Table:
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = vectors_to_numpy(batch.column(vec_col))
         rng = np.random.RandomState(seed)
         planes = rng.standard_normal((mat.shape[1], num_planes))
         signs = (mat @ planes) > 0
@@ -155,7 +170,7 @@ def ivf_assign(
 
     def assign_batch(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = vectors_to_numpy(batch.column(vec_col))
         d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         return batch.append_column(out_col, pa.array(d.argmin(axis=1), pa.int32()))
 

