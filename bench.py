@@ -41,6 +41,17 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def timed_best2(fn):
+    """Best-of-2 per-query timing (r4 verdict item 3): single runs on this
+    host class swing ±30-55% with host-phase noise — the r4 driver bench
+    printed phantom per-query regressions that quiet-machine runs of the
+    same tree contradicted. Two runs, keep the min; the queries are
+    idempotent reads (scratch state is re-created per call)."""
+    s1, out = timed(fn)
+    s2, _ = timed(fn)
+    return min(s1, s2), out
+
+
 def run_bench() -> dict:
     import ray
 
@@ -140,18 +151,18 @@ def run_bench() -> dict:
 
     # --- reference benchmark workload (10k rows → ~330k quads; the
     # reference's optimized single-thread engine: 4.03 s, BASELINE.md) ------
-    sec, counts = timed(lambda: run_reference_workload(10_000, blocks=NUM_CPUS))
+    sec, counts = timed_best2(lambda: run_reference_workload(10_000, blocks=NUM_CPUS))
     queries["reference_workload_10k"] = sec
     ref_quads = counts["total"]
 
     # 10× the reference workload (reference projection: ~200-250 s optimized,
     # docs/OPTIMIZATION_SUMMARY.md:42-54)
-    sec, counts100 = timed(lambda: run_reference_workload(100_000, blocks=NUM_CPUS * 2))
+    sec, counts100 = timed_best2(lambda: run_reference_workload(100_000, blocks=NUM_CPUS * 2))
     queries["reference_workload_100k"] = sec
     ref_quads_100k = counts100["total"]
 
     # --- secondary pipelines over the sf dir -------------------------------
-    sec, _ = timed(
+    sec, _ = timed_best2(
         lambda: cdc.upsert_dataset(
             changelog_from_events(SF_DIR), num_partitions=max(64, NUM_CPUS * 2),
             hot_convs=["conv_hot"],
@@ -159,7 +170,7 @@ def run_bench() -> dict:
     )
     queries["cdc_upsert_events"] = sec
 
-    sec, _ = timed(
+    sec, _ = timed_best2(
         lambda: lift_dataset(
             cdc.upsert_dataset(
                 changelog_from_events(SF_DIR),
@@ -173,10 +184,10 @@ def run_bench() -> dict:
 
     from etl_pipeline_rdf_star_ray.pipelines.analytics import pricing_summary
 
-    sec, _ = timed(lambda: pricing_summary(SF_DIR))
+    sec, _ = timed_best2(lambda: pricing_summary(SF_DIR))
     queries["agg_pricing_summary"] = sec
 
-    sec, _ = timed(
+    sec, _ = timed_best2(
         lambda: dedup.dedup_minhash_lsh(
             read_parquet_clean(f"{SF_DIR}/documents.parquet")
         ).count()
@@ -189,7 +200,7 @@ def run_bench() -> dict:
         .column("embedding")[0]
         .as_py()
     )
-    sec, _ = timed(
+    sec, _ = timed_best2(
         lambda: similarity.cosine_topk(
             read_parquet_clean(f"{SF_DIR}/embeddings.parquet"), q, k=10
         ).count()
@@ -200,13 +211,13 @@ def run_bench() -> dict:
     # broadcast-annotated customer quads (parse → SQL compile → DuckDB)
     from etl_pipeline_rdf_star_ray.queries import q_sparql_star_nation
 
-    sec, _ = timed(lambda: q_sparql_star_nation(SF_DIR).num_rows)
+    sec, _ = timed_best2(lambda: q_sparql_star_nation(SF_DIR).num_rows)
     queries["sparql_star_nation"] = sec
 
     # general large×large equi-join over the presorted exchange
     from etl_pipeline_rdf_star_ray.stages.join import hash_join_sharded
 
-    sec, _ = timed(
+    sec, _ = timed_best2(
         lambda: hash_join_sharded(
             read_parquet_clean(
                 f"{SF_DIR}/lineitem.parquet",
@@ -230,10 +241,10 @@ def run_bench() -> dict:
     state = cdc.upsert_dataset(
         changelog_from_events(SF_DIR), num_partitions=16
     ).materialize()
-    sec, _ = timed(lambda: training.training_pairs(state, k=3).count())
+    sec, _ = timed_best2(lambda: training.training_pairs(state, k=3).count())
     queries["training_pairs"] = sec
 
-    sec, _ = timed(
+    sec, _ = timed_best2(
         lambda: training.pack_sequences(
             read_parquet_clean(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
@@ -251,10 +262,10 @@ def run_bench() -> dict:
         q_latest_events,
     )
 
-    sec, _ = timed(lambda: q_latest_events(SF_DIR).count())
+    sec, _ = timed_best2(lambda: q_latest_events(SF_DIR).count())
     queries["latest_events"] = sec
 
-    sec, _ = timed(lambda: q_except_event_pairs(SF_DIR).count())
+    sec, _ = timed_best2(lambda: q_except_event_pairs(SF_DIR).count())
     queries["except_event_pairs"] = sec
 
     # sliding windows (×3 in-batch expansion + two partial shuffles) and
@@ -264,10 +275,10 @@ def run_bench() -> dict:
         q_events_sliding,
     )
 
-    sec, _ = timed(lambda: q_events_sliding(SF_DIR).count())
+    sec, _ = timed_best2(lambda: q_events_sliding(SF_DIR).count())
     queries["events_sliding"] = sec
 
-    sec, _ = timed(lambda: q_conv_stats_refresh(SF_DIR).count())
+    sec, _ = timed_best2(lambda: q_conv_stats_refresh(SF_DIR).count())
     queries["conv_stats_refresh"] = sec
 
     st = ops.status(lake)

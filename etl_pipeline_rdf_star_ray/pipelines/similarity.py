@@ -140,6 +140,160 @@ def cosine_topk_lsh(
     return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def _lsh_planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((dim, num_planes))
+
+
+def _lsh_bucket_of(q: np.ndarray, num_planes: int, seed: int) -> int:
+    planes = _lsh_planes(q.shape[0], num_planes, seed)
+    return int(((q @ planes) > 0) @ (1 << np.arange(num_planes, dtype=np.int64)))
+
+
+def build_lsh_index(
+    ds: "rd.Dataset",
+    root: str,
+    *,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    num_shards: int = 64,
+) -> pa.Table:
+    """Persist the corpus as a bucket-partitioned hive layout
+    (``root/bucket=<b>/part.parquet``) so a query READS only its probed
+    partitions instead of scanning the corpus (r4 verdict item 2: the
+    scan-and-filter LSH path is fine as a batch op but is a per-query
+    scale-killer at 100 TB). Build is one assign ``map_batches`` + the
+    resumable partitioned write (atomic commit + ``_SUCCESS`` markers —
+    a crashed build rewrites only missing buckets). Returns the write
+    manifest ``(partition, path, rows, skipped)``."""
+    from .export import write_partitioned
+
+    bucketed = embedding_lsh_buckets(
+        ds, vec_col=vec_col, num_planes=num_planes, seed=seed
+    )
+    return write_partitioned(
+        bucketed, root, partition_col="bucket", num_shards=num_shards
+    )
+
+
+def _partition_paths(root: str, col: str, values) -> list[str]:
+    """Existing hive partition files for the probed values — the ONLY paths
+    the indexed query path hands to ``read_parquet`` (asserted by pytest
+    via a read-capture shim)."""
+    import os
+
+    out = []
+    for v in values:
+        p = os.path.join(root, f"{col}={int(v)}", "part.parquet")
+        if os.path.exists(p):
+            out.append(p)
+    return out
+
+
+def cosine_topk_lsh_indexed(
+    root: str,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 42,
+    hamming: int = 0,
+) -> "rd.Dataset":
+    """Pruned-read LSH top-k: compute the query's bucket driver-side, read
+    ONLY that bucket's partition file(s) from a :func:`build_lsh_index`
+    layout, brute-force within. ``hamming=0`` probes the exact bucket —
+    results identical to :func:`cosine_topk_lsh` over the same corpus;
+    ``hamming=1`` additionally probes the ``num_planes`` neighboring
+    buckets one sign-flip away (standard multi-probe LSH recall boost,
+    still ≤ planes+1 partitions read)."""
+    q = np.asarray(query, dtype=np.float64)
+    qbucket = _lsh_bucket_of(q, num_planes, seed)
+    probe = [qbucket]
+    if hamming >= 1:
+        probe += [qbucket ^ (1 << j) for j in range(num_planes)]
+    paths = _partition_paths(root, "bucket", probe)
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        )
+    candidates = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def build_ivf_index(
+    ds: "rd.Dataset",
+    root: str,
+    *,
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+    num_shards: int = 64,
+) -> pa.Table:
+    """Persist the corpus partitioned by IVF cell plus the fitted centroid
+    matrix (``root/_centroids.parquet``) — queries later rank the persisted
+    centroids and read only ``nprobe`` cell partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .export import write_partitioned
+
+    assigned, cent = ivf_assign(
+        ds, vec_col=vec_col, num_centroids=num_centroids, seed=seed
+    )
+    manifest = write_partitioned(
+        assigned, root, partition_col="ivf_cell", num_shards=num_shards
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(cent)), pa.int32()),
+                "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(root, "_centroids.parquet"),
+    )
+    return manifest
+
+
+def cosine_topk_ivf_indexed(
+    root: str,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> "rd.Dataset":
+    """Pruned-read IVF top-k: rank the PERSISTED centroids driver-side,
+    read only the ``nprobe`` nearest cells' partition files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent = vectors_to_numpy(
+        pq.read_table(os.path.join(root, "_centroids.parquet"))
+        .sort_by("cell")
+        .column("centroid")
+    )
+    q = np.asarray(query, dtype=np.float64)
+    d = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(x) for x in np.argsort(d)[:nprobe]]
+    paths = _partition_paths(root, "ivf_cell", probe)
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        )
+    candidates = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_assign(
     ds: "rd.Dataset",
     *,

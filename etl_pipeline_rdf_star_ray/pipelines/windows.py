@@ -167,6 +167,85 @@ def rank_within_groups(
     )
 
 
+def offset_window(
+    ds: "rd.Dataset",
+    *,
+    group_cols: list[str],
+    order_by: list[str],
+    ascending: list[bool],
+    lead: dict[str, str] | None = None,
+    lag: dict[str, str] | None = None,
+    first_value: dict[str, str] | None = None,
+    last_value: dict[str, str] | None = None,
+) -> "rd.Dataset":
+    """Offset / frame-boundary window family completing ``rank``/``lag``
+    (r4 verdict item 5): the distributed ``LEAD(x) OVER w`` / ``LAG(x)
+    OVER w`` / ``FIRST_VALUE(x) OVER w`` / ``LAST_VALUE(x) OVER (w ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` for
+    ``w = (PARTITION BY group_cols ORDER BY order_by)``.
+
+    Each ``dict`` maps output column → source column. Same shard plane as
+    :func:`rank_within_groups`: groups hash-colocate once, one vectorized
+    pandas pass per shard. ``first_value``/``last_value`` take the literal
+    boundary ROW's value (SQL semantics — NOT pandas' skip-null
+    ``first``/``last`` aggregations): rows sort group-contiguously and the
+    boundary values are gathered by position, so a NULL in the boundary
+    row propagates exactly like SQL. Ties must be broken by ``order_by``
+    (include a unique tiebreak column) for deterministic output."""
+    lead = lead or {}
+    lag = lag or {}
+    first_value = first_value or {}
+    last_value = last_value or {}
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            s.drop(columns=["shard"])
+            .sort_values(
+                group_cols + order_by,
+                ascending=[True] * len(group_cols) + list(ascending),
+                kind="mergesort",
+                na_position="last",
+            )
+            .reset_index(drop=True)
+        )
+        out = {}
+        grp = s.groupby(group_cols, sort=False, dropna=False)
+        for dst, src in lead.items():
+            out[dst] = grp[src].shift(-1)
+        for dst, src in lag.items():
+            out[dst] = grp[src].shift(1)
+        if first_value or last_value:
+            n = len(s)
+            same_all = np.ones(n, dtype=bool)
+            for c in group_cols:
+                col, prev = s[c], s[c].shift()
+                same = (
+                    ((col == prev) | (col.isna() & prev.isna()))
+                    .fillna(False)
+                    .to_numpy(dtype=bool)
+                )
+                same_all &= same
+            changed = ~same_all
+            if n:
+                changed[0] = True
+            gid = np.cumsum(changed) - 1
+            starts = np.flatnonzero(changed)
+            ends = (
+                np.concatenate([starts[1:] - 1, [n - 1]])
+                if n
+                else np.empty(0, np.int64)
+            )
+            for dst, src in first_value.items():
+                out[dst] = s[src].iloc[starts[gid]].reset_index(drop=True)
+            for dst, src in last_value.items():
+                out[dst] = s[src].iloc[ends[gid]].reset_index(drop=True)
+        return s.assign(**out)
+
+    return sharded_groups(
+        ds, lambda b: _key_hash(b, group_cols), per_shard, nullable_ints=True
+    )
+
+
 def running_totals(
     ds: "rd.Dataset",
     *,

@@ -141,6 +141,21 @@ class AltClosure:
 
 
 @dataclass(frozen=True)
+class PathAlt:
+    """General property-path alternation whose branches are STEP SEQUENCES
+    (``a/b|c``, ``(a/b)|(c/d)``, ``a|^b``, ``p+|q``) — everything the plain
+    IN-list :class:`AltPred` cannot express. The parser lowers it to a
+    SPARQL ``UNION`` at the triples-block level (round 5, executing the
+    formerly documented-rejection rewrite): one fresh pattern group per
+    branch, each the branch's chained patterns between the SAME
+    subject/object terms, appended to the enclosing group's union list —
+    so it compiles through the existing UNION-ALL derived-table plane
+    (bag semantics, exactly SPARQL's path-alternation multiplicity)."""
+
+    branches: tuple  # tuple[tuple[(node, inverse: bool), ...], ...]
+
+
+@dataclass(frozen=True)
 class NegPred:
     """Negated property set ``!p`` / ``!(p1|p2)`` of plain constant
     FORWARD IRIs in predicate position — compiles to ``predicate NOT IN
@@ -699,7 +714,7 @@ class _Parser:
             elif self.at_word("UNION"):
                 raise SparqlError("UNION without a preceding { group }")
             else:
-                q.patterns.extend(self.parse_triples_block())
+                q.patterns.extend(self.parse_triples_block(q))
             if self.peek().text == ".":
                 self.next()
 
@@ -923,38 +938,51 @@ class _Parser:
         return SeqClosure(tuple(steps), mod)
 
     _ALT_REWRITE = (
-        "property-path alternation '|' is only supported between plain "
-        "constant IRI predicates (e.g. rdfs:label|skos:prefLabel): rewrite "
-        "other forms as a UNION of the single-path groups "
-        "(docs/SPARQL_TRANSLATION.md §property-paths)"
+        "property-path alternation '|' in this position is only supported "
+        "between plain constant IRI predicates: rewrite as a UNION of the "
+        "single-path groups (docs/SPARQL_TRANSLATION.md §property-paths) — "
+        "general sequence-alternation is executed only in plain WHERE "
+        "triples blocks, not inside CONSTRUCT templates or GRAPH blocks"
     )
 
     def parse_path(self) -> list[tuple[object, bool]]:
-        steps = [self.parse_path_step()]
-        while True:
-            nxt = self.peek()
-            if nxt.kind == "op" and nxt.text == "/":
+        """Top-level path: '/'-sequences at higher precedence than '|'
+        (SPARQL: ``a/b|c`` means ``(a/b)|c``). A plain-IRI alternation
+        stays the one-scan :class:`AltPred` IN-list; any other alternation
+        (branches with sequences, inverses or closure steps) becomes a
+        :class:`PathAlt` that the triples-block parser lowers to UNION
+        (round 5 — formerly a documented rejection)."""
+
+        def branch() -> list[tuple[object, bool]]:
+            steps = [self.parse_path_step()]
+            while self.peek().kind == "op" and self.peek().text == "/":
                 self.next()
                 steps.append(self.parse_path_step())
-                continue
-            if nxt.kind == "op" and nxt.text == "|":
-                # whole-path alternation of plain constant IRIs → AltPred
-                # (predicate IN-list). SPARQL precedence makes 'a/b|c' mean
-                # (a/b)|c — sequences mixed with '|' need the UNION rewrite.
-                node, inv = steps[0]
-                if len(steps) != 1 or inv or not isinstance(node, Iri):
-                    raise SparqlError(self._ALT_REWRITE)
-                alts = [node.value]
-                while self.peek().kind == "op" and self.peek().text == "|":
-                    self.next()
-                    t, inv2 = self.parse_path_step()
-                    if inv2 or not isinstance(t, Iri):
-                        raise SparqlError(self._ALT_REWRITE)
-                    alts.append(t.value)
-                if self.peek().kind == "op" and self.peek().text == "/":
-                    raise SparqlError(self._ALT_REWRITE)
-                return [(AltPred(tuple(alts)), False)]
             return steps
+
+        steps = branch()
+        if not (self.peek().kind == "op" and self.peek().text == "|"):
+            return steps
+        branches = [tuple(steps)]
+        while self.peek().kind == "op" and self.peek().text == "|":
+            self.next()
+            branches.append(tuple(branch()))
+        if all(
+            len(b) == 1 and not b[0][1] and isinstance(b[0][0], Iri)
+            for b in branches
+        ):
+            return [(AltPred(tuple(b[0][0].value for b in branches)), False)]
+        for b in branches:
+            for node, _inv in b:
+                if not isinstance(
+                    node,
+                    (Iri, PathPred, SeqClosure, AltClosure, AltPred, NegPred),
+                ):
+                    raise SparqlError(
+                        "a property-path alternation cannot contain a "
+                        "variable predicate"
+                    )
+        return [(PathAlt(tuple(branches)), False)]
 
     def _lower_path(
         self, subject, steps: list[tuple[object, bool]], obj,
@@ -973,14 +1001,32 @@ class _Parser:
             out.append(TriplePattern(s, node, o))
             cur = nxt
 
-    def parse_triples_block(self) -> list[TriplePattern]:
+    def parse_triples_block(
+        self, q: SelectQuery | None = None
+    ) -> list[TriplePattern]:
+        """``q`` is the enclosing pattern group when parsing a plain WHERE
+        triples block — required to lower a general path alternation
+        (:class:`PathAlt`) to that group's UNION list. Callers without a
+        group (CONSTRUCT templates, GRAPH blocks) pass None and keep the
+        documented UNION-rewrite rejection for those positions."""
         subject = self.parse_term()
         out: list[TriplePattern] = []
         while True:
             steps = self.parse_path()
             while True:
                 obj = self.parse_term()
-                self._lower_path(subject, steps, obj, out)
+                if len(steps) == 1 and isinstance(steps[0][0], PathAlt):
+                    if q is None:
+                        raise SparqlError(self._ALT_REWRITE)
+                    groups = []
+                    for b in steps[0][0].branches:
+                        g = self._fresh_group()
+                        g.from_graph = q.from_graph
+                        self._lower_path(subject, list(b), obj, g.patterns)
+                        groups.append(g)
+                    q.unions.append(Union(tuple(groups)))
+                else:
+                    self._lower_path(subject, steps, obj, out)
                 if self.peek().text == ",":
                     self.next()
                     continue
@@ -1156,19 +1202,20 @@ class _Compiler:
 
     # -- pattern lowering ---------------------------------------------------
     def _path_graph(self, pat: TriplePattern) -> str | None:
-        if isinstance(pat.graph, Var):
-            raise SparqlError(
-                "property paths inside GRAPH ?var are not supported"
-            )
         if isinstance(pat.graph, Iri):
             return pat.graph.value
         return self.q.from_graph
 
     @staticmethod
-    def _seq_edges_sql(steps: tuple, graph: str | None) -> str:
+    def _seq_edges_sql(
+        steps: tuple, graph: str | None, graph_var: bool = False
+    ) -> str:
         """Composite-edge relation for a grouped sequence: one quads scan
         per step joined end-to-start, inverse steps traversed
-        object→subject."""
+        object→subject. Under ``graph_var`` every step must come from the
+        SAME graph (a path never crosses graph boundaries — SPARQL 1.1
+        §9.2: paths are evaluated per active graph) and the relation
+        carries that graph as ``gr``."""
         frm, conds = [], []
         first_start = prev_end = None
         for i, (iri, inv) in enumerate(steps):
@@ -1179,19 +1226,22 @@ class _Compiler:
             conds.append(f"{al}.predicate = {_sq(iri)}")
             if graph is not None:
                 conds.append(f"{al}.graph = {_sq(graph)}")
+            elif graph_var and i > 0:
+                conds.append(f"{al}.graph IS NOT DISTINCT FROM e0.graph")
             if prev_end is not None:
                 conds.append(f"{start} = {prev_end}")
             if first_start is None:
                 first_start = start
             prev_end = end
+        gcol = "e0.graph AS gr, " if graph_var else ""
         return (
-            f"SELECT {first_start} AS s, {prev_end} AS o FROM "
+            f"SELECT {gcol}{first_start} AS s, {prev_end} AS o FROM "
             + ", ".join(frm)
             + " WHERE "
             + " AND ".join(conds)
         )
 
-    def _path_rel(self, p, graph: str | None) -> str:
+    def _path_rel(self, p, graph: str | None, graph_var: bool = False) -> str:
         """CTE relation (columns ``s``, ``o``) for one modified path node
         (:class:`PathPred`, :class:`SeqClosure`, :class:`AltClosure`):
         ``…+`` = recursive transitive closure over the node's edge
@@ -1204,54 +1254,72 @@ class _Compiler:
         join-until-no-new-rows the distributed
         ``corpus.cc_label_propagation`` runs for edge sets beyond one
         node."""
-        key = (p, graph)
+        key = (p, graph, graph_var)
         if key in self._cte_keys:
             return self._cte_keys[key]
         g = f" AND graph = {_sq(graph)}" if graph is not None else ""
         gw = f" WHERE graph = {_sq(graph)}" if graph is not None else ""
+        # under GRAPH ?var the relation carries the active graph as ``gr``:
+        # edges keep their source graph, the closure recursion stays WITHIN
+        # one graph (paths never cross graph boundaries — SPARQL evaluates
+        # a path against one active graph at a time), and the enclosing
+        # pattern binds ?var to ``gr`` (round 5; formerly rejected)
+        sel = "graph AS gr, " if graph_var else ""
         if isinstance(p, PathPred):
             edges = (
-                f"SELECT subject AS s, object_value AS o FROM quads "
+                f"SELECT {sel}subject AS s, object_value AS o FROM quads "
                 f"WHERE predicate = {_sq(p.iri)}{g}"
             )
         elif isinstance(p, AltClosure):
             inlist = ", ".join(_sq(v) for v in p.iris)
             edges = (
-                f"SELECT subject AS s, object_value AS o FROM quads "
+                f"SELECT {sel}subject AS s, object_value AS o FROM quads "
                 f"WHERE predicate IN ({inlist}){g}"
             )
         else:  # SeqClosure
-            edges = self._seq_edges_sql(p.steps, graph)
+            edges = self._seq_edges_sql(p.steps, graph, graph_var)
         name = f"path{len(self.ctes)}"
         if p.mod == "":  # bare group: the edge relation IS the path
             self.ctes.append((name, edges))
             self._cte_keys[key] = name
             return name
+        cols = "gr, s, o" if graph_var else "s, o"
         if p.mod in ("+", "*"):
             # the recursion joins against the edge relation, emitted as its
             # own (non-recursive) CTE so composite edges recurse identically
             # to single-predicate ones
             ename = f"{name}_e"
             self.ctes.append((ename, edges))
+            same_graph = (
+                "e.gr IS NOT DISTINCT FROM r.gr AND " if graph_var else ""
+            )
+            rcols = "r.gr, r.s, e.o" if graph_var else "r.s, e.o"
             closure = (
-                f"SELECT s, o FROM {ename} UNION SELECT r.s, e.o "
-                f"FROM {name} r JOIN {ename} e ON e.s = r.o"
+                f"SELECT {cols} FROM {ename} UNION SELECT {rcols} "
+                f"FROM {name} r JOIN {ename} e ON {same_graph}e.s = r.o"
             )
         else:  # '?' — no recursion
             closure = edges
         if p.mod in ("*", "?"):
-            zero = (
-                f"SELECT n AS s, n AS o FROM (SELECT subject AS n FROM "
-                f"quads{gw} UNION SELECT object_value FROM quads{gw})"
-            )
+            if graph_var:
+                zero = (
+                    f"SELECT gr, n AS s, n AS o FROM (SELECT graph AS gr, "
+                    f"subject AS n FROM quads UNION SELECT graph, "
+                    f"object_value FROM quads)"
+                )
+            else:
+                zero = (
+                    f"SELECT n AS s, n AS o FROM (SELECT subject AS n FROM "
+                    f"quads{gw} UNION SELECT object_value FROM quads{gw})"
+                )
             if p.mod == "*":
                 base = f"{name}_c"
                 closure = closure.replace(f"{name} r", f"{base} r")
                 self.ctes.append((base, closure))
                 # share the inner closure with a later bare `…+` of the
                 # same node
-                self._cte_keys[(replace(p, mod="+"), graph)] = base
-                closure = f"SELECT s, o FROM {base} UNION {zero}"
+                self._cte_keys[(replace(p, mod="+"), graph, graph_var)] = base
+                closure = f"SELECT {cols} FROM {base} UNION {zero}"
             else:
                 closure = f"{closure} UNION {zero}"
         self.ctes.append((name, closure))
@@ -1278,6 +1346,16 @@ class _Compiler:
             # marker — ANNOTATION_STRUCT) → term kind resolved by value shape
             self._bind_term(pat.o, f"{a}.ann_value", "annvalue")
         elif isinstance(pat.p, (PathPred, SeqClosure, AltClosure)):
+            if isinstance(pat.graph, Var):
+                # GRAPH ?var: the path CTE carries the active graph as
+                # ``gr``; binding it like any column gives the plain-
+                # pattern GRAPH-?var semantics (round 5)
+                rel = self._path_rel(pat.p, None, graph_var=True)
+                self.aliases.append((rel, a))
+                self._bind_term(pat.s, f"{a}.s", "iri")
+                self._bind_term(pat.o, f"{a}.o", "unknown")
+                self._bind_term(pat.graph, f"{a}.gr", "iri")
+                return
             rel = self._path_rel(pat.p, self._path_graph(pat))
             self.aliases.append((rel, a))
             self._bind_term(pat.s, f"{a}.s", "iri")
@@ -1524,7 +1602,9 @@ class _Compiler:
         all_vars: list[str] = []
         for sub in subs:
             for v in sub.bind:
-                if v not in all_vars:
+                # fresh internal path variables (__p{n}) are branch-local
+                # chain plumbing — never projected out of the branch
+                if v not in all_vars and not v.startswith("__p"):
                     all_vars.append(v)
         selects = []
         for sub in subs:

@@ -580,3 +580,50 @@ def test_rank_methods_match_duckdb(ray_session):
             rd.from_arrow(tbl), group_cols=["g"], order_by=["v"],
             ascending=[True], k=1, method="percent_rank",
         )
+
+
+def test_offset_window_matches_duckdb(ray_session):
+    """lead/lag/first_value/last_value vs the SQL window functions on a
+    frame with a NULL group key, NULL order values, and NULL payloads in
+    the boundary rows (SQL first_value/last_value take the literal
+    boundary row's value — no null-skipping)."""
+    from etl_pipeline_rdf_star_ray.pipelines.windows import offset_window
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2, None, None, 3], pa.int64()),
+            "o": pa.array([3, 1, 2, 1, None, 2, 1, 1], pa.int64()),
+            "id": pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "v": pa.array([None, "b", "c", None, "e", "f", None, None], pa.string()),
+        }
+    )
+    out = offset_window(
+        rd.from_arrow(t),
+        group_cols=["g"],
+        order_by=["o", "id"],
+        ascending=[True, True],
+        lead={"nx": "v"},
+        lag={"pv": "v"},
+        first_value={"fv": "v"},
+        last_value={"lv": "v"},
+    )
+    # int64 group key must survive null-bearing shards un-floated in the
+    # ARROW blocks (pandas conversion floats nullable int64 by design)
+    assert out.schema().base_schema.field("g").type == pa.int64()
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        """
+        SELECT id, g,
+               lead(v) OVER w AS nx, lag(v) OVER w AS pv,
+               first_value(v) OVER w AS fv,
+               last_value(v) OVER (PARTITION BY g ORDER BY o, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY o, id)
+        ORDER BY id
+        """
+    ).df()
+    for c in ["nx", "pv", "fv", "lv"]:
+        a, b = got[c], want[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), (c, got, want)

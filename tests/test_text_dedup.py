@@ -1026,3 +1026,79 @@ FROM documents d LEFT JOIN wa USING (doc_id) ORDER BY d.doc_id
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (want.dup_line_frac > 0).any()  # the dup-line path really ran
     assert (want.top_word_frac > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# round 5: partition-pruned ANN index (r4 verdict item 2) — the query path
+# must READ only its probed hive partitions, proven by capturing the exact
+# path list handed to read_parquet, and return results identical to the
+# corpus-scan path.
+# ---------------------------------------------------------------------------
+
+
+def _capture_reads(monkeypatch):
+    captured = []
+    real_read = similarity.rd.read_parquet
+
+    def capture(paths, **kw):
+        captured.append(list(paths) if isinstance(paths, list) else [paths])
+        return real_read(paths, **kw)
+
+    monkeypatch.setattr(similarity.rd, "read_parquet", capture)
+    return captured
+
+
+def test_lsh_index_pruned_read(tmp_path, monkeypatch):
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.array(embs.sort_by("vec_id").column("embedding")[0].as_py())
+    root = str(tmp_path / "lshidx")
+    manifest = similarity.build_lsh_index(_embs_ds(), root).to_pandas()
+    assert not manifest["skipped"].any()
+    assert manifest["rows"].sum() == embs.num_rows
+
+    captured = _capture_reads(monkeypatch)
+    got = similarity.cosine_topk_lsh_indexed(root, q, k=5).to_pandas()
+    qb = similarity._lsh_bucket_of(np.asarray(q, dtype=np.float64), 8, 42)
+    # exactly ONE partition file read, and it is the query's own bucket
+    assert captured == [[f"{root}/bucket={qb}/part.parquet"]]
+    scan = similarity.cosine_topk_lsh(_embs_ds(), q, k=5).to_pandas()
+    assert got["vec_id"].tolist() == scan["vec_id"].tolist()
+    assert np.array_equal(got["cosine"].values, scan["cosine"].values)
+
+    # multi-probe: ≤ planes+1 partitions, never the whole corpus
+    captured.clear()
+    got1 = similarity.cosine_topk_lsh_indexed(root, q, k=5, hamming=1).to_pandas()
+    assert len(captured) == 1 and len(captured[0]) <= 9
+    assert got1.iloc[0]["vec_id"] == 0 and got1.iloc[0]["cosine"] >= 0.9999
+    # a superset candidate pool can only improve the top-k: elementwise
+    # cosine dominance over the exact-bucket answer (padded comparison)
+    n = min(len(got), len(got1))
+    assert (got1["cosine"].values[:n] >= got["cosine"].values[:n]).all()
+    assert len(got1) >= len(got)
+
+    # resumable: rebuild skips every committed partition
+    m2 = similarity.build_lsh_index(_embs_ds(), root).to_pandas()
+    assert m2["skipped"].all()
+
+
+def test_ivf_index_pruned_read(tmp_path, monkeypatch):
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.array(embs.sort_by("vec_id").column("embedding")[0].as_py())
+    root = str(tmp_path / "ivfidx")
+    manifest = similarity.build_ivf_index(
+        _embs_ds(), root, num_centroids=4
+    ).to_pandas()
+    assert manifest["rows"].sum() == embs.num_rows
+
+    captured = _capture_reads(monkeypatch)
+    pruned = similarity.cosine_topk_ivf_indexed(root, q, k=5, nprobe=2).to_pandas()
+    assert len(captured) == 1 and len(captured[0]) <= 2
+    assert all("ivf_cell=" in p for p in captured[0])
+    assert pruned.iloc[0]["vec_id"] == 0  # query's own vector is in its nearest cell
+
+    # full probe degenerates to brute force (same guarantee as the scan path)
+    captured.clear()
+    full = similarity.cosine_topk_ivf_indexed(root, q, k=5, nprobe=4).to_pandas()
+    brute = similarity.cosine_topk(_embs_ds(), q, k=5).to_pandas()
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+    assert np.array_equal(full["cosine"].values, brute["cosine"].values)
