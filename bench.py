@@ -281,6 +281,26 @@ def run_bench() -> dict:
     sec, _ = timed_best2(lambda: q_conv_stats_refresh(SF_DIR).count())
     queries["conv_stats_refresh"] = sec
 
+    # the refresh STEP alone (r4 verdict perf note: the end-to-end number
+    # above is dominated by building the T-time view + final state for the
+    # equality proof; the engine's steady-state cost is the refresh itself)
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import conv_stats
+    from etl_pipeline_rdf_star_ray.pipelines.incremental import refresh_view
+    from etl_pipeline_rdf_star_ray.queries import _t_split, _upserted_state
+
+    t_split = _t_split(SF_DIR)
+    prev_view = conv_stats(
+        cdc.upsert_dataset(
+            changelog_from_events(SF_DIR, lsn_hi=t_split + 1), num_partitions=16
+        )
+    ).materialize()
+    cur_state = _upserted_state(SF_DIR).materialize()
+    delta_log = changelog_from_events(SF_DIR, lsn_lo=t_split + 1).materialize()
+    sec, _ = timed_best2(
+        lambda: refresh_view(prev_view, cur_state, delta_log, conv_stats).count()
+    )
+    queries["conv_refresh_step"] = sec
+
     st = ops.status(lake)
     ray.shutdown()
 

@@ -517,6 +517,116 @@ def tfidf_topk_terms(
     return tf.map_batches(score_topk, batch_format="pyarrow", batch_size=None)
 
 
+def bm25_topk(
+    docs: "rd.Dataset",
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> "rd.Dataset":
+    """Okapi BM25 ranked retrieval for one term query (round 5): the
+    search-scoring companion to :func:`tfidf_topk_terms`, the standard
+    relevance ranker for corpus curation / query-based filtering.
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))``
+    with the Robertson/Lucene smoothed ``idf = ln((N−df+0.5)/(df+0.5)+1)``.
+    Only docs containing ≥1 query term score (SQL mirror: the tf join).
+
+    Scale shape — NO exchange at all: document rows are unique by the
+    corpus contract, so per-row ``dl`` and per-term ``tf`` are final within
+    a batch. Pass A streams one TINY partial row per batch
+    (Σdl + per-query-term df counts — query terms are a handful); the
+    driver folds them into (N, avgdl, df) and pass B scores each batch
+    vectorized (one ``np.bincount`` per query term) keeping its local
+    top-k; the ≤ k·blocks survivors merge driver-side like
+    ``similarity.cosine_topk``. Scores floored to 4 decimals for oracle
+    parity (same grid-nudge convention as the cosine operators)."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    docs = docs.materialize()  # count + two passes share one execution
+    n_docs = docs.count()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokenize(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        cols = {"sum_dl": pa.array([int(keep_np.sum())], pa.int64())}
+        for j, t in enumerate(terms):
+            hit = np.unique(doc_idx[keep_np & (flat_np == t)])
+            cols[f"df_{j}"] = pa.array([len(hit)], pa.int64())
+        return pa.table(cols)
+
+    stats = (
+        docs.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    avgdl = float(stats["sum_dl"]) / n_docs if n_docs else 1.0
+    idf = np.array(
+        [
+            np.log(
+                (n_docs - float(stats[f"df_{j}"]) + 0.5)
+                / (float(stats[f"df_{j}"]) + 0.5)
+                + 1.0
+            )
+            for j in range(len(terms))
+        ]
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = _tokenize(batch.column(text_col))
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(n), lens)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        dl = np.bincount(doc_idx[keep], minlength=n).astype(np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / (avgdl or 1.0))
+        score = np.zeros(n, np.float64)
+        for j, t in enumerate(terms):
+            tf = np.bincount(
+                doc_idx[keep & (flat_np == t)], minlength=n
+            ).astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                contrib = idf[j] * tf * (k1 + 1.0) / (tf + denom_norm)
+            score += np.where(tf > 0, contrib, 0.0)
+        hit = score > 0
+        score = np.floor((score + 1e-9) * 1e4) / 1e4
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[hit]
+        score = score[hit]
+        if len(ids) > k:
+            part = np.argpartition(-score, k)[:k]
+            ids, score = ids[part], score[part]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "bm25": pa.array(score, pa.float64()),
+            }
+        )
+
+    survivors = docs.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    top = survivors.sort_values(
+        ["bm25", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return rd.from_arrow(
+        pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+        .replace_schema_metadata(None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # conversation flattening (training-data export shape)
 # ---------------------------------------------------------------------------

@@ -2712,6 +2712,76 @@ SELECT event_type, q, n::BIGINT AS n, TRUE AS rank_ok
 FROM g, (SELECT unnest([0.5, 0.95]) AS q) t
 """
 
+def q_mad_outliers(sf_dir: str):
+    """Robust row-level outlier filter (analytics.mad_outlier_rows):
+    events deviating from their type's median by > 3 MAD, integer-cent
+    exact. Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    return analytics.mad_outlier_rows(sf_dir, k=3)
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+m AS (
+  SELECT event_type, quantile_disc(c, 0.5) AS med FROM c GROUP BY 1),
+s AS (
+  SELECT c.event_type, CAST(max(m.med) AS BIGINT) AS med,
+         CAST(quantile_disc(abs(c.c - m.med), 0.5) AS BIGINT) AS mad
+  FROM c JOIN m USING (event_type) GROUP BY c.event_type)
+SELECT c.event_id, c.event_type, c.c AS value_c, abs(c.c - s.med) AS dev_c
+FROM c JOIN s USING (event_type)
+WHERE abs(c.c - s.med) > 3 * s.mad
+"""
+
+
+#: BM25 query terms — shared by the Ray query and the SQL oracle so the
+#: two sides cannot drift
+_BM25_TERMS = ("customer", "hash", "spark", "vector")
+
+
+def q_bm25_search(sf_dir: str):
+    """Okapi BM25 ranked retrieval over the corpus (corpus.bm25_topk):
+    top-20 docs for a 4-term query, exchange-free two-pass plan (tiny
+    per-batch stat partials → broadcast constants → vectorized scoring
+    with per-batch local top-k). Beyond-window round-5 entry — fully
+    SQL-oracled; pytest runs the driver-identical comparison."""
+    from .pipelines.corpus import bm25_topk
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+ORACLE_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(array_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+dls AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+consts AS (
+  SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n,
+         (SELECT COALESCE(sum(dl), 0) FROM dls)
+           / (SELECT COUNT(*)::DOUBLE FROM documents) AS avgdl),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM toks
+  WHERE term IN ({_BM25_IN}) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / c.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dls USING (doc_id) CROSS JOIN consts c
+  GROUP BY 1)
+SELECT doc_id, floor((s + 0.000000001) * 10000) / 10000 AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -2860,6 +2930,10 @@ def build_queries() -> dict:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        # beyond-window round-5 extra (window full): fully SQL-oracled,
+        # pytest runs the driver-identical comparison (tests/test_corpus.py)
+        "bm25_search": q_bm25_search,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -2962,6 +3036,8 @@ def build_oracles() -> dict[str, str]:
         "tail_turns": ORACLE_TAIL_TURNS,
         "funnel_depth": ORACLE_FUNNEL_DEPTH,
         "cohort_retention": ORACLE_COHORT_RETENTION,
+        "bm25_search": ORACLE_BM25_SEARCH,
+        "mad_outliers": ORACLE_MAD_OUTLIERS,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,

@@ -485,3 +485,45 @@ def test_dedup_conversations_removes_exact_transcript_dups():
     # c1/c2 share a transcript -> c1 survives; c3 (reversed order) and the
     # singleton c4 survive: the dedup really removed a row
     assert sorted(out["conv_id"]) == ["c1", "c3", "c4"]
+
+
+def test_bm25_oracle_and_semantics(ray_session):
+    """BM25 (round 5): driver-identical oracle comparison, plus the two
+    ranking properties that define the scorer — term-frequency saturation
+    and document-length normalization — on a hand corpus."""
+    import numpy as np
+
+    assert oracle_run(SF, ["bm25_search"]) == 0
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "cat " * 10 + "filler " * 10,   # tf=10, dl=20
+                        "cat " + "filler " * 19,         # tf=1,  dl=20
+                        "cat " + "filler " * 3,          # tf=1,  dl=4 (short)
+                        "filler only here",              # no hit
+                    ]
+                ),
+            }
+        )
+    )
+    got = (
+        corpus.bm25_topk(docs, ["cat"], k=10)
+        .to_pandas()
+        .set_index("doc_id")["bm25"]
+    )
+    assert 3 not in got.index  # docs without the term never score
+    # saturation: 10x the tf gives a higher but FAR less than 10x score
+    assert got[0] > got[1]
+    assert got[0] < 5 * got[1]
+    # length normalization: same tf, shorter doc ranks higher
+    assert got[2] > got[1]
+    # exact hand value for doc 1: idf = ln((4-3+0.5)/(3+0.5)+1), dl=20,
+    # avgdl = (20+20+4+3)/4
+    avgdl = 47 / 4
+    idf = np.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
+    exp = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 20 / avgdl))
+    assert got[1] == np.floor((exp + 1e-9) * 1e4) / 1e4
