@@ -2736,6 +2736,55 @@ WHERE abs(c.c - s.med) > 3 * s.mad
 """
 
 
+def q_interval_view_purchase(sf_dir: str):
+    """Keyed interval (range) join — funnel attribution: each purchase
+    matched to the same user's view events whose 6-hour window contains
+    the purchase timestamp (stages/rangejoin.interval_join_sharded: right
+    windows replicate to ≤ 2 time buckets, ONE (key, bucket) exchange,
+    per-shard merge + exact band filter — never the per-key cross
+    product). Beyond-window round-5 entry; pytest runs the
+    driver-identical comparison."""
+    from .stages.rangejoin import interval_join_sharded
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    def _side(batch: pa.Table, etype: str, names: dict) -> pa.Table:
+        f = batch.filter(pc.equal(batch.column("event_type"), etype))
+        return pa.table({out: f.column(src) for src, out in names.items()})
+
+    purchases = ev.map_batches(
+        lambda b: _side(
+            b, "purchase", {"event_id": "event_id", "user_id": "user_id", "ts": "ts"}
+        ),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda b: _side(
+            b, "view", {"event_id": "view_id", "ts": "view_ts", "user_id": "user_id"}
+        ),
+        batch_format="pyarrow",
+    )
+    return interval_join_sharded(
+        purchases,
+        views,
+        on="user_id",
+        ts_col="ts",
+        lo_col="view_ts",
+        width_us=6 * 3600 * 1_000_000,
+    )
+
+
+ORACLE_INTERVAL_VIEW_PURCHASE = """
+SELECT p.event_id, p.user_id, p.ts, v.event_id AS view_id, v.ts AS view_ts
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL 6 HOUR
+"""
+
+
 #: BM25 query terms — shared by the Ray query and the SQL oracle so the
 #: two sides cannot drift
 _BM25_TERMS = ("customer", "hash", "spark", "vector")
@@ -2934,6 +2983,7 @@ def build_queries() -> dict:
         # pytest runs the driver-identical comparison (tests/test_corpus.py)
         "bm25_search": q_bm25_search,
         "mad_outliers": q_mad_outliers,
+        "interval_view_purchase": q_interval_view_purchase,
     }
 
 
@@ -3038,6 +3088,7 @@ def build_oracles() -> dict[str, str]:
         "cohort_retention": ORACLE_COHORT_RETENTION,
         "bm25_search": ORACLE_BM25_SEARCH,
         "mad_outliers": ORACLE_MAD_OUTLIERS,
+        "interval_view_purchase": ORACLE_INTERVAL_VIEW_PURCHASE,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,

@@ -373,3 +373,78 @@ def test_bloom_prefilter_fully_empty_left(ray_session):
             bloom_prefilter=True,
         )
         assert out.count() == want, how
+
+
+def test_interval_join_band_edges_and_buckets(ray_session):
+    """Round-5 keyed interval join: hand table pinning the half-open band
+    [lo, lo+width), bucket-boundary crossing (match found when ts and lo
+    fall in different width-buckets), NULL key/ts exclusion, and
+    exactly-once output despite the 2-bucket right replication."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.stages.rangejoin import interval_join_sharded
+
+    W = 100  # width_us
+    left = pa.table(
+        {
+            "lid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "k": pa.array([1, 1, 1, 2, None, 1], pa.int64()),
+            "ts": pa.array([100, 199, 200, 150, 150, None], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([10, 11, 12, 13], pa.int64()),
+            "rk": pa.array([1, 1, 2, None], pa.int64()),
+            "lo": pa.array([100, 150, 150, 150], pa.int64()),
+        }
+    )
+    got = (
+        interval_join_sharded(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            on="k",
+            right_on="rk",
+            ts_col="ts",
+            lo_col="lo",
+            width_us=W,
+            num_shards=4,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    # window [100,200): ts=100 in, ts=199 in, ts=200 OUT (half-open)
+    # window [150,250): ts=199 in (bucket of 199 is 1, bucket of 150 is 1),
+    #   ts=200 in (bucket 2 vs lo bucket 1 — crosses the bucket boundary)
+    # k=2: ts=150 in [150,250)
+    # NULL key (lid 4 / rid 13) and NULL ts (lid 5) never match
+    pairs = list(zip(got["lid"], got["rid"]))
+    assert pairs == [(0, 10), (1, 10), (1, 11), (2, 11), (3, 12)]
+    assert got["lo"].tolist() == [100, 100, 150, 150, 150]
+
+
+def test_interval_join_oracle_and_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from oracle_harness import run as oracle_run
+    from etl_pipeline_rdf_star_ray.stages.rangejoin import interval_join_sharded
+
+    assert oracle_run("/root/testdata/sf0.001", ["interval_view_purchase"]) == 0
+
+    empty = rd.from_arrow(
+        pa.table({"lid": pa.array([], pa.int64()), "k": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.int64())})
+    ).filter(lambda r: False)
+    right = rd.from_arrow(
+        pa.table({"rid": pa.array([1], pa.int64()), "rk": pa.array([1], pa.int64()),
+                  "lo": pa.array([0], pa.int64())})
+    )
+    out = interval_join_sharded(
+        empty, right, on="k", right_on="rk", ts_col="ts", lo_col="lo",
+        width_us=10,
+    )
+    assert out.count() == 0
