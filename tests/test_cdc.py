@@ -449,22 +449,36 @@ def test_slice_transport_matches_ranges_and_bounds_fetch_bytes(tmp_path):
         got[transport] = state_table(lake).to_pandas()
     assert_frames_equal(got["ranges"], got["slices"])
 
-    # byte accounting on the routing tables themselves
-    routed = _route(partitioned, True, "slices")
-    total_block_bytes = 0
-    per_pid_bytes = {}
+    # byte accounting on the routing tables themselves. Round 5: slices are
+    # GROUPED per destination node (one object per (block, node), pids as
+    # zero-copy spans) — single-node test = one group, so every pid's span
+    # must carve exactly its own rows out of the shared group object and
+    # the group objects together must cover the dataset exactly once.
+    routed, affinity = _route(partitioned, True, "slices")
+    assert affinity and len(set(affinity.values())) == 1  # one node
+    seen_refs = {}
+    covered_rows = 0
     for pid, entries in routed.items():
         for ref, start, length in entries:
-            assert start is None and length is None  # whole-object slices
+            assert start is not None and length is not None
             t = ray.get(ref)
-            assert set(t.column("partition_id").to_pylist()) == {pid}
-            per_pid_bytes[pid] = per_pid_bytes.get(pid, 0) + t.nbytes
-            total_block_bytes += t.nbytes
-    # each merge fetches a strict fraction of the dataset, and all
-    # partitions together cover it exactly once
-    for pid, b in per_pid_bytes.items():
-        assert b < total_block_bytes
-    assert set(per_pid_bytes) == set(routed)
+            seen_refs[ref] = t.nbytes
+            view = t.slice(start, length)
+            assert set(view.column("partition_id").to_pylist()) == {pid}
+            covered_rows += length
+    assert covered_rows == sum(ray.get(r).num_rows for r in seen_refs)
+    # spans within each group object are disjoint and exhaustive
+    by_ref: dict = {}
+    for entries in routed.values():
+        for ref, start, length in entries:
+            by_ref.setdefault(ref, []).append((start, length))
+    for ref, spans in by_ref.items():
+        spans.sort()
+        pos = 0
+        for start, length in spans:
+            assert start == pos
+            pos += length
+        assert pos == ray.get(ref).num_rows
 
 
 def test_slice_block_covers_multi_run_blocks():
@@ -483,13 +497,30 @@ def test_slice_block_covers_multi_run_blocks():
     )
     block = pa.concat_tables([run, run, run])
     out = ray.get(_slice_block.remote(block, True))
-    rows = {pid: ray.get(ref).num_rows for pid, ref, _n in out}
-    assert rows == {0: 6, 1: 3, 2: 9}
-    assert {pid: n for pid, _ref, n in out} == rows
+
+    def span_rows(entries):
+        got = {}
+        for pid, ref, start, n in entries:
+            view = ray.get(ref).slice(start, n)
+            assert set(view.column("partition_id").to_pylist()) == {pid}
+            got[pid] = got.get(pid, 0) + view.num_rows
+        return got
+
+    assert span_rows(out) == {0: 6, 1: 3, 2: 9}
     # unsorted path produces the same coverage
     shuffled = block.take(pa.array(np.random.default_rng(0).permutation(18)))
     out2 = ray.get(_slice_block.remote(shuffled, False))
-    assert {pid: ray.get(r).num_rows for pid, r, _n in out2} == rows
+    assert span_rows(out2) == {0: 6, 1: 3, 2: 9}
+    # grouped form: pids split across 2 node groups by pid % 2, spans
+    # still exact per pid
+    out3 = ray.get(_slice_block.remote(block, True, 2))
+    assert span_rows(out3) == {0: 6, 1: 3, 2: 9}
+    assert len({ref for _p, ref, _s, _n in out3}) == 2
+    # group 0 holds pids {0, 2}, group 1 holds pid {1}
+    by_ref: dict = {}
+    for pid, ref, _s, _n in out3:
+        by_ref.setdefault(ref, set()).add(pid)
+    assert sorted(map(sorted, by_ref.values())) == [[0, 2], [1]]
 
 
 def test_partition_merger_spills_beyond_budget(tmp_path):
