@@ -2785,6 +2785,106 @@ FROM events p JOIN events v
 """
 
 
+def _exact_value_counts(sf_dir: str, col: str) -> "pd.DataFrame":
+    """Exact per-value counts of one events column: map-side Arrow
+    value_counts partials (≤ |block domain| rows each) summed driver-side —
+    the tiny-domain exact companion the sketch band-collapse queries
+    compare against."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=[col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(col).drop_null())
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                col: vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(col, sort=False)["n"].sum().reset_index()
+
+
+def q_heavy_users(sf_dir: str):
+    """Misra–Gries heavy hitters as a DRIVER query (band-collapse oracle,
+    extending the r5 hll/qsketch pattern to the third sketch family): for
+    every user whose TRUE event count exceeds the sketch's guarantee
+    threshold N/(m+1), emit the exact count plus the two MG guarantees as
+    booleans — the item IS present among the m surviving counters, and its
+    reported lower bound is within N/(m+1) of truth. The SQL side emits
+    the same qualified users with constant TRUEs."""
+    from .functions.heavy_hitters import heavy_hitters
+
+    M = 256
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
+    hh = heavy_hitters(ds, "user_id", m=M).to_pandas()
+    exact = _exact_value_counts(sf_dir, "user_id")
+    n_total = float(exact["n"].sum())
+    thr = n_total / (M + 1)
+    qual = exact[exact["n"] > thr]
+    merged = qual.merge(
+        hh, left_on="user_id", right_on="item", how="left"
+    )
+    present = merged["count_lo"].notna()
+    gap = merged["n"] - merged["count_lo"].fillna(-1)
+    count_ok = present & (gap >= 0) & (gap <= thr)
+    return pa.table(
+        {
+            "user_id": pa.array(merged["user_id"], pa.int64()),
+            "n_events": pa.array(merged["n"], pa.int64()),
+            "present_ok": pa.array(present.to_numpy(dtype=bool)),
+            "count_ok": pa.array(count_ok.to_numpy(dtype=bool)),
+        }
+    )
+
+
+ORACLE_HEAVY_USERS = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       TRUE AS present_ok, TRUE AS count_ok
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) > (SELECT count(user_id)::DOUBLE FROM events) / 257.0
+"""
+
+
+def q_cms_event_counts(sf_dir: str):
+    """Count-Min point-frequency estimates as a DRIVER query (band-collapse
+    oracle): per event type, the exact count plus the two one-sided CMS
+    guarantees as booleans — the estimate is never below truth, and is
+    above it by at most ε·N (w.p. ≥ 1−δ; deterministic for fixed data and
+    the repo's fixed hash seeds, so a green row stays green). SQL side:
+    exact counts + constant TRUEs."""
+    from .functions.cms import cms_build_distributed, cms_params, cms_query
+
+    EPS, DELTA = 0.01, 0.001
+    width, depth = cms_params(EPS, DELTA)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
+    sk = cms_build_distributed(ds, "event_type", width, depth)
+    exact = _exact_value_counts(sf_dir, "event_type").sort_values("event_type")
+    est = cms_query(sk, pa.array(exact["event_type"], pa.string()))
+    bound = np.ceil(EPS * sk.n)
+    n = exact["n"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(exact["event_type"], pa.string()),
+            "n_exact": pa.array(n, pa.int64()),
+            "lower_ok": pa.array(est >= n),
+            "upper_ok": pa.array(est <= n + bound),
+        }
+    )
+
+
+ORACLE_CMS_EVENT_COUNTS = """
+SELECT event_type, count(*)::BIGINT AS n_exact,
+       TRUE AS lower_ok, TRUE AS upper_ok
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+"""
+
+
 #: BM25 query terms — shared by the Ray query and the SQL oracle so the
 #: two sides cannot drift
 _BM25_TERMS = ("customer", "hash", "spark", "vector")
@@ -2984,6 +3084,8 @@ def build_queries() -> dict:
         "bm25_search": q_bm25_search,
         "mad_outliers": q_mad_outliers,
         "interval_view_purchase": q_interval_view_purchase,
+        "heavy_users": q_heavy_users,
+        "cms_event_counts": q_cms_event_counts,
     }
 
 
@@ -3089,6 +3191,8 @@ def build_oracles() -> dict[str, str]:
         "bm25_search": ORACLE_BM25_SEARCH,
         "mad_outliers": ORACLE_MAD_OUTLIERS,
         "interval_view_purchase": ORACLE_INTERVAL_VIEW_PURCHASE,
+        "heavy_users": ORACLE_HEAVY_USERS,
+        "cms_event_counts": ORACLE_CMS_EVENT_COUNTS,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,

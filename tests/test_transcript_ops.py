@@ -612,3 +612,12 @@ def test_mad_outliers_oracle_and_edges(ray_session, tmp_path):
     got = mad_outlier_rows(str(tmp_path), k=3).to_pandas()
     assert got["event_id"].tolist() == [7]
     assert got["dev_c"].tolist() == [9400]
+
+
+def test_sketch_band_collapse_driver_rows(ray_session):
+    """Round-5 band-collapse driver queries for the MG and CMS sketch
+    families: the Ray side computes estimate AND exact and emits the
+    guarantee booleans; hash-equality with the exact+TRUE SQL mirror IS
+    the bound proof. (Adversarial zipf pressure on the sketches themselves
+    lives in test_heavy_hitters.py / test_cms.py.)"""
+    assert oracle_run(SF, ["heavy_users", "cms_event_counts"]) == 0
