@@ -246,6 +246,61 @@ def offset_window(
     )
 
 
+def rank_fractions(
+    ds: "rd.Dataset",
+    *,
+    group_cols: list[str],
+    order_by: list[str],
+    ascending: list[bool],
+    pr_col: str = "pr",
+    cd_col: str = "cd",
+) -> "rd.Dataset":
+    """``percent_rank()`` and ``cume_dist()`` per group — the fractional
+    ranking pair completing row_number/rank/dense_rank (round 5):
+    ``percent_rank = (rank − 1) / (n − 1)`` (0 for single-row groups) and
+    ``cume_dist = |rows ≤ current| / n``, both under SQL tie semantics (a
+    tie run shares the run's FIRST row number for rank and its LAST for
+    the ≤-count). The divisions are single float64 ops identical to the
+    SQL engine's definition, so values compare bit-exactly — no flooring
+    needed. Same one-exchange shard plane as :func:`rank_within_groups`."""
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            s.drop(columns=["shard"])
+            .sort_values(
+                group_cols + order_by,
+                ascending=[True] * len(group_cols) + list(ascending),
+                kind="mergesort",
+                na_position="last",
+            )
+            .reset_index(drop=True)
+        )
+        grp = s.groupby(group_cols, sort=False, dropna=False)
+        n = grp[order_by[0]].transform("size").to_numpy(dtype=np.float64)
+        rn = (grp.cumcount() + 1).to_numpy(dtype=np.int64)
+        # a new tie run starts at each group's first row or when ANY order
+        # column differs from the previous row (null-safe: NULL ties NULL)
+        changed = rn == 1
+        for c in group_cols + order_by:
+            col, prev = s[c], s[c].shift()
+            same = (
+                ((col == prev) | (col.isna() & prev.isna()))
+                .fillna(False)
+                .to_numpy(dtype=bool)
+            )
+            changed = changed | ~same
+        run = np.cumsum(changed)
+        rs = pd.Series(rn)
+        first = rs.groupby(run).transform("min").to_numpy(dtype=np.float64)
+        last = rs.groupby(run).transform("max").to_numpy(dtype=np.float64)
+        pr = np.where(n > 1, (first - 1.0) / (n - 1.0), 0.0)
+        return s.assign(**{pr_col: pr, cd_col: last / n})
+
+    return sharded_groups(
+        ds, lambda b: _key_hash(b, group_cols), per_shard, nullable_ints=True
+    )
+
+
 def running_totals(
     ds: "rd.Dataset",
     *,

@@ -2785,6 +2785,35 @@ FROM events p JOIN events v
 """
 
 
+def q_event_value_fractions(sf_dir: str):
+    """percent_rank() / cume_dist() per event over (PARTITION BY
+    event_type ORDER BY value, event_id) — the fractional ranking pair
+    completing the window family (windows.rank_fractions). The divisions
+    are the same single float64 ops the SQL engine performs, so the
+    comparison is bit-exact with no flooring. Beyond-window round-5
+    entry; pytest runs the driver-identical comparison."""
+    from .pipelines.windows import rank_fractions
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = rank_fractions(
+        ds,
+        group_cols=["event_type"],
+        order_by=["value", "event_id"],
+        ascending=[True, True],
+    )
+    return out.select_columns(["event_id", "event_type", "pr", "cd"])
+
+
+ORACLE_EVENT_VALUE_FRACTIONS = """
+SELECT event_id, event_type,
+       percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 def _exact_value_counts(sf_dir: str, col: str) -> "pd.DataFrame":
     """Exact per-value counts of one events column: map-side Arrow
     value_counts partials (≤ |block domain| rows each) summed driver-side —
@@ -3086,6 +3115,7 @@ def build_queries() -> dict:
         "interval_view_purchase": q_interval_view_purchase,
         "heavy_users": q_heavy_users,
         "cms_event_counts": q_cms_event_counts,
+        "event_value_fractions": q_event_value_fractions,
     }
 
 
@@ -3193,6 +3223,7 @@ def build_oracles() -> dict[str, str]:
         "interval_view_purchase": ORACLE_INTERVAL_VIEW_PURCHASE,
         "heavy_users": ORACLE_HEAVY_USERS,
         "cms_event_counts": ORACLE_CMS_EVENT_COUNTS,
+        "event_value_fractions": ORACLE_EVENT_VALUE_FRACTIONS,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,

@@ -627,3 +627,67 @@ def test_offset_window_matches_duckdb(ray_session):
     for c in ["nx", "pv", "fv", "lv"]:
         a, b = got[c], want[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), (c, got, want)
+
+
+def test_rank_fractions_ties_and_nulls(ray_session):
+    """percent_rank/cume_dist vs DuckDB on tie-heavy null-bearing data:
+    tie runs share the FIRST row number for percent_rank and the LAST
+    <=-count for cume_dist; NULL order values tie together NULLS LAST;
+    single-row groups get percent_rank 0."""
+    from etl_pipeline_rdf_star_ray.pipelines.windows import rank_fractions
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 1, 2, None, 1], pa.int64()),
+            "v": pa.array([10, 10, 20, None, 5, 7, None], pa.int64()),
+            "id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    got = (
+        rank_fractions(
+            rd.from_arrow(t),
+            group_cols=["g"],
+            order_by=["v"],
+            ascending=[True],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        """
+        SELECT id, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY id
+        """
+    ).df()
+    assert got["pr"].tolist() == want["pr"].tolist()
+    assert got["cd"].tolist() == want["cd"].tolist()
+
+
+def test_route_affinity_single_node(ray_session):
+    """The slices transport's affinity map: one alive node -> every pid
+    pinned to it; _merge_opts produces a soft NodeAffinity strategy."""
+    import ray
+
+    from etl_pipeline_rdf_star_ray.sources.synthetic import changelog_dataset
+    from etl_pipeline_rdf_star_ray.stages.exchange import _merge_opts, _route
+    from etl_pipeline_rdf_star_ray.stages.partition import make_partition_stage
+
+    stage = make_partition_stage(
+        num_partitions=4, salt_buckets=1, hot_convs=frozenset(), sort_output=True
+    )
+    part = changelog_dataset(2000, n_convs=20).map_batches(
+        stage, batch_format="pyarrow", batch_size=None
+    )
+    routed, affinity = _route(part, True, "slices")
+    alive = {n["NodeID"] for n in ray.nodes() if n.get("Alive")}
+    assert set(affinity) == set(routed)
+    assert set(affinity.values()) <= alive and len(set(affinity.values())) == 1
+    opts = _merge_opts(next(iter(affinity)), affinity)
+    strat = opts["scheduling_strategy"]
+    assert strat.soft is True and strat.node_id in alive
+    # ranges transport: no affinity
+    routed2, affinity2 = _route(part, True, "ranges")
+    assert affinity2 == {} and _merge_opts(0, affinity2) == {}
