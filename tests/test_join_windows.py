@@ -691,3 +691,132 @@ def test_route_affinity_single_node(ray_session):
     # ranges transport: no affinity
     routed2, affinity2 = _route(part, True, "ranges")
     assert affinity2 == {} and _merge_opts(0, affinity2) == {}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_round5_ops_randomized_duckdb_parity(ray_session, seed):
+    """Randomized multi-seed parity for the round-5 operators on one
+    generated frame: offset_window (lead/lag/first/last), rank_fractions
+    (percent_rank/cume_dist) and interval_join_sharded vs DuckDB, with
+    null-bearing keys, heavy ties, and bucket-straddling windows."""
+    import numpy as np
+
+    from etl_pipeline_rdf_star_ray.pipelines.windows import (
+        offset_window,
+        rank_fractions,
+    )
+    from etl_pipeline_rdf_star_ray.stages.rangejoin import interval_join_sharded
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    g = rng.integers(0, 8, n).astype(float)
+    g[rng.uniform(size=n) < 0.1] = np.nan
+    o = rng.integers(0, 12, n).astype(float)  # heavy ties
+    o[rng.uniform(size=n) < 0.1] = np.nan
+    v = rng.integers(0, 5, n).astype(float)
+    v[rng.uniform(size=n) < 0.15] = np.nan
+    t = pa.table(
+        {
+            "g": pa.array([None if np.isnan(x) else int(x) for x in g], pa.int64()),
+            "o": pa.array([None if np.isnan(x) else int(x) for x in o], pa.int64()),
+            "v": pa.array([None if np.isnan(x) else int(x) for x in v], pa.int64()),
+            "id": pa.array(range(n), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = (
+        offset_window(
+            rd.from_arrow(t),
+            group_cols=["g"],
+            order_by=["o", "id"],
+            ascending=[True, True],
+            lead={"nx": "v"},
+            lag={"pv": "v"},
+            first_value={"fv": "v"},
+            last_value={"lv": "v"},
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = con.sql(
+        """
+        SELECT id, lead(v) OVER w AS nx, lag(v) OVER w AS pv,
+               first_value(v) OVER w AS fv,
+               last_value(v) OVER (PARTITION BY g ORDER BY o, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY o, id) ORDER BY id
+        """
+    ).df()
+    for c in ["nx", "pv", "fv", "lv"]:
+        a, b = got[c].astype(float), want[c].astype(float)
+        assert ((a == b) | (a.isna() & b.isna())).all(), (seed, c)
+
+    fr = (
+        rank_fractions(
+            rd.from_arrow(t),
+            group_cols=["g"],
+            order_by=["o"],
+            ascending=[True],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    wf = con.sql(
+        """
+        SELECT id, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM t WINDOW w AS (PARTITION BY g ORDER BY o) ORDER BY id
+        """
+    ).df()
+    assert fr["pr"].tolist() == wf["pr"].tolist(), seed
+    assert fr["cd"].tolist() == wf["cd"].tolist(), seed
+
+    # interval join: points t.id/ts=o vs windows of width 3 (straddles the
+    # width-3 buckets constantly); null keys/timestamps excluded
+    left = pa.table(
+        {
+            "lid": t.column("id"),
+            "k": t.column("g"),
+            "ts": t.column("o"),
+        }
+    )
+    m = 120
+    rk = rng.integers(0, 8, m).astype(float)
+    rk[rng.uniform(size=m) < 0.1] = np.nan
+    rlo = rng.integers(-2, 12, m)
+    right = pa.table(
+        {
+            "rid": pa.array(range(m), pa.int64()),
+            "rk": pa.array([None if np.isnan(x) else int(x) for x in rk], pa.int64()),
+            "lo": pa.array(rlo, pa.int64()),
+        }
+    )
+    con.register("l", left)
+    con.register("r", right)
+    gotj = (
+        interval_join_sharded(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            on="k",
+            right_on="rk",
+            ts_col="ts",
+            lo_col="lo",
+            width_us=3,
+            num_shards=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    wantj = con.sql(
+        """
+        SELECT l.lid, r.rid FROM l JOIN r
+          ON l.k = r.rk AND r.lo <= l.ts AND l.ts < r.lo + 3
+        ORDER BY l.lid, r.rid
+        """
+    ).df()
+    assert gotj["lid"].tolist() == wantj["lid"].tolist(), seed
+    assert gotj["rid"].tolist() == wantj["rid"].tolist(), seed
