@@ -820,3 +820,14 @@ def test_round5_ops_randomized_duckdb_parity(ray_session, seed):
     ).df()
     assert gotj["lid"].tolist() == wantj["lid"].tolist(), seed
     assert gotj["rid"].tolist() == wantj["rid"].tolist(), seed
+
+
+def test_event_value_fractions_oracle(ray_session):
+    """Driver-identical comparison for the fractional-rank driver query
+    (beyond-window round-5 entry)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_harness import run as oracle_run
+
+    assert oracle_run("/root/testdata/sf0.001", ["event_value_fractions"]) == 0
