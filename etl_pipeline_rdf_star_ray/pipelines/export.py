@@ -107,6 +107,74 @@ def export_to_path(triples: "rd.Dataset", path: str, *, fmt: str = "nt") -> None
     ).count()
 
 
+def export_jsonl(
+    ds: "rd.Dataset",
+    root: str,
+    *,
+    shard_key_col: str,
+    num_shards: int = 64,
+    fs=None,
+) -> pa.Table:
+    """Resumable sharded JSONL export — the standard LLM training-corpus
+    output format (one JSON object per row, one file per hash shard,
+    ``root/shard-<i>.jsonl``). Each shard commits atomically through the
+    injectable commit filesystem with a ``_SUCCESS.<i>`` marker, so a
+    crashed export re-runs and SKIPS finished shards (the same
+    resumable-output contract as :func:`write_partitioned`; never one
+    giant file). Rows hash on ``shard_key_col`` so a re-run routes every
+    row to the same shard regardless of input block layout, and rows
+    WITHIN a shard are written in sorted-key order — byte-deterministic
+    output. JSON is ``orient=records`` with NaN-free nulls (``null``),
+    UTF-8, no ASCII escaping. Returns manifest rows
+    ``(shard, path, rows, skipped)``."""
+    import json as _json
+    import os
+
+    from ..functions.hashing import key_hash_column
+    from ..state.commitfs import PosixCommitFS
+    from .dedup import sharded_groups
+
+    fs = fs or PosixCommitFS()
+    os.makedirs(root, exist_ok=True)
+
+    def write_shard(s: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        shard_id = int(s["shard"].iloc[0]) if len(s) else 0
+        body = s.drop(columns=["shard"]).sort_values(
+            shard_key_col, kind="mergesort"
+        )
+        path = os.path.join(root, f"shard-{shard_id:05d}.jsonl")
+        marker = os.path.join(root, f"_SUCCESS.{shard_id:05d}")
+        if fs.exists(marker):
+            return pd.DataFrame(
+                [(shard_id, path, 0, True)],
+                columns=["shard", "path", "rows", "skipped"],
+            )
+        # pandas' C JSON writer: timestamps as ISO strings, NaN/NaT -> null
+        payload = body.to_json(
+            orient="records", lines=True, date_format="iso", force_ascii=False
+        )
+        if payload and not payload.endswith("\n"):
+            payload += "\n"
+        fs.put_atomic(path, payload.encode("utf-8"))
+        fs.put_if_absent(marker, _json.dumps({"rows": len(body)}).encode())
+        return pd.DataFrame(
+            [(shard_id, path, len(body), False)],
+            columns=["shard", "path", "rows", "skipped"],
+        )
+
+    manifest = sharded_groups(
+        ds,
+        lambda b: key_hash_column(b.column(shard_key_col)),
+        write_shard,
+        num_shards=num_shards,
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        manifest.reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 DEFAULT_PREFIX_BLOCK = """@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
 @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
 @prefix ex: <http://example.org/> .
