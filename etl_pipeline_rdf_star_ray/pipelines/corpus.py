@@ -789,6 +789,54 @@ def flatten_conversations(
     )
 
 
+def sft_messages(
+    state: "rd.Dataset", *, num_shards: int = 64
+) -> "rd.Dataset":
+    """Conversations → the standard SFT ``messages`` JSON shape (round 5):
+    one row per conversation, ``messages`` a compact JSON array of
+    ``{"role": …, "content": …}`` objects in turn order — the exchange
+    format every chat fine-tuning stack consumes; pipe the output through
+    :func:`export.export_jsonl` for ready-to-train shard files.
+
+    Same conv-hash shard plane as :func:`flatten_conversations` (all turns
+    of one conversation in one shard, one pandas pass per shard). The JSON
+    encoding is byte-compatible with DuckDB's
+    ``to_json(list(struct_pack(role := role, content := text) ORDER BY
+    turn_idx)))`` — compact separators, raw UTF-8, NULL → ``null`` — so
+    the driver oracle compares the strings exactly."""
+    import json
+
+    from ..functions.hashing import xxh64_column
+    from .dedup import sharded_groups
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = []
+        for conv, grp in g.groupby("conv_id", sort=False):
+            msgs = [
+                {
+                    "role": None if pd.isna(r) else r,
+                    "content": None if pd.isna(t) else t,
+                }
+                for r, t in zip(grp["role"], grp["text"])
+            ]
+            out.append(
+                (
+                    conv,
+                    len(grp),
+                    json.dumps(msgs, ensure_ascii=False, separators=(",", ":")),
+                )
+            )
+        return pd.DataFrame(out, columns=["conv_id", "n_turns", "messages"])
+
+    return sharded_groups(
+        state.select_columns(["conv_id", "turn_idx", "role", "text"]),
+        lambda b: xxh64_column(b.column("conv_id")),
+        per_shard,
+        num_shards=num_shards,
+    )
+
+
 def tail_turns(
     state: "rd.Dataset", *, k: int = 4, num_shards: int = 64
 ) -> "rd.Dataset":

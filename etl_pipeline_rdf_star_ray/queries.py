@@ -2914,6 +2914,25 @@ FROM events WHERE event_type IS NOT NULL GROUP BY event_type
 """
 
 
+def q_sft_messages(sf_dir: str):
+    """Standard SFT messages-format export shape (corpus.sft_messages):
+    one row per conversation with the compact JSON messages array,
+    byte-compatible with DuckDB's to_json(list(struct_pack(...))) so the
+    oracle compares strings exactly. Beyond-window round-5 entry; pytest
+    runs the driver-identical comparison."""
+    from .pipelines.corpus import sft_messages
+
+    return sft_messages(_upserted_state(sf_dir))
+
+
+ORACLE_SFT_MESSAGES = f"""{_CDC_PREFIX}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       to_json(list(struct_pack(role := role, content := text)
+                    ORDER BY turn_idx)) AS messages
+FROM state GROUP BY conv_id
+"""
+
+
 #: BM25 query terms — shared by the Ray query and the SQL oracle so the
 #: two sides cannot drift
 _BM25_TERMS = ("customer", "hash", "spark", "vector")
@@ -3116,6 +3135,7 @@ def build_queries() -> dict:
         "heavy_users": q_heavy_users,
         "cms_event_counts": q_cms_event_counts,
         "event_value_fractions": q_event_value_fractions,
+        "sft_messages": q_sft_messages,
     }
 
 
@@ -3224,6 +3244,7 @@ def build_oracles() -> dict[str, str]:
         "heavy_users": ORACLE_HEAVY_USERS,
         "cms_event_counts": ORACLE_CMS_EVENT_COUNTS,
         "event_value_fractions": ORACLE_EVENT_VALUE_FRACTIONS,
+        "sft_messages": ORACLE_SFT_MESSAGES,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,

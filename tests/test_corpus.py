@@ -527,3 +527,65 @@ def test_bm25_oracle_and_semantics(ray_session):
     idf = np.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
     exp = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 20 / avgdl))
     assert got[1] == np.floor((exp + 1e-9) * 1e4) / 1e4
+
+
+def test_sft_messages_oracle_and_edges(ray_session, tmp_path):
+    """SFT messages export shape: driver-identical oracle comparison, JSON
+    byte-compat edges (null role/text, quotes/newlines/unicode, turn
+    ordering), and the composition into the JSONL sink."""
+    import json
+
+    import duckdb
+
+    from etl_pipeline_rdf_star_ray.pipelines.corpus import sft_messages
+    from etl_pipeline_rdf_star_ray.pipelines.export import export_jsonl
+
+    assert oracle_run(SF, ["sft_messages"]) == 0
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c1", "c2"], pa.string()),
+            "turn_idx": pa.array([2, 0, 1, 0], pa.int32()),
+            "role": pa.array(["assistant", "user", None, "user"], pa.string()),
+            "text": pa.array(['say "hi"\nok', "start ünï", None, "solo"]),
+        }
+    )
+    got = (
+        sft_messages(rd.from_arrow(t), num_shards=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(
+        """
+        SELECT conv_id,
+               to_json(list(struct_pack(role := role, content := text)
+                            ORDER BY turn_idx)) AS messages
+        FROM t GROUP BY conv_id ORDER BY conv_id
+        """
+    ).df()
+    assert got["messages"].tolist() == want["messages"].tolist()
+    msgs = json.loads(got["messages"][0])
+    assert [m["role"] for m in msgs] == ["user", None, "assistant"]  # turn order
+    assert msgs[2]["content"] == 'say "hi"\nok'
+
+    # ready-to-train JSONL shards
+    root = tmp_path / "sft"
+    m = export_jsonl(
+        sft_messages(rd.from_arrow(t), num_shards=4),
+        str(root),
+        shard_key_col="conv_id",
+        num_shards=4,
+    ).to_pandas()
+    assert m["rows"].sum() == 2
+    rows = [
+        json.loads(line)
+        for p in sorted(root.glob("shard-*.jsonl"))
+        for line in p.read_text().splitlines()
+    ]
+    assert {r["conv_id"] for r in rows} == {"c1", "c2"}
+    # the nested messages payload survives the sink verbatim
+    inner = json.loads(next(r for r in rows if r["conv_id"] == "c1")["messages"])
+    assert inner[0]["content"] == "start ünï"
