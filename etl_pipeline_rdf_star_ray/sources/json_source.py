@@ -152,3 +152,52 @@ def _json_nested(config: dict) -> "rd.Dataset":
     return read_json_records(
         config["path"], record_path=config.get("iterator", config.get("jsonpath", "$"))
     )
+
+
+def read_jsonl_records(
+    paths: str | list[str], *, record_path: str = "$", flatten: bool = True
+) -> "rd.Dataset":
+    """Distributed JSONL read (round 5 — the reader counterpart of
+    ``export.export_jsonl``, closing the training-corpus roundtrip): one
+    task per file batch, one JSON object per line, blank lines skipped;
+    each record optionally flattened with the same reference semantics as
+    the nested-JSON connector. A shard directory (``dir/shard-*.jsonl``)
+    or glob expands driver-side."""
+    import glob as _glob
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(sorted(_glob.glob(os.path.join(p, "*.jsonl"))))
+        elif any(ch in p for ch in "*?["):
+            expanded.extend(sorted(_glob.glob(p)))
+        else:
+            expanded.append(p)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict[str, Any]] = []
+        for p in batch.column("path").to_pylist():
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    for r in extract_jsonpath(json.loads(line), record_path):
+                        rows.append(flatten_json(r) if flatten else r)
+        return pa.Table.from_pylist(rows)
+
+    return rd.from_items([{"path": p} for p in expanded]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+@register_source("jsonl")
+def _jsonl(config: dict) -> "rd.Dataset":
+    return read_jsonl_records(
+        config["path"],
+        record_path=config.get("iterator", config.get("jsonpath", "$")),
+        flatten=bool(config.get("flatten", True)),
+    )

@@ -167,3 +167,52 @@ def test_output_path_from_spec():
     assert output_path_from_spec(spec) == "out.trig"
     spec2 = parse_yarrrml("mappings: {}")
     assert output_path_from_spec(spec2) == "output.trig"
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """Round-5 JSONL reader: the counterpart of export.export_jsonl —
+    export a dataset to shards, read it back through the source registry,
+    and get the same rows (training-corpus roundtrip). Blank lines skip,
+    nested objects flatten with the reference semantics, flatten=False
+    keeps raw records."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.pipelines.export import export_jsonl
+    from etl_pipeline_rdf_star_ray.sources import create_source, source_kinds
+
+    assert "jsonl" in source_kinds()
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": pa.array([f"d{i}" for i in range(50)]),
+        }
+    )
+    root = tmp_path / "out"
+    export_jsonl(rd.from_arrow(t), str(root), shard_key_col="doc_id", num_shards=4)
+    back = (
+        create_source({"type": "jsonl", "path": str(root)})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["doc_id"].tolist() == list(range(50))
+    assert back["text"].tolist() == [f"d{i}" for i in range(50)]
+
+    # nested flatten + blank lines
+    p = tmp_path / "nested.jsonl"
+    p.write_text(
+        json.dumps({"user": {"name": "ada"}, "tags": [1, 2]})
+        + "\n\n"
+        + json.dumps({"user": {"name": "bo"}, "tags": []})
+        + "\n"
+    )
+    flat = create_source({"type": "jsonl", "path": str(p)}).to_pandas()
+    assert sorted(flat["user_name"]) == ["ada", "bo"]
+    raw = create_source(
+        {"type": "jsonl", "path": str(p), "flatten": False}
+    ).to_pandas()
+    assert {"name": "ada"} in list(raw["user"])
