@@ -964,6 +964,7 @@ def dataset_split(
     *,
     id_col: str = "doc_id",
     splits: list[tuple[str, float]] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> "rd.Dataset":
     """Deterministic train/val/test assignment: a row's split is decided by
     where the first 8 hex chars of ``md5(str(id))`` fall among the
@@ -975,7 +976,10 @@ def dataset_split(
 
     SQL mirror: chained ``CASE WHEN substr(md5(CAST(id AS VARCHAR)),1,8) <
     '<bound>' …`` — generate it with :func:`split_sql_case` from the SAME
-    bounds."""
+    bounds. ``keep_cols`` carries extra columns through (round 5: splitting
+    on ``conv_id`` with ``keep_cols=["turn_idx"]`` gives the LEAKAGE-SAFE
+    per-turn split — every turn of a conversation lands in the same split
+    because the hash key is the conversation, not the row)."""
     labels, bounds = split_bounds_hex(splits or DEFAULT_SPLITS)
     lab_arr = np.array(labels)
     bnd_arr = np.array(bounds)
@@ -991,9 +995,80 @@ def dataset_split(
         out = pa.array(lab_arr[idx], pa.string())
         if null.any():
             out = pc.if_else(pa.array(~null), out, pa.scalar(None, pa.string()))
-        return pa.table({id_col: batch.column(id_col), "split": out})
+        cols = {id_col: batch.column(id_col)}
+        for c in keep_cols or []:
+            cols[c] = batch.column(c)
+        cols["split"] = out
+        return pa.table(cols)
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def stratified_split(
+    docs: "rd.Dataset",
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, float]] | None = None,
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """EXACT-quota stratified train/val/test split (round 5): within every
+    ``group_col`` stratum the split sizes hit their quotas exactly
+    (``rank ≤ floor(n·cum_weight + 0.5)`` boundaries over the group's
+    md5-ordered rows), unlike :func:`dataset_split`, whose global
+    hash-keyspace split only converges to the ratios per group. Use when
+    per-stratum balance matters (per-language eval sets); use
+    ``dataset_split`` when add-only stability matters (new rows never move
+    old ones — exact quotas necessarily reassign boundary rows as a
+    stratum grows).
+
+    Deterministic and shuffle-light: groups hash-colocate once
+    (``sharded_groups``), each shard ranks its groups' rows by
+    ``(md5(id), id)`` in one vectorized pass. SQL mirror: ``row_number()
+    OVER (PARTITION BY g ORDER BY md5(CAST(id AS VARCHAR)), id)`` against
+    the same floor boundaries. Output: ``(id, group, split)``."""
+    from ..functions.hashing import md5_hex_column
+    from .dedup import sharded_groups
+
+    pairs = list(splits or DEFAULT_SPLITS)
+    labels = [lab for lab, _w in pairs]
+    w = np.array([float(x) for _l, x in pairs])
+    if (w <= 0).any() or abs(w.sum() - 1.0) > 1e-9:
+        raise ValueError("split weights must be positive and sum to 1")
+    cums = np.cumsum(w)[:-1]  # boundaries for all but the last label
+
+    def per_shard(s: pd.DataFrame) -> pd.DataFrame:
+        s = s.drop(columns=["shard"])
+        h = md5_hex_column(pa.Array.from_pandas(s[id_col])).to_pylist()
+        s = (
+            s.assign(__h=h)
+            .sort_values(
+                [group_col, "__h", id_col],
+                kind="mergesort",
+                na_position="last",
+            )
+            .reset_index(drop=True)
+        )
+        grp = s.groupby(group_col, sort=False, dropna=False)
+        rn = (grp.cumcount() + 1).to_numpy(dtype=np.int64)
+        n = grp[id_col].transform("size").to_numpy(dtype=np.float64)
+        conds = [rn <= np.floor(n * c + 0.5) for c in cums]
+        split = np.select(conds, labels[:-1], default=labels[-1])
+        return s.assign(split=split)[[id_col, group_col, "split"]]
+
+    return sharded_groups(
+        docs.select_columns([id_col, group_col]),
+        lambda b: _stratified_key(b, group_col),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
+
+
+def _stratified_key(b: pa.Table, group_col: str) -> np.ndarray:
+    from ..functions.hashing import xxh64_column
+
+    return xxh64_column(b.column(group_col).cast(pa.string()))
 
 
 def split_sql_case(

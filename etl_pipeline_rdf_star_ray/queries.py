@@ -2914,6 +2914,61 @@ FROM events WHERE event_type IS NOT NULL GROUP BY event_type
 """
 
 
+def q_conv_split(sf_dir: str):
+    """LEAKAGE-SAFE per-turn train/val/test split (corpus.dataset_split on
+    ``conv_id`` with ``keep_cols``): every turn of a conversation lands in
+    the same split because the hash key is the conversation — the split
+    hygiene a per-row hash split violates (train/test contamination
+    through shared conversations). Beyond-window round-5 entry."""
+    from .pipelines.corpus import dataset_split
+
+    state = _upserted_state(sf_dir).select_columns(["conv_id", "turn_idx"])
+    return dataset_split(state, id_col="conv_id", keep_cols=["turn_idx"])
+
+
+def _oracle_conv_split() -> str:
+    from .pipelines.corpus import split_sql_case
+
+    return (
+        f"{_CDC_PREFIX} SELECT conv_id, turn_idx, "
+        f"{split_sql_case(id_expr='conv_id')} AS split FROM state"
+    )
+
+
+def q_doc_stratified_split(sf_dir: str):
+    """EXACT-quota stratified split per language stratum
+    (corpus.stratified_split): within every ``lang`` the train/val/test
+    sizes hit the floor(n·w + 0.5) boundaries exactly over md5-ordered
+    rows — per-stratum balance the global hash split only approaches.
+    Beyond-window round-5 entry."""
+    from .pipelines.corpus import stratified_split
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_split(
+        docs,
+        group_col="lang",
+        splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+
+
+ORACLE_DOC_STRATIFIED_SPLIT = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang)::DOUBLE AS n
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rn <= floor(n * 0.8 + 0.5) THEN 'train'
+            WHEN rn <= floor(n * 0.9 + 0.5) THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
 def q_sft_messages(sf_dir: str):
     """Standard SFT messages-format export shape (corpus.sft_messages):
     one row per conversation with the compact JSON messages array,
@@ -3136,6 +3191,8 @@ def build_queries() -> dict:
         "cms_event_counts": q_cms_event_counts,
         "event_value_fractions": q_event_value_fractions,
         "sft_messages": q_sft_messages,
+        "conv_split": q_conv_split,
+        "doc_stratified_split": q_doc_stratified_split,
     }
 
 
@@ -3245,6 +3302,8 @@ def build_oracles() -> dict[str, str]:
         "cms_event_counts": ORACLE_CMS_EVENT_COUNTS,
         "event_value_fractions": ORACLE_EVENT_VALUE_FRACTIONS,
         "sft_messages": ORACLE_SFT_MESSAGES,
+        "conv_split": _oracle_conv_split(),
+        "doc_stratified_split": ORACLE_DOC_STRATIFIED_SPLIT,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,

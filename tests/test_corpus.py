@@ -589,3 +589,73 @@ def test_sft_messages_oracle_and_edges(ray_session, tmp_path):
     # the nested messages payload survives the sink verbatim
     inner = json.loads(next(r for r in rows if r["conv_id"] == "c1")["messages"])
     assert inner[0]["content"] == "start ünï"
+
+
+def test_split_family_matches_oracles():
+    """Round-5 split pair: leakage-safe per-turn split (hash on conv_id,
+    keep_cols carries turn_idx) and the exact-quota stratified split —
+    the same query+SQL the driver would run."""
+    assert oracle_run(SF, ["conv_split", "doc_stratified_split"]) == 0
+
+
+def test_conv_split_is_leakage_safe(ray_session):
+    """Every turn of a conversation lands in the SAME split — the property
+    a per-row hash split violates (train/test contamination through shared
+    conversations)."""
+    from etl_pipeline_rdf_star_ray.queries import q_conv_split
+
+    got = q_conv_split(SF).to_pandas()
+    per_conv = got.groupby("conv_id")["split"].nunique()
+    assert (per_conv == 1).all()
+    assert set(got["split"].unique()) <= {"train", "val", "test"}
+    # synthetic corpus wide enough that all three labels materialize,
+    # multi-turn convs still atomic
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(300) for _ in (0, 1)]),
+            "turn_idx": pa.array([j for _ in range(300) for j in (0, 1)]),
+        }
+    )
+    out = corpus.dataset_split(
+        rd.from_arrow(t), id_col="conv_id", keep_cols=["turn_idx"]
+    ).to_pandas()
+    assert {"train", "val", "test"} <= set(out["split"].unique())
+    assert (out.groupby("conv_id")["split"].nunique() == 1).all()
+    assert len(out) == 600  # turn_idx carried through, no row loss
+
+
+def test_stratified_split_exact_quotas(ray_session):
+    """Within every stratum the split sizes hit floor(n*cum + 0.5) quotas
+    EXACTLY — including a stratum too small for every label, a null group,
+    and ids colliding across groups. Rerun is byte-identical."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(37)) + [900, 901], pa.int64()),
+            "lang": pa.array(
+                ["en"] * 20 + ["de"] * 10 + ["fr"] * 4 + ["xx"] * 2
+                + [None] * 3
+            ),
+        }
+    )
+    ds = rd.from_arrow([t.slice(0, 13), t.slice(13, 11), t.slice(24)])
+    out = corpus.stratified_split(
+        ds, group_col="lang", splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).to_pandas()
+    assert len(out) == len(t)
+    import numpy as np
+
+    for lang, grp in out.groupby("lang", dropna=False):
+        n = len(grp)
+        q_train = int(np.floor(n * 0.8 + 0.5))
+        q_val = int(np.floor(n * 0.9 + 0.5)) - q_train
+        counts = grp["split"].value_counts()
+        assert counts.get("train", 0) == q_train, lang
+        assert counts.get("val", 0) == q_val, lang
+    again = corpus.stratified_split(
+        ds, group_col="lang", splits=[("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).to_pandas()
+    key = ["doc_id", "lang"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
