@@ -1354,3 +1354,293 @@ def lineitem_filter_stats(sf_dir: str, *, returnflag: str = "R") -> pa.Table:
         Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty")
     )
     return pa.table({"n": [row["n"]], "sum_qty": [row["sum_qty"]]})
+
+
+def table_profile(
+    sf_dir: str,
+    *,
+    table: str = "events",
+    columns: tuple = (
+        ("user_id", "int"),
+        ("event_type", "str"),
+        ("value", "cents"),
+    ),
+    num_shards: int = 64,
+) -> pa.Table:
+    """Per-column data-quality profile (round 5): for each requested column
+    emit ``(col, n_rows, n_null, n_distinct, min_s, max_s)`` — the
+    first-look audit every ingest of an unknown 100-TB table starts with.
+
+    Scale shape: ONE pruned scan feeds two planes. (1) ``n/n_null/min/max``
+    are per-block scalar partials (one row per column per block — the
+    driver combines O(blocks × cols) scalars, never data rows). (2) exact
+    ``n_distinct`` for ALL columns rides a SINGLE exchange: each block
+    unpivots to its DISTINCT ``(col, val)`` pairs (map-side combine), pairs
+    hash-shard on the composite key so one value lives in exactly one
+    shard, per-shard distinct counts sum exactly. Kinds: ``int`` profiles
+    the int64 domain, ``cents`` the exact ×100 integer domain, ``str`` the
+    bytewise string domain — min/max render as canonical VARCHAR exactly
+    like the SQL oracle's CAST."""
+    from .dedup import sharded_groups
+
+    names = [c for c, _ in columns]
+    kinds = dict(columns)
+    ds = read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=names)
+
+    def _typed(batch: pa.Table, c: str):
+        col = batch.column(c)
+        k = kinds[c]
+        if k == "cents":
+            return _cents(col)
+        if k == "int":
+            return pc.cast(col, pa.int64())
+        return col
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in (
+            "col", "n", "n_null", "min_i", "max_i", "min_t", "max_t")}
+        for c in names:
+            raw = batch.column(c)
+            v = _typed(batch, c)
+            mm = pc.min_max(v)
+            rows["col"].append(c)
+            rows["n"].append(batch.num_rows)
+            rows["n_null"].append(raw.null_count)
+            if kinds[c] == "str":
+                rows["min_i"].append(None)
+                rows["max_i"].append(None)
+                rows["min_t"].append(mm["min"].as_py())
+                rows["max_t"].append(mm["max"].as_py())
+            else:
+                rows["min_i"].append(mm["min"].as_py())
+                rows["max_i"].append(mm["max"].as_py())
+                rows["min_t"].append(None)
+                rows["max_t"].append(None)
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_i": pa.array(rows["min_i"], pa.int64()),
+                "max_i": pa.array(rows["max_i"], pa.int64()),
+                "min_t": pa.array(rows["min_t"], pa.string()),
+                "max_t": pa.array(rows["max_t"], pa.string()),
+            }
+        )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        col_arr, val_arr = [], []
+        for c in names:
+            s = pc.cast(_typed(batch, c), pa.string())
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            u = pc.unique(s.drop_null())
+            col_arr.append(pa.array([c] * len(u), pa.string()))
+            val_arr.append(u)
+        return pa.table(
+            {
+                "col": pa.concat_arrays(col_arr),
+                "val": pa.concat_arrays(
+                    [a.cast(pa.string()) for a in val_arr]
+                ),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates(["col", "val"])
+            .groupby("col", sort=False)
+            .size()
+            .rename("nd")
+            .reset_index()
+        )
+
+    nd_partials = sharded_groups(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["col", "val"]),
+        per_shard,
+        num_shards=num_shards,
+    )
+    nd = _sum_partials(nd_partials, ["col"], ["nd"], num_shards=8).to_pandas()
+    ndmap = dict(zip(nd["col"], nd["nd"]))
+
+    # tiny: one dict per column per block (take_all keeps int64 exact —
+    # a pandas round-trip would float null-bearing min_i/max_i)
+    parts = ds.map_batches(scalar_partial, batch_format="pyarrow").take_all()
+    out = {k: [] for k in (
+        "col", "n_rows", "n_null", "n_distinct", "min_s", "max_s")}
+    for c in names:
+        rs = [r for r in parts if r["col"] == c]
+        out["col"].append(c)
+        out["n_rows"].append(sum(r["n"] for r in rs))
+        out["n_null"].append(sum(r["n_null"] for r in rs))
+        out["n_distinct"].append(int(ndmap.get(c, 0)))
+        key = "min_t" if kinds[c] == "str" else "min_i"
+        mins = [r[key] for r in rs if r[key] is not None]
+        maxs = [r[key.replace("min", "max")] for r in rs
+                if r[key.replace("min", "max")] is not None]
+        to_s = (lambda v: v) if kinds[c] == "str" else (lambda v: str(int(v)))
+        out["min_s"].append(to_s(min(mins)) if mins else None)
+        out["max_s"].append(to_s(max(maxs)) if maxs else None)
+    return pa.table(
+        {
+            "col": pa.array(out["col"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_null": pa.array(out["n_null"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "min_s": pa.array(out["min_s"], pa.string()),
+            "max_s": pa.array(out["max_s"], pa.string()),
+        }
+    )
+
+
+def hourly_gapfill(sf_dir: str, *, num_shards: int = 64) -> "rd.Dataset":
+    """Dense zero-filled hourly time series (round 5): event counts per
+    ``(event_type, epoch_hour)`` over the FULL observed hour range — hours
+    with no events appear with ``n = 0`` (the resample/gap-fill step every
+    time-series model input needs; plain groupby silently drops them).
+
+    Scale shape: the raw scan collapses map-side (per-block Arrow
+    ``group_by`` to (type, hour) partials) and ONE tiny exchange sums them
+    — the observed-counts result is bounded by the output grid
+    (types × hours: years of hourly data ≈ 10^5 rows per type), so it is
+    collected, packed into a dense int64 matrix, broadcast once via
+    ``ray.put``, and the dense grid streams out of ``rd.range`` with a
+    vectorized gather per batch. Epoch hours are non-negative by data
+    contract (``//`` truncation == floor)."""
+    US_H = 3_600_000_000
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(batch.column("ts"), pa.int64()), US_H)
+        t = pa.table({"event_type": batch.column("event_type"), "h": h})
+        g = t.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "h": g.column("h"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        ["n"],
+        num_shards=num_shards,
+    ).to_pandas()  # bounded by the output grid
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "hour_e": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if counts.empty:
+        return rd.from_arrow(empty)
+
+    lo, hi = int(counts["h"].min()), int(counts["h"].max())
+    n_hours = hi - lo + 1
+    types = sorted(counts["event_type"].unique())
+    tidx = {t: i for i, t in enumerate(types)}
+    mat = np.zeros((len(types), n_hours), dtype=np.int64)
+    mat[
+        counts["event_type"].map(tidx).to_numpy(dtype=np.int64),
+        counts["h"].to_numpy(dtype=np.int64) - lo,
+    ] = counts["n"].to_numpy(dtype=np.int64)
+    mref = ray.put(mat)
+    types_arr = np.array(types, dtype=object)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        m = ray.get(mref)
+        ti, hh = ids // n_hours, ids % n_hours
+        return pa.table(
+            {
+                "event_type": pa.array(types_arr[ti], pa.string()),
+                "hour_e": pa.array(lo + hh, pa.int64()),
+                "n": pa.array(m[ti, hh], pa.int64()),
+            }
+        )
+
+    return rd.range(len(types) * n_hours).map_batches(
+        fill, batch_format="pyarrow"
+    )
+
+
+def grouped_corr(sf_dir: str) -> pa.Table:
+    """Per-group Pearson correlation from EXACT integer sufficient
+    statistics (round 5): corr(quantity units, discount cents) per
+    ``l_returnflag``. Each block emits one partial row per group with the
+    six exact int64 sums ``(n, Σx, Σy, Σx², Σy², Σxy)`` — the driver
+    combines O(groups × blocks) scalar rows in arbitrary-precision Python
+    ints (never data rows), then evaluates the correlation in double with
+    the IDENTICAL operation sequence the SQL oracle uses
+    (``(nΣxy−ΣxΣy)/√(nΣx²−(Σx)²)/√(nΣy²−(Σy)²)``), floored at 4 decimals
+    — bit-exact both sides because the inputs to the float expression are
+    exact integers. Zero-variance groups yield NULL like SQL."""
+    import math
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        y = _cents(batch.column("l_discount"))
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"),
+             ("xy", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "sx": g.column("x_sum"),
+                "sy": g.column("y_sum"),
+                "sxx": g.column("xx_sum"),
+                "syy": g.column("yy_sum"),
+                "sxy": g.column("xy_sum"),
+            }
+        )
+
+    acc: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+            a[i] += int(r[k])
+
+    flags, ns, corrs = [], [], []
+    for flag in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[flag]
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        flags.append(flag)
+        ns.append(n)
+        if d1 > 0 and d2 > 0:
+            r = float(n * sxy - sx * sy) / math.sqrt(float(d1)) / math.sqrt(
+                float(d2)
+            )
+            corrs.append(math.floor(r * 10000))
+        else:
+            corrs.append(None)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "corr4": pa.array(corrs, pa.int64()),
+        }
+    )

@@ -1178,3 +1178,52 @@ def chunk_tokens(
         )
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def regex_extract_rows(
+    docs: "rd.Dataset",
+    *,
+    pattern: str = r"[a-z]{5,}",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Regex extract-to-rows (round 5): every non-overlapping match of
+    ``pattern`` in each document becomes its own row
+    ``(doc_id, seq, tok)`` with a 1-based per-document occurrence index —
+    the entity/token extraction flat_map (SQL mirror:
+    ``unnest(regexp_extract_all(...)) WITH generate_subscripts``).
+
+    Scale shape: embarrassingly parallel ``map_batches`` flat stage — no
+    shuffle, no state; the pattern compiles ONCE at plan-build time and the
+    closure ships to every task. Matching itself is the per-document
+    kernel (regex over variable-length UTF-8 has no Arrow batch form);
+    list building stays O(matches) with array construction at batch
+    granularity. Documents with no match emit no rows; NULL text emits no
+    rows (SQL: regexp_extract_all(NULL) is NULL, unnest(NULL) is empty)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id: list = []
+        out_seq: list = []
+        out_tok: list = []
+        for i, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            ms = rx.findall(txt)
+            if ms:
+                out_id.extend([i] * len(ms))
+                out_seq.extend(range(1, len(ms) + 1))
+                out_tok.extend(ms)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "seq": pa.array(out_seq, pa.int64()),
+                "tok": pa.array(out_tok, pa.string()),
+            }
+        )
+
+    return docs.map_batches(extract, batch_format="pyarrow")

@@ -3193,6 +3193,10 @@ def build_queries() -> dict:
         "sft_messages": q_sft_messages,
         "conv_split": q_conv_split,
         "doc_stratified_split": q_doc_stratified_split,
+        "table_profile": q_table_profile,
+        "hourly_gapfill": q_hourly_gapfill,
+        "grouped_corr": q_grouped_corr,
+        "doc_regex_tokens": q_doc_regex_tokens,
     }
 
 
@@ -3304,6 +3308,10 @@ def build_oracles() -> dict[str, str]:
         "sft_messages": ORACLE_SFT_MESSAGES,
         "conv_split": _oracle_conv_split(),
         "doc_stratified_split": ORACLE_DOC_STRATIFIED_SPLIT,
+        "table_profile": ORACLE_TABLE_PROFILE,
+        "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
+        "grouped_corr": ORACLE_GROUPED_CORR,
+        "doc_regex_tokens": ORACLE_DOC_REGEX_TOKENS,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,
@@ -3622,3 +3630,112 @@ def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
     exactly-once lake replay → snapshot read of the final transcripts table."""
     lake, _ = _replayed_lake(sf_dir, "entry")
     return read_state(lake)
+
+
+def q_table_profile(sf_dir: str):
+    """Per-column data-quality profile of the events table: n_rows, nulls,
+    EXACT distinct count, min/max — one pruned scan, per-block scalar
+    partials for the cheap stats and a SINGLE (col, value) exchange for all
+    distinct counts (analytics.table_profile). Beyond-window round-5 entry;
+    pytest runs the driver-identical comparison."""
+    return analytics.table_profile(sf_dir)
+
+
+ORACLE_TABLE_PROFILE = """
+SELECT 'user_id' AS col, count(*)::BIGINT AS n_rows,
+       (count(*) - count(user_id))::BIGINT AS n_null,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       CAST(min(user_id) AS VARCHAR) AS min_s,
+       CAST(max(user_id) AS VARCHAR) AS max_s
+FROM events
+UNION ALL
+SELECT 'event_type', count(*)::BIGINT,
+       (count(*) - count(event_type))::BIGINT,
+       count(DISTINCT event_type)::BIGINT,
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'value', count(*)::BIGINT,
+       (count(*) - count(value))::BIGINT,
+       count(DISTINCT CAST(round(value * 100) AS BIGINT))::BIGINT,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS VARCHAR),
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS VARCHAR)
+FROM events
+"""
+
+
+def q_hourly_gapfill(sf_dir: str):
+    """Dense zero-filled hourly event counts per type over the full
+    observed hour range — the time-series resample/gap-fill step
+    (analytics.hourly_gapfill: map-side count partials, one tiny exchange,
+    dense grid streamed from rd.range with a broadcast count matrix).
+    Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    return analytics.hourly_gapfill(sf_dir)
+
+
+ORACLE_HOURLY_GAPFILL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+g AS (
+  SELECT t.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM b) gs)
+SELECT g.event_type, g.h AS hour_e, coalesce(c.n, 0)::BIGINT AS n
+FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Pearson correlation of (quantity units, discount cents) per
+    returnflag from exact integer sufficient statistics — per-block
+    6-sum partials, arbitrary-precision driver combine, the identical
+    double expression both sides floored at 4 decimals
+    (analytics.grouped_corr). Beyond-window round-5 entry; pytest runs
+    the driver-identical comparison."""
+    return analytics.grouped_corr(sf_dir)
+
+
+ORACLE_GROUPED_CORR = """
+WITH s AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+    sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+    sum(CAST(round(l_discount * 100) AS BIGINT)) AS sy,
+    sum(CAST(round(l_quantity) AS BIGINT)
+        * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+    sum(CAST(round(l_discount * 100) AS BIGINT)
+        * CAST(round(l_discount * 100) AS BIGINT)) AS syy,
+    sum(CAST(round(l_quantity) AS BIGINT)
+        * CAST(round(l_discount * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 10000) AS BIGINT)
+  ELSE NULL END AS corr4
+FROM s
+"""
+
+
+def q_doc_regex_tokens(sf_dir: str):
+    """Regex extract-to-rows over document text: every [a-z]{5,} match
+    becomes (doc_id, seq, tok) with a 1-based occurrence index — the
+    entity-extraction flat_map (corpus.regex_extract_rows, shuffle-free).
+    Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    from .pipelines import corpus
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return corpus.regex_extract_rows(docs)
+
+
+ORACLE_DOC_REGEX_TOKENS = """
+SELECT doc_id, generate_subscripts(l, 1)::BIGINT AS seq, unnest(l) AS tok
+FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS l
+      FROM documents)
+"""

@@ -1,0 +1,126 @@
+"""Round-5 data-quality + time-series + extraction operators: per-column
+table profile, zero-filled hourly gap-fill, sufficient-statistics grouped
+correlation, and regex extract-to-rows — each checked with the
+driver-identical oracle comparison at sf0.001 plus hand-built edges the
+driver data cannot express (nulls, gaps, zero variance, no-match docs)."""
+
+import os
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo/tests")
+from oracle_harness import run as oracle_run
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_round5_profile_series_oracles(ray_session):
+    assert (
+        oracle_run(
+            SF,
+            [
+                "table_profile",
+                "hourly_gapfill",
+                "grouped_corr",
+                "doc_regex_tokens",
+            ],
+        )
+        == 0
+    )
+
+
+def test_table_profile_null_edges(ray_session):
+    """min/max/distinct skip NULLs; n_null counts them; an all-null block
+    must not poison the combine."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import table_profile
+
+    t = pa.table(
+        {
+            "user_id": pa.array([3, None, 11, 3, None], pa.int64()),
+            "event_type": pa.array(["b", None, "a", "b", None], pa.string()),
+            "value": pa.array([1.25, None, -0.5, 1.25, None], pa.float64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = table_profile(d).to_pandas().set_index("col")
+    assert got.loc["user_id"].tolist() == [5, 2, 2, "3", "11"]
+    assert got.loc["event_type"].tolist() == [5, 2, 2, "a", "b"]
+    # cents domain: -0.5 → -50, 1.25 → 125 (dedup'd)
+    assert got.loc["value"].tolist() == [5, 2, 2, "-50", "125"]
+
+
+def test_hourly_gapfill_fills_zeros(ray_session):
+    """Hours with no events appear with n=0; every type spans the GLOBAL
+    [min, max] hour range, not its own."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import hourly_gapfill
+
+    US_H = 3_600_000_000
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b"], pa.string()),
+            # a: hours 10 and 13 (gap at 11, 12); b: hour 11 only
+            "ts": pa.array(
+                [10 * US_H, 13 * US_H + 5, 11 * US_H], pa.timestamp("us")
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = hourly_gapfill(d).to_pandas()
+    cells = got.set_index(["event_type", "hour_e"])["n"].to_dict()
+    assert cells == {
+        ("a", 10): 1, ("a", 11): 0, ("a", 12): 0, ("a", 13): 1,
+        ("b", 10): 0, ("b", 11): 1, ("b", 12): 0, ("b", 13): 0,
+    }
+
+
+def test_grouped_corr_exact_and_degenerate(ray_session):
+    """corr4 = 10000 on an exactly-linear group (integer sufficient stats
+    make r == 1.0 exactly); a zero-variance group yields NULL like SQL."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import grouped_corr
+
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["P", "P", "Z", "Z"], pa.string()),
+            "l_quantity": pa.array([1.0, 2.0, 5.0, 7.0], pa.float64()),
+            # P: discount == quantity cents/100 → perfect corr;
+            # Z: constant discount → zero variance → NULL
+            "l_discount": pa.array([0.01, 0.02, 0.03, 0.03], pa.float64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        got = grouped_corr(d).to_pandas().set_index("l_returnflag")
+    assert got.loc["P", "corr4"] == 10000
+    assert got.loc["P", "n"] == 2
+    assert got.loc["Z", "n"] == 2
+    assert got["corr4"].isna().loc["Z"]
+
+
+def test_regex_extract_rows_edges(ray_session):
+    """No-match and NULL docs emit nothing; seq is the 1-based occurrence
+    index in document order; overlapping-free greedy matches like RE2."""
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.pipelines.corpus import regex_extract_rows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha xy gamma", "no", None], pa.string()
+            ),
+        }
+    )
+    got = (
+        regex_extract_rows(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["doc_id", "seq"])
+    )
+    assert got["doc_id"].tolist() == [1, 1]
+    assert got["seq"].tolist() == [1, 2]
+    assert got["tok"].tolist() == ["alpha", "gamma"]
