@@ -1644,3 +1644,78 @@ def grouped_corr(sf_dir: str) -> pa.Table:
             "corr4": pa.array(corrs, pa.int64()),
         }
     )
+
+
+def minmax_normalize(sf_dir: str) -> "rd.Dataset":
+    """Per-group min-max feature scaling (round 5): each event's value
+    rescaled to [0, 1] within its type, emitted as EXACT integer
+    basis-points ``norm4 = ((c − min)·10000) // (max − min)`` — no float
+    touches the data path, so the result is bit-identical to the SQL
+    mirror by construction (integer floor division both sides; the
+    numerator is non-negative so // truncation == floor).
+
+    Scale shape: per-type (min, max) are per-block Arrow ``group_by``
+    partials — the driver combines O(groups × blocks) scalar rows — then
+    the rows stream through ONE vectorized Arrow map with a code-indexed
+    int64 gather; data rows never shuffle. Degenerate groups (max == min)
+    yield NULL like SQL; NULL type/value rows drop like the SQL
+    join+WHERE propagation."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "c": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate([("c", "min"), ("c", "max")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "mn": g.column("c_min"),
+                "mx": g.column("c_max"),
+            }
+        )
+
+    stats: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        if r["event_type"] is None or r["mn"] is None:
+            continue
+        mn, mx = stats.get(r["event_type"], (r["mn"], r["mx"]))
+        stats[r["event_type"]] = (min(mn, r["mn"]), max(mx, r["mx"]))
+    types = sorted(stats)
+    code = {t: i for i, t in enumerate(types)}
+    mn_arr = np.array([stats[t][0] for t in types], dtype=np.int64)
+    mx_arr = np.array([stats[t][1] for t in types], dtype=np.int64)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        et = pd.Series(
+            batch.column("event_type").to_numpy(zero_copy_only=False)
+        )
+        ci = et.map(code).to_numpy(dtype=np.float64, na_value=np.nan)
+        vc = _cents(batch.column("value"))
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        v = vc.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(ci) & ~np.isnan(v)
+        out = batch.filter(pa.array(keep))
+        idx = ci[keep].astype(np.int64)
+        cv = v[keep].astype(np.int64)
+        mn, mx = mn_arr[idx], mx_arr[idx]
+        d = mx - mn
+        norm = (cv - mn) * 10000 // np.maximum(d, 1)
+        return pa.table(
+            {
+                "event_id": out.column("event_id"),
+                "event_type": out.column("event_type"),
+                "value_c": pa.array(cv, pa.int64()),
+                # degenerate groups (max == min) are NULL like SQL
+                "norm4": pa.array(norm, pa.int64(), mask=d <= 0),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")

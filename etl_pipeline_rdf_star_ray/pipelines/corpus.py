@@ -1227,3 +1227,107 @@ def regex_extract_rows(
         )
 
     return docs.map_batches(extract, batch_format="pyarrow")
+
+
+def token_pmi(
+    docs: "rd.Dataset",
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    num_shards: int = 64,
+) -> "rd.Dataset":
+    """Within-document token co-occurrence PMI (round 5): for every token
+    pair appearing together in ≥ ``min_count`` documents, emit
+    ``(tok_a, tok_b, n_ab, pmi4)`` with
+    ``pmi = ln(N·n_ab / (df_a·df_b))`` — the classic word-association
+    statistic over document-level co-occurrence (collocation mining /
+    embedding pre-filtering). Tokenization is the shared lowercase
+    alphanumeric :func:`_tokenize`.
+
+    Scale shape: a document's pairs are generated batch-locally (documents
+    are rows; per-doc work is O(distinct²) inside the task) and collapse
+    to per-batch (pair, n) partials before ONE pair-hash exchange; doc
+    frequencies ride the tfidf-style token-hash exchange and broadcast
+    once (vocab is Heaps-bounded like the tfidf vocab). The float ln is
+    evaluated from EXACT integer counts with the same expression the SQL
+    oracle uses, +1e-9 before the 4-decimal floor (the repo's libm
+    last-ulp convention, same as model scoring / BM25)."""
+    import itertools
+
+    from .analytics import _group_key_hash, _sum_partials
+
+    n_docs = docs.count()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokenize(batch.column(text_col))
+        counts: dict = {}
+        for lst in toks.to_pylist():
+            s = sorted({t for t in (lst or []) if t})
+            for ab in itertools.combinations(s, 2):
+                counts[ab] = counts.get(ab, 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                }
+            )
+        ks = list(counts)
+        return pa.table(
+            {
+                "tok_a": pa.array([k[0] for k in ks], pa.string()),
+                "tok_b": pa.array([k[1] for k in ks], pa.string()),
+                "n_ab": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokenize(batch.column(text_col))
+        counts: dict = {}
+        for lst in toks.to_pylist():
+            for t in {t for t in (lst or []) if t}:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "tok": pa.array(list(counts), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    pairs = _sum_partials(
+        docs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        ["n_ab"],
+        num_shards=num_shards,
+    ).filter(expr=f"n_ab >= {int(min_count)}")
+
+    dfs = _sum_partials(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        ["tok"],
+        ["df"],
+        num_shards=num_shards,
+    ).to_pandas()  # Heaps-bounded vocab
+    df_map = ray.put(dict(zip(dfs["tok"], dfs["df"].astype(np.int64))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(df_map)
+        ta = pd.Series(batch.column("tok_a").to_numpy(zero_copy_only=False))
+        tb = pd.Series(batch.column("tok_b").to_numpy(zero_copy_only=False))
+        da = ta.map(m).to_numpy(dtype=np.float64)
+        db = tb.map(m).to_numpy(dtype=np.float64)
+        n_ab = batch.column("n_ab").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pmi = np.log(n_docs * n_ab / (da * db))
+        pmi4 = np.floor((pmi + 1e-9) * 10000).astype(np.int64)
+        return pa.table(
+            {
+                "tok_a": batch.column("tok_a"),
+                "tok_b": batch.column("tok_b"),
+                "n_ab": batch.column("n_ab"),
+                "pmi4": pa.array(pmi4, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow")

@@ -3197,6 +3197,8 @@ def build_queries() -> dict:
         "hourly_gapfill": q_hourly_gapfill,
         "grouped_corr": q_grouped_corr,
         "doc_regex_tokens": q_doc_regex_tokens,
+        "minmax_normalize": q_minmax_normalize,
+        "token_pmi": q_token_pmi,
     }
 
 
@@ -3312,6 +3314,8 @@ def build_oracles() -> dict[str, str]:
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,
         "doc_regex_tokens": ORACLE_DOC_REGEX_TOKENS,
+        "minmax_normalize": ORACLE_MINMAX_NORMALIZE,
+        "token_pmi": ORACLE_TOKEN_PMI,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,
@@ -3738,4 +3742,59 @@ ORACLE_DOC_REGEX_TOKENS = """
 SELECT doc_id, generate_subscripts(l, 1)::BIGINT AS seq, unnest(l) AS tok
 FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS l
       FROM documents)
+"""
+
+
+def q_minmax_normalize(sf_dir: str):
+    """Per-type min-max feature scaling to integer basis points — NO float
+    in the data path: per-block (min, max) partials, then one vectorized
+    Arrow map with integer floor division (analytics.minmax_normalize).
+    Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    return analytics.minmax_normalize(sf_dir)
+
+
+ORACLE_MINMAX_NORMALIZE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT event_type, min(c) AS mn, max(c) AS mx FROM c GROUP BY 1)
+SELECT c.event_id, c.event_type, c.c AS value_c,
+  CASE WHEN s.mx > s.mn
+       THEN ((c.c - s.mn) * 10000) // (s.mx - s.mn) END AS norm4
+FROM c JOIN s USING (event_type)
+"""
+
+
+def q_token_pmi(sf_dir: str):
+    """Within-document token co-occurrence PMI over the corpus — pairs
+    generated batch-locally and collapsed to partials before ONE pair-hash
+    exchange; doc frequencies broadcast (corpus.token_pmi). Beyond-window
+    round-5 entry; pytest runs the driver-identical comparison."""
+    from .pipelines import corpus
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    return corpus.token_pmi(docs)
+
+
+ORACLE_TOKEN_PMI = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(array_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+    FROM documents)),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+m AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS nd FROM documents)
+SELECT p.tok_a, p.tok_b, p.n_ab,
+  CAST(floor((ln(CAST(n.nd * p.n_ab AS DOUBLE)
+                 / CAST(ma.df * mb.df AS DOUBLE)) + 1e-9) * 10000)
+       AS BIGINT) AS pmi4
+FROM p
+JOIN m ma ON ma.tok = p.tok_a
+JOIN m mb ON mb.tok = p.tok_b
+CROSS JOIN n
 """

@@ -124,3 +124,70 @@ def test_regex_extract_rows_edges(ray_session):
     assert got["doc_id"].tolist() == [1, 1]
     assert got["seq"].tolist() == [1, 2]
     assert got["tok"].tolist() == ["alpha", "gamma"]
+
+
+def test_round5_normalize_pmi_oracles(ray_session):
+    assert oracle_run(SF, ["minmax_normalize", "token_pmi"]) == 0
+
+
+def test_minmax_normalize_edges(ray_session):
+    """min row → 0, max row → 10000, interior floor division; degenerate
+    (constant) group → NULL; NULL type/value rows drop."""
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import minmax_normalize
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(7), pa.int64()),
+            "event_type": pa.array(
+                ["a", "a", "a", "z", "z", None, "a"], pa.string()
+            ),
+            "value": pa.array(
+                [1.0, 4.0, 2.0, 5.0, 5.0, 1.0, None], pa.float64()
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = (
+            minmax_normalize(d).to_pandas().set_index("event_id").sort_index()
+        )
+    assert got.index.tolist() == [0, 1, 2, 3, 4]  # null rows dropped
+    # a: range 100..400 cents → (c-100)*10000 // 300
+    assert got.loc[0, "norm4"] == 0
+    assert got.loc[1, "norm4"] == 10000
+    assert got.loc[2, "norm4"] == (100 * 10000) // 300  # 3333
+    # z: constant → NULL both rows
+    assert got.loc[[3, 4], "norm4"].isna().all()
+
+
+def test_token_pmi_edges(ray_session):
+    """Within-doc repeats count once (distinct co-occurrence); pairs below
+    min_count drop; pmi4 matches the hand formula from exact counts."""
+    import math
+
+    import ray.data as rd
+
+    from etl_pipeline_rdf_star_ray.pipelines.corpus import token_pmi
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "cat dog cat dog",  # repeats: one co-occurrence
+                        "cat dog",
+                        "cat fish",
+                        "bird",
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+    )
+    got = token_pmi(docs, min_count=2).to_pandas()
+    assert len(got) == 1  # only (cat, dog) reaches min_count
+    row = got.iloc[0]
+    assert (row["tok_a"], row["tok_b"], row["n_ab"]) == ("cat", "dog", 2)
+    # N=4 docs, df_cat=3, df_dog=2 → pmi = ln(4·2 / (3·2))
+    want = math.floor((math.log(4 * 2 / (3 * 2)) + 1e-9) * 10000)
+    assert row["pmi4"] == want
