@@ -1,0 +1,227 @@
+"""Classic TPC-H composite pipelines (round 5): Q3 (shipping priority) and
+Q5 (local supplier volume) re-expressed over the repo's own planes — the
+point is COMPOSITION: semi/inner sharded hash joins, map-side revenue
+partials, broadcast dimension maps, and the local-top-k merge, chained the
+way a real reporting pipeline chains them.
+
+Revenue is EXACT int64 throughout: ``rev_c4 = Σ price_cents · (100 −
+discount_cents)`` (10⁻⁴-dollar units), so grouped sums are
+order-independent and hash-identical to the SQL oracle with no float
+laundering. Adapted to the driver schema: ``orders`` has no
+``o_shippriority`` so Q3 carries ``o_orderpriority``; dates are
+``timestamp[us]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..sources import read_parquet_clean
+from .analytics import _cents, _group_key_hash, _sum_partials
+
+
+def _rev_c4(batch: pa.Table) -> pa.Array:
+    """Exact per-row revenue in 10⁻⁴-dollar units:
+    ``price_cents · (100 − discount_cents)`` — int64, overflow-safe to
+    ~10¹⁴ rows per group."""
+    price_c = _cents(batch.column("l_extendedprice"))
+    disc_c = _cents(batch.column("l_discount"))
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> "rd.Dataset":
+    """TPC-H Q3: top-k unshipped orders of one market segment by revenue.
+
+    Plan (3 exchanges, every input pruned at the read):
+    1. lineitem (shipped AFTER cutoff) collapses map-side to per-block
+       ``(l_orderkey, rev_c4)`` partials, then ONE orderkey-hash exchange
+       sums them — the join below moves one row per qualifying order, not
+       one per lineitem.
+    2. orders (placed BEFORE cutoff) SEMI-joins the segment's customers on
+       the sharded join plane (the honest scale path — a segment is ~1/5
+       of a 100-TB customer table, far past any broadcast budget).
+    3. revenue ⋈ orders inner-join on orderkey, then the global top-k
+       rides the local-top-k + driver-merge pattern (no global sort):
+       deterministic total order (rev DESC, o_orderdate, o_orderkey)."""
+    from ..stages.join import hash_join_sharded
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cut,
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": _rev_c4(batch)}
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "o_orderkey": g.column("l_orderkey"),
+                "revenue_c4": g.column("rev_sum"),
+            }
+        )
+
+    revenue = _sum_partials(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        ["revenue_c4"],
+    )
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == segment,
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cut,
+    )
+    orders_seg = hash_join_sharded(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
+    ).drop_columns(["o_custkey"])
+
+    joined = hash_join_sharded(revenue, orders_seg, on="o_orderkey", how="inner")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_c4", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    survivors = joined.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = local_topk(survivors)[
+        ["o_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority"]
+    ]
+    return rd.from_arrow(
+        pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+        .replace_schema_metadata(None)
+    )
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> "rd.Dataset":
+    """TPC-H Q5: revenue per nation where the supplier and the ordering
+    customer share the nation, within one region and order-date year band.
+
+    Plan: nation ⋈ region resolve driver-side (fixed 25×5 rows);
+    orders (date band) ⋈ customer carries ``c_nationkey`` through one
+    sharded join; lineitem ⋈ that result on orderkey is the second big
+    join; the supplier dimension — the SMALLEST fact-scaled table —
+    broadcasts as a suppkey→nationkey int64 map (``ray.put`` once; above
+    the broadcast budget this swaps to a third ``hash_join_sharded`` on
+    ``l_suppkey``, same shape as the other two); the local-supplier
+    predicate ``s_nationkey == c_nationkey`` filters vectorized per batch
+    and per-block (nation, rev) partials ride one TINY final exchange
+    (≤ 25 rows per block)."""
+    from ..stages.join import hash_join_sharded
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    nation = read_parquet_clean(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = read_parquet_clean(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    sup = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nat_name)]
+    sup_map = ray.put(
+        dict(
+            zip(
+                sup["s_suppkey"].astype(np.int64),
+                sup["s_nationkey"].astype(np.int64),
+            )
+        )
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).drop_columns(["o_orderdate"])
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders_n = hash_join_sharded(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner"
+    ).drop_columns(["o_custkey"])
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev": _rev_c4(batch),
+            }
+        )
+
+    joined = hash_join_sharded(
+        li.map_batches(slim, batch_format="pyarrow"),
+        orders_n,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(sup_map)
+        sk = pd.Series(batch.column("l_suppkey").to_numpy(zero_copy_only=False))
+        s_nat = sk.map(m).to_numpy(dtype=np.float64, na_value=np.nan)
+        c_nat = (
+            batch.column("c_nationkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        keep = ~np.isnan(s_nat) & (s_nat == c_nat)
+        if not keep.any():
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_c4": pa.array([], pa.int64()),
+                }
+            )
+        names = pd.Series(s_nat[keep].astype(np.int64)).map(nat_name)
+        rev = batch.column("rev").to_numpy(zero_copy_only=False)[keep]
+        g = pd.DataFrame({"n_name": names.to_numpy(), "revenue_c4": rev}).groupby(
+            "n_name", sort=False
+        )["revenue_c4"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return _sum_partials(
+        joined.map_batches(nation_partial, batch_format="pyarrow"),
+        ["n_name"],
+        ["revenue_c4"],
+        num_shards=8,
+    )

@@ -3199,6 +3199,8 @@ def build_queries() -> dict:
         "doc_regex_tokens": q_doc_regex_tokens,
         "minmax_normalize": q_minmax_normalize,
         "token_pmi": q_token_pmi,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
     }
 
 
@@ -3316,6 +3318,8 @@ def build_oracles() -> dict[str, str]:
         "doc_regex_tokens": ORACLE_DOC_REGEX_TOKENS,
         "minmax_normalize": ORACLE_MINMAX_NORMALIZE,
         "token_pmi": ORACLE_TOKEN_PMI,
+        "q3_shipping_priority": ORACLE_Q3,
+        "q5_local_supplier_volume": ORACLE_Q5,
         "similarity_topk_lsh_indexed": _oracle_sim_topk_lsh(),
         "events_lead_family": ORACLE_EVENTS_LEAD_FAMILY,
         "hll_user_counts": ORACLE_HLL_USER_COUNTS,
@@ -3797,4 +3801,62 @@ FROM p
 JOIN m ma ON ma.tok = p.tok_a
 JOIN m mb ON mb.tok = p.tok_b
 CROSS JOIN n
+"""
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 composite: semi-join segment customers, map-side revenue
+    partials summed on one orderkey exchange, inner join, local-top-k
+    merge (pipelines/tpch.q3_shipping_priority). Beyond-window round-5
+    entry; pytest runs the driver-identical comparison."""
+    from .pipelines import tpch
+
+    return tpch.q3_shipping_priority(sf_dir)
+
+
+ORACLE_Q3 = """
+SELECT o.o_orderkey,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_c4,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue_c4 DESC, o.o_orderdate, o.o_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 composite: two sharded joins carry c_nationkey to the
+    lineitem rows, broadcast supplier map + vectorized local-supplier
+    predicate, tiny per-nation revenue exchange
+    (pipelines/tpch.q5_local_supplier_volume). Beyond-window round-5
+    entry; pytest runs the driver-identical comparison."""
+    from .pipelines import tpch
+
+    return tpch.q5_local_supplier_volume(sf_dir)
+
+
+ORACLE_Q5 = """
+SELECT n.n_name,
+  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+    AS revenue_c4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
 """

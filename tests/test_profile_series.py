@@ -191,3 +191,62 @@ def test_token_pmi_edges(ray_session):
     # N=4 docs, df_cat=3, df_dog=2 → pmi = ln(4·2 / (3·2))
     want = math.floor((math.log(4 * 2 / (3 * 2)) + 1e-9) * 10000)
     assert row["pmi4"] == want
+
+
+def test_tpch_q3_q5_oracles(ray_session):
+    assert (
+        oracle_run(SF, ["q3_shipping_priority", "q5_local_supplier_volume"])
+        == 0
+    )
+
+
+def test_q5_local_supplier_predicate(ray_session):
+    """Only rows where the SUPPLIER nation equals the CUSTOMER nation count
+    — and only inside the region; revenue is exact int64 1e-4 dollars."""
+    from etl_pipeline_rdf_star_ray.pipelines.tpch import (
+        q5_local_supplier_volume,
+    )
+
+    import numpy as np
+
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0, 1], pa.int64()),
+                  "r_name": ["ASIA", "EUROPE"]}),
+        os.path.join(d, "region.parquet"),
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([10, 20], pa.int64()),
+                  "n_name": ["JAPAN", "FRANCE"],
+                  "n_regionkey": pa.array([0, 1], pa.int64())}),
+        os.path.join(d, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                  "s_nationkey": pa.array([10, 20], pa.int64())}),
+        os.path.join(d, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([5, 6], pa.int64()),
+                  "c_nationkey": pa.array([10, 20], pa.int64())}),
+        os.path.join(d, "customer.parquet"),
+    )
+    ts = np.datetime64("1996-06-01", "us")
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([100, 101], pa.int64()),
+                  "o_custkey": pa.array([5, 6], pa.int64()),
+                  "o_orderdate": pa.array([ts, ts], pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"),
+    )
+    # l1: japan supplier + japan customer → counts (rev = 100c·(100−0))
+    # l2: japan supplier + FRANCE customer → local-supplier predicate fails
+    # l3: france supplier + france customer → EUROPE region, excluded
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([100, 101, 101], pa.int64()),
+                  "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+                  "l_extendedprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+                  "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64())}),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    got = q5_local_supplier_volume(d).to_pandas()
+    assert got.set_index("n_name")["revenue_c4"].to_dict() == {"JAPAN": 10000}
