@@ -1719,3 +1719,391 @@ def minmax_normalize(sf_dir: str) -> "rd.Dataset":
         )
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def active_users_sliding(
+    sf_dir: str, *, window_days: int = 7, num_shards: int = 64
+) -> "rd.Dataset":
+    """Trailing-window distinct active users (the WAU/MAU family): for
+    every day with at least one event, the number of DISTINCT users with
+    any event in the trailing ``window_days`` days (inclusive of the day
+    itself). Days are plain epoch arithmetic (``epoch_us // 86400e6``),
+    shared verbatim with the SQL oracle like :func:`cohort_retention`.
+
+    A sliding DISTINCT cannot be rolled up from per-day distinct counts
+    (users repeat across days), which is what makes it expensive at scale.
+    Scale shape: each batch first collapses MAP-SIDE to its distinct
+    ``(user_id, day)`` pairs (Arrow ``group_by``) so the ONE user-hash
+    exchange carries activity pairs, not events; each shard then expands
+    its pairs by the ``window_days`` trailing offsets (numpy repeat/tile,
+    no Python loop) and counts its users' distinct ``(window_day, user)``
+    pairs exactly — a user lives in exactly one shard, so per-day
+    distinct-user partials sum exactly; a tiny day-hash exchange totals
+    them. Offset-0 rows mark days with real activity; window days that no
+    event landed on are dropped at the combine, mirroring the oracle's
+    active-day domain.
+
+    Output: ``(day, n_users)`` for every active day."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import key_hash_column
+
+    DAY_US = np.int64(86_400_000_000)
+    W = int(window_days)
+    if W <= 0:
+        raise ValueError("window_days must be positive")
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("ts")),
+                pc.is_valid(batch.column("user_id")),
+            )
+        )
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pa.array(
+            ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US,
+            pa.int64(),
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(day_partial, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        n = len(g)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        offs = np.tile(np.arange(W, dtype=np.int64), n)
+        exp = pd.DataFrame(
+            {
+                "day": np.repeat(d, W) + offs,
+                "user_id": np.repeat(u, W),
+                "on_day": (offs == 0).astype(np.int64),
+            }
+        )
+        cells = (
+            exp.groupby(["day", "user_id"], sort=False)["on_day"]
+            .max()
+            .reset_index()
+        )
+        out = (
+            cells.groupby("day", sort=False)
+            .agg(n_users=("user_id", "size"), active=("on_day", "max"))
+            .reset_index()
+        )
+        return out.astype(
+            {"day": np.int64, "n_users": np.int64, "active": np.int64}
+        )
+
+    partials = sharded_groups(
+        pairs,
+        lambda b: key_hash_column(b.column("user_id")),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
+
+    def combine(s: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            s.groupby("day", sort=False)
+            .agg(n_users=("n_users", "sum"), active=("active", "max"))
+            .reset_index()
+        )
+        out = out[out["active"] == 1].drop(columns=["active"])
+        return out.astype({"day": np.int64, "n_users": np.int64})
+
+    return sharded_groups(
+        partials,
+        lambda b: _group_key_hash(b, ["day"]),
+        combine,
+        num_shards=num_shards,
+    )
+
+
+def user_diversity(sf_dir: str, *, num_shards: int = 64) -> "rd.Dataset":
+    """Per-user behavioral diversity: the Gini–Simpson index of each
+    user's event-type distribution, ``1 − Σ pᵢ²`` (0 = every event the
+    same type, →1 = evenly spread) — the corpus-quality analog of
+    per-document repetition, over users instead of documents.
+
+    Chosen over Shannon entropy deliberately: the index is computable
+    from EXACT integer aggregates (Σc, Σc²) with a single float divide
+    and subtract at the end — IEEE-correctly-rounded ops the SQL engine
+    performs identically, so the oracle comparison is bit-exact with no
+    flooring. Entropy would need per-term ``log2`` whose last-ulp
+    rounding differs across libm implementations.
+
+    Scale shape: per-batch Arrow collapse to ``(user, event_type)``
+    counts, ONE user-hash exchange; each shard finishes its users exactly
+    (a user lives in one shard). Output: ``(user_id, n_events, n_types,
+    simpson)``."""
+    from .dedup import sharded_groups
+    from ..functions.hashing import key_hash_column
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("user_id")),
+                pc.is_valid(batch.column("event_type")),
+            )
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        cn = c["n"].to_numpy(dtype=np.int64)
+        c["sq"] = cn * cn
+        out = (
+            c.groupby("user_id", sort=False)
+            .agg(
+                n_events=("n", "sum"),
+                n_types=("event_type", "size"),
+                ssq=("sq", "sum"),
+            )
+            .reset_index()
+        )
+        n = out["n_events"].to_numpy(dtype=np.int64)
+        ssq = out["ssq"].to_numpy(dtype=np.int64)
+        # the ONLY float ops, in the same order the SQL oracle performs
+        # them: 1.0 - (double(ssq) / double(n*n))
+        simpson = 1.0 - ssq.astype(np.float64) / (n * n).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(dtype=np.int64),
+                "n_events": n,
+                "n_types": out["n_types"].to_numpy(dtype=np.int64),
+                "simpson": simpson,
+            }
+        )
+
+    return sharded_groups(
+        counts,
+        lambda b: key_hash_column(b.column("user_id")),
+        per_shard,
+        num_shards=num_shards,
+        nullable_ints=True,
+    )
+
+
+def key_skew_profile(
+    sf_dir: str,
+    *,
+    table: str = "orders",
+    col: str = "o_custkey",
+    k: int = 20,
+    num_shards: int = 64,
+) -> pa.Table:
+    """Shuffle-planning skew audit: the top-``k`` hottest values of a key
+    column with exact counts and share-of-total in basis points — the
+    measurement you run BEFORE choosing a partitioning key or deciding
+    which keys to salt (`stages/join.py` hot-key salting needs exactly
+    this list). Integer shares (``n·10000 // total``) keep the oracle
+    comparison exact.
+
+    Scale shape: per-batch Arrow ``value_counts`` partials, ONE key-hash
+    exchange with a per-shard LOCAL top-k (a key lives in one shard, so
+    every global top-k key survives its shard's top-k); the driver merges
+    ≤ k·shards survivor rows plus per-shard totals — never the key
+    domain. Ties break deterministically by (count desc, key asc) on both
+    sides."""
+    from .dedup import sharded_groups
+
+    ds = read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=[col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(col).drop_null())
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table(
+            {
+                col: vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def shard_topk(s: pd.DataFrame) -> pd.DataFrame:
+        g = s.groupby(col, sort=False)["n"].sum().reset_index()
+        shard_total = np.int64(g["n"].sum())
+        top = g.sort_values(
+            ["n", col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        top = top.astype({col: np.int64, "n": np.int64})
+        # carry the shard's total on its FIRST survivor row only (0 on the
+        # rest): two shards may legitimately share the same total value, so
+        # a distinct-totals sum driver-side would under-count
+        totals = np.zeros(len(top), dtype=np.int64)
+        if len(totals):
+            totals[0] = shard_total
+        top["shard_total"] = totals
+        return top
+
+    survivors = sharded_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, [col]),
+        shard_topk,
+        num_shards=num_shards,
+    ).to_pandas()
+
+    # each shard put its total on exactly one survivor row (0 elsewhere),
+    # so the global total is a plain sum; empty shards contribute 0
+    total = np.int64(survivors["shard_total"].sum())
+    top = survivors.sort_values(
+        ["n", col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    n = top["n"].to_numpy(dtype=np.int64)
+    share_bp = n * 10000 // max(total, 1)
+    return pa.table(
+        {
+            col: pa.array(top[col].to_numpy(dtype=np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "share_bp": pa.array(share_bp, pa.int64()),
+        }
+    )
+
+
+def ohlc_bars(sf_dir: str, *, num_shards: int = 64) -> "rd.Dataset":
+    """Time-series downsampling bars: per ``(event_type, hour)``, the
+    open / high / low / close of ``value`` (exact int64 cents) plus the
+    event count — the classic OHLC resample every metrics store performs,
+    and the repo's demonstration of an ORDER-SENSITIVE mergeable partial
+    (first/last need their (ts, event_id) order keys carried through the
+    merge, unlike plain min/max/sum).
+
+    Scale shape: each block collapses to one partial row per (type, hour)
+    it contains — open/close WITH their order keys, lo/hi/n — so the ONE
+    group-hash exchange carries O(groups × blocks) partial rows, never
+    events; per-shard combine re-applies the same first/last-by-key merge
+    (associative because (ts, event_id) is a total order). NULL ts/value
+    rows drop like the SQL oracle's WHERE.
+
+    Output: ``(event_type, hour, open_c, high_c, low_c, close_c, n)``."""
+    from .dedup import sharded_groups
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value", "event_id"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(
+                pc.and_(
+                    pc.is_valid(batch.column("ts")),
+                    pc.is_valid(batch.column("value")),
+                ),
+                pc.is_valid(batch.column("event_type")),
+            )
+        )
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "hour": ts_us - ts_us % 3_600_000_000,
+                "c": _cents(batch.column("value")).to_numpy(
+                    zero_copy_only=False
+                ),
+                "o_ts": ts_us,
+                "o_id": batch.column("event_id").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        df = df.sort_values(
+            ["event_type", "hour", "o_ts", "o_id"], kind="mergesort"
+        )
+        gb = df.groupby(["event_type", "hour"], sort=False)
+        first = gb.head(1).rename(
+            columns={"c": "open_c", "o_ts": "open_ts", "o_id": "open_id"}
+        )
+        last = gb.tail(1).rename(
+            columns={"c": "close_c", "o_ts": "close_ts", "o_id": "close_id"}
+        )
+        stats = gb["c"].agg(["min", "max", "size"]).reset_index()
+        stats.columns = ["event_type", "hour", "low_c", "high_c", "n"]
+        out = stats.merge(first, on=["event_type", "hour"]).merge(
+            last, on=["event_type", "hour"]
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        fa = g.sort_values(
+            ["event_type", "hour", "open_ts", "open_id"], kind="mergesort"
+        )
+        first = (
+            fa.groupby(["event_type", "hour"], sort=False)
+            .head(1)[["event_type", "hour", "open_c"]]
+        )
+        la = g.sort_values(
+            ["event_type", "hour", "close_ts", "close_id"], kind="mergesort"
+        )
+        last = (
+            la.groupby(["event_type", "hour"], sort=False)
+            .tail(1)[["event_type", "hour", "close_c"]]
+        )
+        stats = (
+            g.groupby(["event_type", "hour"], sort=False)
+            .agg(low_c=("low_c", "min"), high_c=("high_c", "max"), n=("n", "sum"))
+            .reset_index()
+        )
+        out = stats.merge(first, on=["event_type", "hour"]).merge(
+            last, on=["event_type", "hour"]
+        )
+        out = out[
+            ["event_type", "hour", "open_c", "high_c", "low_c", "close_c", "n"]
+        ]
+        return out.astype(
+            {
+                "hour": np.int64,
+                "open_c": np.int64,
+                "high_c": np.int64,
+                "low_c": np.int64,
+                "close_c": np.int64,
+                "n": np.int64,
+            }
+        )
+
+    def cast_hour(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("hour")
+        return batch.set_column(
+            i, "hour", pc.cast(batch.column("hour"), pa.timestamp("us"))
+        )
+
+    return sharded_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["event_type", "hour"]),
+        per_shard,
+        num_shards=num_shards,
+    ).map_batches(cast_hour, batch_format="pyarrow")

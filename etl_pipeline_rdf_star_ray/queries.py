@@ -2988,6 +2988,106 @@ FROM state GROUP BY conv_id
 """
 
 
+def q_wau_sliding(sf_dir: str):
+    """Trailing 7-day distinct active users per active day
+    (analytics.active_users_sliding) — the sliding-DISTINCT window no
+    per-day rollup can produce. Beyond-window round-5 entry; pytest runs
+    the driver-identical comparison."""
+    return analytics.active_users_sliding(sf_dir, window_days=7)
+
+
+ORACLE_WAU_SLIDING = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day AS day, count(DISTINCT u.user_id)::BIGINT AS n_users
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+def q_user_diversity(sf_dir: str):
+    """Per-user Gini–Simpson event-type diversity
+    (analytics.user_diversity): 1 − Σpᵢ² from exact integer aggregates so
+    the single float divide is bit-identical to SQL. Beyond-window
+    round-5 entry; pytest runs the driver-identical comparison."""
+    return analytics.user_diversity(sf_dir)
+
+
+ORACLE_USER_DIVERSITY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       count(*)::BIGINT AS n_types,
+       1.0 - CAST(sum(n * n) AS DOUBLE)
+           / CAST(CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) AS DOUBLE)
+         AS simpson
+FROM c GROUP BY user_id
+"""
+
+
+def q_key_skew_orders(sf_dir: str):
+    """Shuffle-planning skew audit (analytics.key_skew_profile): the 20
+    hottest ``o_custkey`` values with exact counts and integer
+    basis-point share of the table — the pre-shuffle measurement the
+    join plane's hot-key salting consumes. Beyond-window round-5 entry;
+    pytest runs the driver-identical comparison."""
+    return analytics.key_skew_profile(
+        sf_dir, table="orders", col="o_custkey", k=20
+    )
+
+
+ORACLE_KEY_SKEW_ORDERS = """
+WITH c AS (
+  SELECT o_custkey, count(*)::BIGINT AS n
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT o_custkey, n,
+       CAST((n * 10000) // t.total AS BIGINT) AS share_bp
+FROM c, t
+ORDER BY n DESC, o_custkey
+LIMIT 20
+"""
+
+
+def q_ohlc_bars(sf_dir: str):
+    """Hourly OHLC downsampling bars per event type (analytics.ohlc_bars):
+    open/close carry their (ts, event_id) order keys through the merge —
+    the order-sensitive mergeable partial plain min/max/sum cannot
+    express. Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    return analytics.ohlc_bars(sf_dir)
+
+
+ORACLE_OHLC_BARS = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b)
+SELECT event_type, hour,
+       max(CASE WHEN ra = 1 THEN c END) AS open_c,
+       max(c) AS high_c, min(c) AS low_c,
+       max(CASE WHEN rd = 1 THEN c END) AS close_c,
+       count(*)::BIGINT AS n
+FROM w GROUP BY 1, 2
+"""
+
+
 #: BM25 query terms — shared by the Ray query and the SQL oracle so the
 #: two sides cannot drift
 _BM25_TERMS = ("customer", "hash", "spark", "vector")
@@ -3204,6 +3304,10 @@ def build_queries() -> dict:
         "sft_messages": q_sft_messages,
         "conv_split": q_conv_split,
         "doc_stratified_split": q_doc_stratified_split,
+        "wau_sliding": q_wau_sliding,
+        "user_diversity": q_user_diversity,
+        "key_skew_orders": q_key_skew_orders,
+        "ohlc_bars": q_ohlc_bars,
     }
 
 
@@ -3315,6 +3419,10 @@ def build_oracles() -> dict[str, str]:
         "sft_messages": ORACLE_SFT_MESSAGES,
         "conv_split": _oracle_conv_split(),
         "doc_stratified_split": ORACLE_DOC_STRATIFIED_SPLIT,
+        "wau_sliding": ORACLE_WAU_SLIDING,
+        "user_diversity": ORACLE_USER_DIVERSITY,
+        "key_skew_orders": ORACLE_KEY_SKEW_ORDERS,
+        "ohlc_bars": ORACLE_OHLC_BARS,
         "table_profile": ORACLE_TABLE_PROFILE,
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,

@@ -621,3 +621,195 @@ def test_sketch_band_collapse_driver_rows(ray_session):
     the bound proof. (Adversarial zipf pressure on the sketches themselves
     lives in test_heavy_hitters.py / test_cms.py.)"""
     assert oracle_run(SF, ["heavy_users", "cms_event_counts"]) == 0
+
+
+def test_wau_diversity_skew_driver_rows(ray_session):
+    """Driver-identical comparison for the three round-5 beyond-window
+    additions: sliding distinct actives, Gini–Simpson user diversity and
+    the key-skew audit."""
+    assert (
+        oracle_run(SF, ["wau_sliding", "user_diversity", "key_skew_orders"])
+        == 0
+    )
+
+
+def test_wau_sliding_randomized_parity(ray_session):
+    """Randomized multi-seed parity vs DuckDB for the sliding-DISTINCT
+    window: users active on many days (dedup inside the window), sparse
+    day gaps wider than the window, null user/ts rows, and a non-default
+    window width."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        active_users_sliding,
+    )
+
+    DAY = 86_400_000_000
+    for seed in (5, 23, 77):
+        rng = np.random.default_rng(seed)
+        n = 400
+        days = rng.choice(
+            np.concatenate([np.arange(10), np.arange(40, 50), [200]]), n
+        ).astype(np.int64)
+        ts = days * DAY + rng.integers(0, DAY, n)
+        user = rng.integers(0, 30, n).astype(np.int64)
+        ts_mask = rng.random(n) < 0.05
+        user_mask = rng.random(n) < 0.05
+        t = pa.table(
+            {
+                "user_id": pa.array(user, pa.int64(), mask=user_mask),
+                "ts": pa.array(ts, pa.timestamp("us"), mask=ts_mask),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(np.arange(n), pa.int64()),
+                        "ts": t.column("ts"),
+                        "user_id": t.column("user_id"),
+                        "event_type": pa.array(["view"] * n),
+                        "value": pa.array(np.zeros(n)),
+                        "props": pa.array(["{}"] * n),
+                    }
+                ),
+                os.path.join(d, "events.parquet"),
+            )
+            got = (
+                active_users_sliding(d, window_days=3, num_shards=4)
+                .to_pandas()
+                .sort_values("day")
+                .reset_index(drop=True)
+            )
+            con = duckdb.connect()
+            want = con.sql(
+                f"""
+                WITH ud AS (
+                  SELECT DISTINCT user_id,
+                         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                  FROM '{d}/events.parquet'
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+                days AS (SELECT DISTINCT day FROM ud)
+                SELECT d.day AS day,
+                       count(DISTINCT u.user_id)::BIGINT AS n_users
+                FROM days d JOIN ud u ON u.day BETWEEN d.day - 2 AND d.day
+                GROUP BY d.day ORDER BY d.day
+                """
+            ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_key_skew_profile_tie_break_and_total():
+    """The top-k boundary under heavy count ties must select by
+    (count desc, key asc) on both sides, and the share denominator must be
+    the WHOLE table (incl. keys outside the top-k and shards whose totals
+    collide)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        key_skew_profile,
+    )
+
+    # 40 keys each appearing twice (tie wall), one hot key appearing 20×
+    keys = np.concatenate(
+        [np.repeat(np.arange(100, 140, dtype=np.int64), 2),
+         np.full(20, 7, dtype=np.int64)]
+    )
+    t = pa.table({"o_custkey": pa.array(keys, pa.int64())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "orders.parquet"))
+        got = key_skew_profile(
+            d, table="orders", col="o_custkey", k=5, num_shards=4
+        ).to_pandas()
+    # hot key first; then the 4 smallest keys of the tie wall
+    assert got["o_custkey"].tolist() == [7, 100, 101, 102, 103]
+    assert got["n"].tolist() == [20, 2, 2, 2, 2]
+    # total = 100 rows → shares 2000bp and 200bp exactly
+    assert got["share_bp"].tolist() == [2000, 200, 200, 200, 200]
+
+
+def test_ohlc_bars_driver_row(ray_session):
+    """Driver-identical comparison for the OHLC downsampling bars."""
+    assert oracle_run(SF, ["ohlc_bars"]) == 0
+
+
+def test_ohlc_bars_randomized_cross_block_parity(ray_session):
+    """The order-sensitive open/close merge must survive blocks split mid-
+    hour: tiny row groups force multiple Ray blocks, so per-(type, hour)
+    partials from different blocks genuinely merge; heavy ts ties resolve
+    by event_id on both sides; null ts/value rows drop."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import ohlc_bars
+
+    HOUR = 3_600_000_000
+    for seed in (11, 42):
+        rng = np.random.default_rng(seed)
+        n = 500
+        # few hours + coarse ts grid → many exact ts ties within an hour
+        ts = (
+            rng.integers(0, 5, n) * HOUR
+            + rng.integers(0, 4, n) * (HOUR // 4)
+        ).astype(np.int64)
+        ts_mask = rng.random(n) < 0.04
+        val_mask = rng.random(n) < 0.04
+        vals = np.round(rng.uniform(-50, 50, n), 2)
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us"), mask=ts_mask),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "event_type": pa.array(
+                    rng.choice(["view", "click"], n)
+                ),
+                "value": pa.array(vals, pa.float64(), mask=val_mask),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                t, os.path.join(d, "events.parquet"), row_group_size=40
+            )
+            got = (
+                ohlc_bars(d, num_shards=4)
+                .to_pandas()
+                .sort_values(["event_type", "hour"])
+                .reset_index(drop=True)
+            )
+            con = duckdb.connect()
+            want = con.sql(
+                f"""
+                WITH b AS (
+                  SELECT event_type, date_trunc('hour', ts) AS hour,
+                         CAST(round(value * 100) AS BIGINT) AS c,
+                         ts, event_id
+                  FROM '{d}/events.parquet'
+                  WHERE ts IS NOT NULL AND value IS NOT NULL),
+                w AS (
+                  SELECT *,
+                         row_number() OVER (PARTITION BY event_type, hour
+                                            ORDER BY ts, event_id) AS ra,
+                         row_number() OVER (PARTITION BY event_type, hour
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rd
+                  FROM b)
+                SELECT event_type, hour,
+                       max(CASE WHEN ra = 1 THEN c END) AS open_c,
+                       max(c) AS high_c, min(c) AS low_c,
+                       max(CASE WHEN rd = 1 THEN c END) AS close_c,
+                       count(*)::BIGINT AS n
+                FROM w GROUP BY 1, 2 ORDER BY 1, 2
+                """
+            ).df()
+        got["hour"] = pd.to_datetime(got["hour"])
+        want["hour"] = pd.to_datetime(want["hour"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
