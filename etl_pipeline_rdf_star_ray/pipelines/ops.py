@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -185,6 +186,71 @@ def value_history(changelog: "rd.Dataset", *, num_partitions: int = 64) -> "rd.D
 
     partitioned = changelog.map_batches(
         # whole-block batches: one pid-sorted run per block (exchange-ready)
+        stage, batch_format="pyarrow", batch_size=None
+    )
+    return exchange_apply(
+        partitioned, lambda t: per_partition(t.to_pandas()), presorted=True
+    )
+
+
+def scd2_intervals(
+    changelog: "rd.Dataset", *, num_partitions: int = 64
+) -> "rd.Dataset":
+    """Slowly-changing-dimension Type-2 build over the change log: every
+    live (non-delete) version of a key becomes one row with its validity
+    interval ``[from_lsn, to_lsn)`` — ``to_lsn`` is the NEXT event on the
+    key (an update supersedes, a delete closes), NULL while the version is
+    still current. The classic warehouse dimension-history table, derived
+    in one pass from the same CDC stream the lake ingests.
+
+    Rides the block exchange exactly like :func:`value_history`: the fused
+    partition stage pid-sorts each block, driver routes slices, one task
+    per partition runs a vectorized shift-compare — the ``lead()`` needs
+    only key-colocated order, which the conv-hash partition plane already
+    provides. ``to_lsn`` is nullable int64; lsn values are event ids (far
+    below 2^53), so the Arrow null-int64 → pandas float comparison path
+    the harness uses is exact."""
+    from ..stages.exchange import exchange_apply
+    from ..stages.partition import make_partition_stage
+
+    stage = make_partition_stage(
+        num_partitions=num_partitions,
+        salt_buckets=1,
+        hot_convs=frozenset(),
+        sort_output=True,
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "lsn"], kind="mergesort")
+        lsn = g["lsn"].to_numpy(dtype=np.int64)
+        conv = g["conv_id"].to_numpy()
+        turn = g["turn_idx"].to_numpy(dtype=np.int64)
+        n = len(g)
+        same_next = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_next[:-1] = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        nxt = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            nxt[:-1] = lsn[1:]
+        live = (g["op"] != "delete").to_numpy()
+        out = pd.DataFrame(
+            {
+                "conv_id": conv[live],
+                "turn_idx": turn[live],
+                "text": g["text"].to_numpy()[live],
+                "from_lsn": lsn[live],
+                # mask=True marks missing: open intervals have no next event
+                "to_lsn": pd.arrays.IntegerArray(
+                    nxt[live], mask=~same_next[live]
+                ),
+                "is_current": ~same_next[live],
+            }
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partitioned = changelog.map_batches(
         stage, batch_format="pyarrow", batch_size=None
     )
     return exchange_apply(

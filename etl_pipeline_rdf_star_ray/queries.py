@@ -3056,6 +3056,34 @@ LIMIT 20
 """
 
 
+def q_scd2_intervals(sf_dir: str):
+    """SCD Type-2 dimension history from the CDC stream
+    (ops.scd2_intervals): every live version with its [from_lsn, to_lsn)
+    validity interval, NULL to_lsn while current — lead() over
+    key-colocated partitions, no extra shuffle beyond the ingest plane's.
+    Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    from .pipelines import ops
+
+    return ops.scd2_intervals(
+        changelog_from_events(sf_dir), num_partitions=16
+    )
+
+
+ORACLE_SCD2_INTERVALS = (
+    f"WITH {CHANGELOG_CTE.strip()}, "
+    """v AS (
+  SELECT conv_id, turn_idx, text, op, lsn,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx
+                         ORDER BY lsn) AS to_lsn
+  FROM changelog)
+SELECT conv_id, turn_idx, text, lsn AS from_lsn, to_lsn,
+       (to_lsn IS NULL) AS is_current
+FROM v WHERE op <> 'delete'
+"""
+)
+
+
 def q_ohlc_bars(sf_dir: str):
     """Hourly OHLC downsampling bars per event type (analytics.ohlc_bars):
     open/close carry their (ts, event_id) order keys through the merge —
@@ -3308,6 +3336,7 @@ def build_queries() -> dict:
         "user_diversity": q_user_diversity,
         "key_skew_orders": q_key_skew_orders,
         "ohlc_bars": q_ohlc_bars,
+        "scd2_intervals": q_scd2_intervals,
     }
 
 
@@ -3423,6 +3452,7 @@ def build_oracles() -> dict[str, str]:
         "user_diversity": ORACLE_USER_DIVERSITY,
         "key_skew_orders": ORACLE_KEY_SKEW_ORDERS,
         "ohlc_bars": ORACLE_OHLC_BARS,
+        "scd2_intervals": ORACLE_SCD2_INTERVALS,
         "table_profile": ORACLE_TABLE_PROFILE,
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,

@@ -758,3 +758,51 @@ def test_retention_vacuum_after_ingest_at_same_watermark(tmp_path):
     r_a = lakeops.retention(lake, 5, batch_id="vac-x")
     r_b = lakeops.retention(lake, 5, batch_id="vac-x")
     assert r_b["rows_dropped"] == 0
+
+
+def test_scd2_intervals_hand_changelog(ray_session):
+    """SCD2 semantics on a hand log: updates supersede (half-open chain),
+    a delete CLOSES the last interval without emitting a row, a re-insert
+    after the delete opens a NEW current version, and a single-version key
+    stays current."""
+    from etl_pipeline_rdf_star_ray.pipelines.ops import scd2_intervals
+
+    t = pa.table(
+        {
+            "op": pa.array(
+                ["insert", "update", "delete", "insert", "insert"]
+            ),
+            "lsn": pa.array([1, 5, 9, 12, 3], pa.int64()),
+            "conv_id": pa.array(["c1", "c1", "c1", "c1", "c2"]),
+            "turn_idx": pa.array([0, 0, 0, 0, 7], pa.int32()),
+            "role": pa.array(["user"] * 5),
+            "text": pa.array(["v1", "v2", None, "v3", "solo"]),
+            "tool": pa.array([None] * 5, pa.string()),
+            "ts": pa.array([0] * 5, pa.timestamp("us")),
+        }
+    )
+    got = (
+        scd2_intervals(rd.from_arrow(t), num_partitions=4)
+        .to_pandas()
+        .sort_values(["conv_id", "from_lsn"])
+        .reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == ["c1", "c1", "c1", "c2"]
+    assert got["from_lsn"].tolist() == [1, 5, 12, 3]
+    # v1 superseded at 5; v2 closed by the DELETE at 9; v3 and solo open
+    to = got["to_lsn"].tolist()
+    assert to[0] == 5 and to[1] == 9
+    assert pd.isna(to[2]) and pd.isna(to[3])
+    assert got["is_current"].tolist() == [False, False, True, True]
+    assert got["text"].tolist() == ["v1", "v2", "v3", "solo"]
+
+
+def test_scd2_intervals_driver_row(ray_session):
+    """Driver-identical comparison for the SCD2 build (beyond-window
+    round-5 entry)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_harness import run as oracle_run
+
+    assert oracle_run("/root/testdata/sf0.001", ["scd2_intervals"]) == 0
