@@ -225,3 +225,178 @@ def q5_local_supplier_volume(
         ["revenue_c4"],
         num_shards=8,
     )
+
+
+def q10_returned_item_revenue(
+    sf_dir: str,
+    *,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> "rd.Dataset":
+    """TPC-H Q10: the top-k customers by revenue lost to returned items
+    (``l_returnflag = 'R'``) for orders placed in one quarter, with their
+    nation — the classic churn-investigation composite.
+
+    Plan (2 exchanges): lineitem (returned only) collapses map-side to
+    per-block ``(l_orderkey, rev)`` partials; those join the quarter's
+    orders on the sharded plane carrying only ``o_custkey``; per-custkey
+    totals finish in a custkey-hash exchange whose per-shard LOCAL top-k
+    (a customer lives in one shard) leaves ≤ k·shards survivor rows for
+    the driver merge. Only the k winning keys ever touch the customer
+    dimension (predicate-pushdown point read), and nation is a 25-row
+    driver-side map — no dimension broadcast, no global sort."""
+    from ..stages.join import hash_join_sharded
+    from .dedup import sharded_groups
+
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag",
+        ],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": _rev_c4(batch)}
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).drop_columns(["o_orderdate"])
+
+    joined = hash_join_sharded(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "revenue_c4": batch.column("rev"),
+            }
+        )
+        g = t.group_by(["o_custkey"]).aggregate([("revenue_c4", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_c4"])
+
+    def shard_topk(s: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            s.groupby("o_custkey", sort=False)["revenue_c4"]
+            .sum()
+            .reset_index()
+        )
+        return g.sort_values(
+            ["revenue_c4", "o_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k).astype({"o_custkey": np.int64, "revenue_c4": np.int64})
+
+    survivors = sharded_groups(
+        joined.map_batches(cust_partial, batch_format="pyarrow"),
+        lambda b: _group_key_hash(b, ["o_custkey"]),
+        shard_topk,
+    ).to_pandas()
+    top = survivors.sort_values(
+        ["revenue_c4", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+    keys = top["o_custkey"].astype(np.int64).tolist()
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).to_pandas()
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = top.merge(
+        cust, left_on="o_custkey", right_on="c_custkey", how="left"
+    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="left")
+    out["c_custkey"] = out["o_custkey"].astype(np.int64)
+    out["acctbal_c"] = (
+        (out["c_acctbal"] * 100.0).round().astype(np.int64)
+    )
+    out = out[["c_custkey", "c_name", "revenue_c4", "acctbal_c", "n_name"]]
+    return rd.from_arrow(
+        pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+        .replace_schema_metadata(None)
+    )
+
+
+def q14_promo_revenue(
+    sf_dir: str,
+    *,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> pa.Table:
+    """TPC-H Q14: the share of revenue shipped in a window that came from
+    promotional parts — the fact⋈dimension + conditional-aggregate
+    composite, reduced to ONE row.
+
+    The share is EXACT integer basis points (``promo·10000 // total``) so
+    the oracle comparison needs no float convention at all. The promo
+    part-key set broadcasts once via ``ray.put`` (sorted int64 array,
+    ``searchsorted`` membership per batch); at 100-TB scale, where part is
+    fact-scaled past any broadcast budget, the honest swap is a sharded
+    join on ``l_partkey`` — the same documented budget trade as Q5's
+    supplier map. Every block contributes two scalars; the driver folds
+    O(blocks) rows."""
+    lo = pa.scalar(np.datetime64(date_lo, "us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us"))
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"],
+        filter=pc.field("p_type") == "PROMO",
+    ).to_pandas()
+    promo_ref = ray.put(
+        np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo_keys = ray.get(promo_ref)
+        rev = _rev_c4(batch).to_numpy(zero_copy_only=False)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(promo_keys, pk)
+        i[i == len(promo_keys)] = 0 if len(promo_keys) else 0
+        is_promo = (
+            promo_keys[i] == pk if len(promo_keys) else np.zeros(len(pk), bool)
+        )
+        return pa.table(
+            {
+                "promo_rev_c4": pa.array(
+                    [np.int64(rev[is_promo].sum())], pa.int64()
+                ),
+                "total_rev_c4": pa.array([np.int64(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo = np.int64(parts["promo_rev_c4"].sum())
+    total = np.int64(parts["total_rev_c4"].sum())
+    return pa.table(
+        {
+            "promo_bp": pa.array(
+                [promo * 10000 // max(total, 1)], pa.int64()
+            ),
+            "promo_rev_c4": pa.array([promo], pa.int64()),
+            "total_rev_c4": pa.array([total], pa.int64()),
+        }
+    )

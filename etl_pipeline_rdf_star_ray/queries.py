@@ -3337,6 +3337,8 @@ def build_queries() -> dict:
         "key_skew_orders": q_key_skew_orders,
         "ohlc_bars": q_ohlc_bars,
         "scd2_intervals": q_scd2_intervals,
+        "q10_returned_items": q10_returned_item_revenue,
+        "q14_promo_share": q14_promo_revenue,
     }
 
 
@@ -3453,6 +3455,8 @@ def build_oracles() -> dict[str, str]:
         "key_skew_orders": ORACLE_KEY_SKEW_ORDERS,
         "ohlc_bars": ORACLE_OHLC_BARS,
         "scd2_intervals": ORACLE_SCD2_INTERVALS,
+        "q10_returned_items": ORACLE_Q10,
+        "q14_promo_share": ORACLE_Q14,
         "table_profile": ORACLE_TABLE_PROFILE,
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,
@@ -4000,4 +4004,68 @@ WHERE c.c_nationkey = s.s_nationkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
+"""
+
+
+def q10_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 composite: returned-lineitem revenue partials join the
+    quarter's orders, per-customer totals finish in a custkey exchange
+    with local top-k, dimensions point-read for only the k winners
+    (pipelines/tpch.q10_returned_item_revenue). Beyond-window round-5
+    entry; pytest runs the driver-identical comparison."""
+    from .pipelines import tpch
+
+    return tpch.q10_returned_item_revenue(sf_dir)
+
+
+ORACLE_Q10 = """
+WITH rev AS (
+  SELECT l_orderkey,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS r
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'),
+c AS (
+  SELECT o.o_custkey, CAST(sum(rev.r) AS BIGINT) AS revenue_c4
+  FROM rev JOIN o ON rev.l_orderkey = o.o_orderkey GROUP BY 1)
+SELECT c.o_custkey AS c_custkey, cust.c_name, c.revenue_c4,
+       CAST(round(cust.c_acctbal * 100) AS BIGINT) AS acctbal_c, n.n_name
+FROM c
+JOIN customer cust ON cust.c_custkey = c.o_custkey
+JOIN nation n ON n.n_nationkey = cust.c_nationkey
+ORDER BY c.revenue_c4 DESC, c.o_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 composite: promo-part revenue share of one ship window as
+    EXACT integer basis points — broadcast promo keyset + two scalars per
+    block (pipelines/tpch.q14_promo_revenue). Beyond-window round-5
+    entry; pytest runs the driver-identical comparison."""
+    from .pipelines import tpch
+
+    return tpch.q14_promo_revenue(sf_dir)
+
+
+ORACLE_Q14 = """
+WITH l AS (
+  SELECT l_partkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'),
+j AS (
+  SELECT r, (p_type = 'PROMO') AS promo
+  FROM l JOIN part ON p_partkey = l_partkey)
+SELECT
+  CAST(CAST(sum(CASE WHEN promo THEN r ELSE 0 END) AS BIGINT) * 10000
+       // CAST(sum(r) AS BIGINT) AS BIGINT) AS promo_bp,
+  CAST(sum(CASE WHEN promo THEN r ELSE 0 END) AS BIGINT) AS promo_rev_c4,
+  CAST(sum(r) AS BIGINT) AS total_rev_c4
+FROM j
 """

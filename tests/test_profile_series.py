@@ -250,3 +250,45 @@ def test_q5_local_supplier_predicate(ray_session):
     )
     got = q5_local_supplier_volume(d).to_pandas()
     assert got.set_index("n_name")["revenue_c4"].to_dict() == {"JAPAN": 10000}
+
+
+def test_tpch_q10_q14_oracles(ray_session):
+    """Driver-identical comparison for the round-5 Q10 (returned-item
+    customer revenue) and Q14 (promo revenue share) composites."""
+    assert oracle_run(SF, ["q10_returned_items", "q14_promo_share"]) == 0
+
+
+def test_q14_promo_share_hand_values(ray_session, tmp_path):
+    """The basis-point share must be promo·10000 // total over EXACT cents
+    revenue, counting only lineitems inside the ship window and only parts
+    typed PROMO."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.tpch import q14_promo_revenue
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_type": pa.array(["PROMO", "STANDARD", "PROMO"]),
+        }
+    )
+    D = np.datetime64("1996-02-01", "us")
+    OUT = np.datetime64("1999-01-01", "us")
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 3, 1], pa.int64()),
+            # rev_c4 per row: price_c · (100 − disc_c)
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+            "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+            "l_shipdate": pa.array([D, D, D, OUT], pa.timestamp("us")),
+        }
+    )
+    pq_.write_table(part, str(tmp_path / "part.parquet"))
+    pq_.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = q14_promo_revenue(str(tmp_path)).to_pandas()
+    # in-window rows: part1 1000·100=100000 (promo), part2 2000·50=100000,
+    # part3 3000·100=300000 (promo); the OUT row is excluded
+    assert got["total_rev_c4"].tolist() == [500000]
+    assert got["promo_rev_c4"].tolist() == [400000]
+    assert got["promo_bp"].tolist() == [8000]
