@@ -2107,3 +2107,75 @@ def ohlc_bars(sf_dir: str, *, num_shards: int = 64) -> "rd.Dataset":
         per_shard,
         num_shards=num_shards,
     ).map_batches(cast_hour, batch_format="pyarrow")
+
+
+def winsorize(
+    sf_dir: str, *, q_lo: float = 0.1, q_hi: float = 0.9
+) -> "rd.Dataset":
+    """Per-group percentile clamping (winsorization): every value is
+    clamped into its event type's ``[p(q_lo), p(q_hi)]`` band — the
+    standard tail-taming transform before feature scaling or training,
+    robust where min-max normalization (:func:`minmax_normalize`) lets a
+    single outlier set the range.
+
+    The band edges come from the SAME summed-histogram plane as
+    :func:`grouped_quantiles` (``quantile_disc`` rank convention, exact
+    int64 cents — data rows never shuffle to compute them); the per-group
+    ``(lo, hi)`` table is tiny and broadcast once via ``ray.put``, and the
+    clamp itself is one vectorized pass per batch. Rows with NULL value or
+    type drop like the SQL oracle's join/WHERE. Output: ``(event_id,
+    event_type, value_c, wins_c)`` — all exact int64, no float anywhere."""
+
+    def stat(vals, cnt, cum, n):
+        out = []
+        for q in (q_lo, q_hi):
+            rank = max(1, int(np.ceil(q * n)))
+            out.append(int(vals[np.searchsorted(cum, rank)]))
+        return out
+
+    bands = _hist_group_stats(sf_dir, ["lo_c", "hi_c"], stat).to_pandas()
+    band_ref = ray.put(
+        {
+            et: (np.int64(lo), np.int64(hi))
+            for et, lo, hi in zip(
+                bands["event_type"], bands["lo_c"], bands["hi_c"]
+            )
+        }
+    )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        lut = ray.get(band_ref)
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("value")),
+                pc.is_valid(batch.column("event_type")),
+            )
+        )
+        # dictionary-encode the type column once, gather band edges by code
+        # (no per-row Python): the type domain is tiny, the batch is not
+        codes_arr = pc.dictionary_encode(
+            batch.column("event_type").combine_chunks()
+        )
+        uniq = codes_arr.dictionary.to_pylist()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        lo_by_code = np.array([lut[t][0] for t in uniq], dtype=np.int64)
+        hi_by_code = np.array([lut[t][1] for t in uniq], dtype=np.int64)
+        lo = lo_by_code[codes]
+        hi = hi_by_code[codes]
+        c = _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        wins = np.minimum(np.maximum(c, lo), hi)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "value_c": pa.array(c, pa.int64()),
+                "wins_c": pa.array(wins, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

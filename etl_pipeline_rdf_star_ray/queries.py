@@ -3339,6 +3339,7 @@ def build_queries() -> dict:
         "scd2_intervals": q_scd2_intervals,
         "q10_returned_items": q10_returned_item_revenue,
         "q14_promo_share": q14_promo_revenue,
+        "winsorize_values": q_winsorize_values,
     }
 
 
@@ -3457,6 +3458,7 @@ def build_oracles() -> dict[str, str]:
         "scd2_intervals": ORACLE_SCD2_INTERVALS,
         "q10_returned_items": ORACLE_Q10,
         "q14_promo_share": ORACLE_Q14,
+        "winsorize_values": ORACLE_WINSORIZE_VALUES,
         "table_profile": ORACLE_TABLE_PROFILE,
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,
@@ -4004,6 +4006,33 @@ WHERE c.c_nationkey = s.s_nationkey
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
+"""
+
+
+def q_winsorize_values(sf_dir: str):
+    """Per-group percentile clamping (analytics.winsorize): values clamped
+    into their event type's exact [p10, p90] cents band from the shared
+    histogram plane — the tail-taming transform before scaling/training.
+    Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    return analytics.winsorize(sf_dir)
+
+
+ORACLE_WINSORIZE_VALUES = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+q AS (
+  SELECT event_type,
+         CAST(quantile_disc(c, 0.1) AS BIGINT) AS lo,
+         CAST(quantile_disc(c, 0.9) AS BIGINT) AS hi
+  FROM c GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       CAST(round(e.value * 100) AS BIGINT) AS value_c,
+       least(greatest(CAST(round(e.value * 100) AS BIGINT), q.lo), q.hi)
+         AS wins_c
+FROM events e JOIN q USING (event_type)
+WHERE e.value IS NOT NULL
 """
 
 

@@ -813,3 +813,40 @@ def test_ohlc_bars_randomized_cross_block_parity(ray_session):
         got["hour"] = pd.to_datetime(got["hour"])
         want["hour"] = pd.to_datetime(want["hour"])
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_winsorize_driver_row(ray_session):
+    """Driver-identical comparison for the percentile-clamp transform."""
+    assert oracle_run(SF, ["winsorize_values"]) == 0
+
+
+def test_winsorize_hand_band(ray_session, tmp_path):
+    """Clamp edges follow the quantile_disc convention (rank ceil(q·n)):
+    10 values 1..10 → p10 = rank 1 = value 1? No — ceil(0.1·10)=1 → 1st
+    element; p90 = ceil(0.9·10)=9 → 9th element. Values below/above clamp
+    to the band, null value/type rows drop."""
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import winsorize
+
+    vals = [float(v) for v in range(1, 11)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(12), pa.int64()),
+            "event_type": pa.array(["a"] * 10 + [None, "a"]),
+            "value": pa.array(vals + [5.0, None]),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        winsorize(str(tmp_path), q_lo=0.2, q_hi=0.8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # null-type row 10 and null-value row 11 dropped
+    assert got["event_id"].tolist() == list(range(10))
+    # p20 = rank ceil(0.2*10)=2 → 200c; p80 = rank 8 → 800c
+    assert got["wins_c"].tolist() == [
+        200, 200, 300, 400, 500, 600, 700, 800, 800, 800
+    ]
