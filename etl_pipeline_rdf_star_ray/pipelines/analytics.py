@@ -2179,3 +2179,96 @@ def winsorize(
         )
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def zscore_normalize(sf_dir: str) -> "rd.Dataset":
+    """Per-group z-score standardization (population σ), completing the
+    scaler family (:func:`minmax_normalize` range-scales,
+    :func:`winsorize` tail-clamps, this one centers): ``z4 =
+    floor((c − mean)/σ · 10000)`` per event type.
+
+    Exactness: the sufficient statistics (n, Σc, Σc²) are EXACT integer
+    per-block partials combined driver-side in arbitrary-precision Python
+    ints; all three convert to float64 exactly (each < 2⁵³ at any
+    plausible test scale — Σc² ≈ n·10¹⁰), and the float expression —
+    mean = s/n, var = ssq/n − mean², z = (c − mean)/√var·10⁴ — is the
+    IDENTICAL correctly-rounded op sequence the SQL mirror executes, so
+    the floored result is bit-exact with no tolerance. Constant groups
+    hit var == 0 EXACTLY (integer c ⇒ s/n and ssq/n round to the exact
+    integer quotients) and yield NULL like SQL.
+
+    Scale shape: per-block Arrow ``group_by`` partials (driver combines
+    O(groups × blocks) scalar rows), broadcast (mean, σ) arrays, one
+    vectorized code-indexed map — data rows never shuffle."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "c": c,
+                "sq": pc.multiply(c, c),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("c", "sum"), ("sq", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "s", "ssq"])
+
+    stats: dict = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        if r["event_type"] is None or r["s"] is None:
+            continue
+        n0, s0, q0 = stats.get(r["event_type"], (0, 0, 0))
+        # python ints: the combine itself never overflows or rounds
+        stats[r["event_type"]] = (
+            n0 + int(r["n"]), s0 + int(r["s"]), q0 + int(r["ssq"])
+        )
+    types = sorted(stats)
+    code = {t: i for i, t in enumerate(types)}
+    mean_arr = np.empty(len(types), dtype=np.float64)
+    std_arr = np.empty(len(types), dtype=np.float64)
+    ok_arr = np.zeros(len(types), dtype=bool)
+    for i, t in enumerate(types):
+        n, s, ssq = stats[t]
+        mean = np.float64(s) / np.float64(n)
+        var = np.float64(ssq) / np.float64(n) - mean * mean
+        mean_arr[i] = mean
+        if var > 0:
+            std_arr[i] = np.sqrt(var)
+            ok_arr[i] = True
+        else:
+            std_arr[i] = 1.0  # unused; masked NULL below
+
+    def scale(batch: pa.Table) -> pa.Table:
+        et = pd.Series(
+            batch.column("event_type").to_numpy(zero_copy_only=False)
+        )
+        ci = et.map(code).to_numpy(dtype=np.float64, na_value=np.nan)
+        vc = _cents(batch.column("value"))
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        v = vc.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(ci) & ~np.isnan(v)
+        out = batch.filter(pa.array(keep))
+        idx = ci[keep].astype(np.int64)
+        c = v[keep]
+        z = np.floor((c - mean_arr[idx]) / std_arr[idx] * 10000.0)
+        return pa.table(
+            {
+                "event_id": out.column("event_id"),
+                "event_type": out.column("event_type"),
+                "value_c": pa.array(c.astype(np.int64), pa.int64()),
+                # zero-variance groups are NULL like SQL
+                "z4": pa.array(
+                    z.astype(np.int64), pa.int64(), mask=~ok_arr[idx]
+                ),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow")

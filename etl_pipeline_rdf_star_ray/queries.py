@@ -3340,6 +3340,7 @@ def build_queries() -> dict:
         "q10_returned_items": q10_returned_item_revenue,
         "q14_promo_share": q14_promo_revenue,
         "winsorize_values": q_winsorize_values,
+        "zscore_values": q_zscore_values,
     }
 
 
@@ -3459,6 +3460,7 @@ def build_oracles() -> dict[str, str]:
         "q10_returned_items": ORACLE_Q10,
         "q14_promo_share": ORACLE_Q14,
         "winsorize_values": ORACLE_WINSORIZE_VALUES,
+        "zscore_values": ORACLE_ZSCORE_VALUES,
         "table_profile": ORACLE_TABLE_PROFILE,
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,
@@ -4033,6 +4035,41 @@ SELECT e.event_id, e.event_type,
          AS wins_c
 FROM events e JOIN q USING (event_type)
 WHERE e.value IS NOT NULL
+"""
+
+
+def q_zscore_values(sf_dir: str):
+    """Per-group z-score standardization (analytics.zscore_normalize):
+    floored 4-decimal z from exact integer sufficient statistics with the
+    SQL-identical float op sequence — bit-exact, NULL for zero-variance
+    groups. Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    return analytics.zscore_normalize(sf_dir)
+
+
+ORACLE_ZSCORE_VALUES = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM c GROUP BY 1),
+z AS (
+  SELECT c.event_id, c.event_type, c.c,
+         CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean,
+         CAST(g.ssq AS DOUBLE) / CAST(g.n AS DOUBLE)
+           - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+             * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)) AS var
+  FROM c JOIN g USING (event_type))
+SELECT event_id, event_type, c AS value_c,
+       CASE WHEN var > 0
+            THEN CAST(floor((CAST(c AS DOUBLE) - mean) / sqrt(var) * 10000)
+                      AS BIGINT)
+            ELSE NULL END AS z4
+FROM z
 """
 
 

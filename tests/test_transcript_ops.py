@@ -850,3 +850,44 @@ def test_winsorize_hand_band(ray_session, tmp_path):
     assert got["wins_c"].tolist() == [
         200, 200, 300, 400, 500, 600, 700, 800, 800, 800
     ]
+
+
+def test_zscore_driver_row(ray_session):
+    """Driver-identical comparison for the z-score scaler."""
+    assert oracle_run(SF, ["zscore_values"]) == 0
+
+
+def test_zscore_hand_values(ray_session, tmp_path):
+    """Centering, the floored-4-decimal convention, and the zero-variance
+    NULL on a hand table; null value/type rows drop."""
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        zscore_normalize,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(7), pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "k", "k", None, "a"]),
+            "value": pa.array([1.0, 2.0, 3.0, 5.0, 5.0, 1.0, None]),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        zscore_normalize(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == [0, 1, 2, 3, 4]
+    # group a: c = 100,200,300 → mean 200, var = 20000/3; expected via the
+    # exact same float op sequence the operator (and the oracle) uses
+    mean = np.float64(600) / np.float64(3)
+    var = np.float64(140000) / np.float64(3) - mean * mean
+    sd = np.sqrt(var)
+    want = [int(np.floor((c - mean) / sd * 10000.0)) for c in (100.0, 200.0, 300.0)]
+    assert got["z4"].tolist()[:3] == want
+    assert want[1] == 0  # the mean itself standardizes to exactly 0
+    # constant group k: zero variance → NULL like SQL
+    assert got["z4"].isna().tolist()[3:] == [True, True]
