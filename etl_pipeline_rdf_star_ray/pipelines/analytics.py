@@ -1892,6 +1892,14 @@ def user_diversity(sf_dir: str, *, num_shards: int = 64) -> "rd.Dataset":
         )
         n = out["n_events"].to_numpy(dtype=np.int64)
         ssq = out["ssq"].to_numpy(dtype=np.int64)
+        # n² must fit int64 (n < 2^31.5 ≈ 3.03e9 events per user) — numpy
+        # would wrap SILENTLY where the SQL oracle's BIGINT multiply
+        # errors; fail loudly at the same bound instead
+        if len(n) and int(n.max()) > 3_037_000_499:
+            raise OverflowError(
+                "user_diversity: a user exceeds 3.03e9 events; n*n would "
+                "overflow int64 (use a wider accumulator)"
+            )
         # the ONLY float ops, in the same order the SQL oracle performs
         # them: 1.0 - (double(ssq) / double(n*n))
         simpson = 1.0 - ssq.astype(np.float64) / (n * n).astype(np.float64)
@@ -1955,7 +1963,10 @@ def key_skew_profile(
         top = g.sort_values(
             ["n", col], ascending=[False, True], kind="mergesort"
         ).head(k)
-        top = top.astype({col: np.int64, "n": np.int64})
+        # key column keeps its native dtype (int, string, …) — the audit
+        # is generic over any key column (review finding: an int64 cast
+        # crashed on string keys)
+        top = top.astype({"n": np.int64})
         # carry the shard's total on its FIRST survivor row only (0 on the
         # rest): two shards may legitimately share the same total value, so
         # a distinct-totals sum driver-side would under-count
@@ -1979,14 +1990,16 @@ def key_skew_profile(
         ["n", col], ascending=[False, True], kind="mergesort"
     ).head(k)
     n = top["n"].to_numpy(dtype=np.int64)
-    share_bp = n * 10000 // max(total, 1)
-    return pa.table(
+    out = pd.DataFrame(
         {
-            col: pa.array(top[col].to_numpy(dtype=np.int64), pa.int64()),
-            "n": pa.array(n, pa.int64()),
-            "share_bp": pa.array(share_bp, pa.int64()),
+            col: top[col].to_numpy(),
+            "n": n,
+            "share_bp": n * 10000 // max(total, 1),
         }
     )
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 def ohlc_bars(sf_dir: str, *, num_shards: int = 64) -> "rd.Dataset":
@@ -2206,6 +2219,17 @@ def zscore_normalize(sf_dir: str) -> "rd.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        # drop null value/type rows BEFORE counting: Arrow's sum skips
+        # nulls but a ones-sum would still count the row in n, silently
+        # shifting mean/var off the oracle's join+WHERE domain (review
+        # finding: a block mixing null and non-null values of one type
+        # diverged on every row)
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("value")),
+                pc.is_valid(batch.column("event_type")),
+            )
+        )
         c = _cents(batch.column("value"))
         t = pa.table(
             {

@@ -245,7 +245,14 @@ def q10_returned_item_revenue(
     (a customer lives in one shard) leaves ≤ k·shards survivor rows for
     the driver merge. Only the k winning keys ever touch the customer
     dimension (predicate-pushdown point read), and nation is a 25-row
-    driver-side map — no dimension broadcast, no global sort."""
+    driver-side map — no dimension broadcast, no global sort.
+
+    Dimension join semantics: survivors INNER-join customer/nation BEFORE
+    the final top-k, so a custkey absent from the dimension drops and
+    promotes the next customer exactly like the oracle. Replacements are
+    bounded by the k survivors each shard keeps — enough for any data
+    where fewer than k of one shard's winners are FK-dangling (always,
+    on FK-clean TPC-H data)."""
     from ..stages.join import hash_join_sharded
     from .dedup import sharded_groups
 
@@ -307,11 +314,13 @@ def q10_returned_item_revenue(
         lambda b: _group_key_hash(b, ["o_custkey"]),
         shard_topk,
     ).to_pandas()
-    top = survivors.sort_values(
-        ["revenue_c4", "o_custkey"], ascending=[False, True], kind="mergesort"
-    ).head(k)
 
-    keys = top["o_custkey"].astype(np.int64).tolist()
+    # INNER-join the dimensions over ALL survivors (≤ k·shards keys)
+    # BEFORE the final top-k: a custkey missing from the customer table
+    # must drop AND promote the next customer, exactly like the oracle's
+    # JOIN customer … LIMIT — a left merge here either crashed on the NaN
+    # acctbal cast or kept a row the oracle drops (review finding)
+    keys = survivors["o_custkey"].astype(np.int64).tolist()
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
@@ -320,9 +329,12 @@ def q10_returned_item_revenue(
     nation = read_parquet_clean(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    out = top.merge(
-        cust, left_on="o_custkey", right_on="c_custkey", how="left"
-    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="left")
+    out = survivors.merge(
+        cust, left_on="o_custkey", right_on="c_custkey", how="inner"
+    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="inner")
+    out = out.sort_values(
+        ["revenue_c4", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
     out["c_custkey"] = out["o_custkey"].astype(np.int64)
     out["acctbal_c"] = (
         (out["c_acctbal"] * 100.0).round().astype(np.int64)
@@ -345,23 +357,33 @@ def q14_promo_revenue(
     composite, reduced to ONE row.
 
     The share is EXACT integer basis points (``promo·10000 // total``) so
-    the oracle comparison needs no float convention at all. The promo
-    part-key set broadcasts once via ``ray.put`` (sorted int64 array,
-    ``searchsorted`` membership per batch); at 100-TB scale, where part is
-    fact-scaled past any broadcast budget, the honest swap is a sharded
-    join on ``l_partkey`` — the same documented budget trade as Q5's
-    supplier map. Every block contributes two scalars; the driver folds
-    O(blocks) rows."""
+    the oracle comparison needs no float convention at all. The sorted
+    part-key domain plus a parallel promo flag broadcast once via
+    ``ray.put`` (``searchsorted`` gather per batch) — the whole domain,
+    not just promo keys, because the inner join's membership semantics
+    (NULL / dangling ``l_partkey`` rows leave BOTH sums) must be testable
+    per row. At 100-TB scale, where part is fact-scaled past any
+    broadcast budget, the honest swap is a sharded join on ``l_partkey``
+    — the same documented budget trade as Q5's supplier map. Every block
+    contributes two scalars; the driver folds O(blocks) rows."""
     lo = pa.scalar(np.datetime64(date_lo, "us"))
     hi = pa.scalar(np.datetime64(date_hi, "us"))
 
+    # broadcast the WHOLE part-key domain (sorted) plus a parallel promo
+    # flag, not just the promo keys: the oracle's INNER JOIN part excludes
+    # lineitems with a NULL or dangling l_partkey from BOTH sums, so
+    # membership in the part table must be testable per row (review
+    # finding: counting non-joined rows in the denominator diverged on
+    # any non-FK-clean data)
     part = read_parquet_clean(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_type"],
-        filter=pc.field("p_type") == "PROMO",
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     ).to_pandas()
-    promo_ref = ray.put(
-        np.sort(part["p_partkey"].to_numpy(dtype=np.int64))
+    order = np.argsort(part["p_partkey"].to_numpy(dtype=np.int64))
+    part_keys_ref = ray.put(
+        part["p_partkey"].to_numpy(dtype=np.int64)[order]
+    )
+    promo_flag_ref = ray.put(
+        (part["p_type"].to_numpy() == "PROMO")[order]
     )
 
     li = read_parquet_clean(
@@ -371,20 +393,28 @@ def q14_promo_revenue(
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        promo_keys = ray.get(promo_ref)
+        # NULL l_partkey rows drop first (the inner join excludes them)
+        batch = batch.filter(pc.is_valid(batch.column("l_partkey")))
+        keys = ray.get(part_keys_ref)
+        promo = ray.get(promo_flag_ref)
         rev = _rev_c4(batch).to_numpy(zero_copy_only=False)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        i = np.searchsorted(promo_keys, pk)
-        i[i == len(promo_keys)] = 0 if len(promo_keys) else 0
-        is_promo = (
-            promo_keys[i] == pk if len(promo_keys) else np.zeros(len(pk), bool)
-        )
+        if len(keys):
+            i = np.searchsorted(keys, pk)
+            i[i == len(keys)] = 0
+            joined = keys[i] == pk
+            is_promo = joined & promo[i]
+        else:
+            joined = np.zeros(len(pk), bool)
+            is_promo = joined
         return pa.table(
             {
                 "promo_rev_c4": pa.array(
                     [np.int64(rev[is_promo].sum())], pa.int64()
                 ),
-                "total_rev_c4": pa.array([np.int64(rev.sum())], pa.int64()),
+                "total_rev_c4": pa.array(
+                    [np.int64(rev[joined].sum())], pa.int64()
+                ),
             }
         )
 

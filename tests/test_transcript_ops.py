@@ -702,7 +702,7 @@ def test_wau_sliding_randomized_parity(ray_session):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_key_skew_profile_tie_break_and_total():
+def test_key_skew_profile_tie_break_and_total(ray_session):
     """The top-k boundary under heavy count ties must select by
     (count desc, key asc) on both sides, and the share denominator must be
     the WHOLE table (incl. keys outside the top-k and shards whose totals
@@ -891,3 +891,110 @@ def test_zscore_hand_values(ray_session, tmp_path):
     assert want[1] == 0  # the mean itself standardizes to exactly 0
     # constant group k: zero variance → NULL like SQL
     assert got["z4"].isna().tolist()[3:] == [True, True]
+
+
+def test_zscore_null_values_excluded_from_stats(ray_session, tmp_path):
+    """Regression (self-review): a block mixing null and non-null values
+    of one type must NOT count the null row in n — the oracle's
+    join+WHERE domain excludes it, so mean/var (and every z) would
+    otherwise diverge. Forced into ONE block so the partial genuinely
+    sees the mix."""
+    import duckdb as _duck
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        zscore_normalize,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "event_type": pa.array(["a"] * 6),
+            "value": pa.array([1.0, 3.0, None, 2.0, None, 6.0]),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        zscore_normalize(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = _duck.connect()
+    want = con.sql(
+        f"""
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM '{tmp_path}/events.parquet' WHERE value IS NOT NULL),
+        g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c * c) AS BIGINT) AS ssq
+          FROM c GROUP BY 1)
+        SELECT c.event_id,
+               CAST(floor((CAST(c.c AS DOUBLE)
+                    - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 / sqrt(CAST(g.ssq AS DOUBLE) / CAST(g.n AS DOUBLE)
+                   - (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+                     * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                 * 10000) AS BIGINT) AS z4
+        FROM c JOIN g USING (event_type) ORDER BY c.event_id
+        """
+    ).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["z4"].tolist() == want["z4"].tolist()
+
+
+def test_key_skew_profile_string_key(ray_session, tmp_path):
+    """Regression (self-review): the audit is generic over the key dtype —
+    a string key column must profile, not crash on an int64 cast."""
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.analytics import (
+        key_skew_profile,
+    )
+
+    t = pa.table(
+        {"event_type": pa.array(["x"] * 6 + ["y"] * 3 + ["z"])}
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    got = key_skew_profile(
+        str(tmp_path), table="events", col="event_type", k=2, num_shards=4
+    ).to_pandas()
+    assert got["event_type"].tolist() == ["x", "y"]
+    assert got["n"].tolist() == [6, 3]
+    assert got["share_bp"].tolist() == [6000, 3000]
+
+
+def test_q14_excludes_null_and_dangling_partkeys(ray_session, tmp_path):
+    """Regression (self-review): the oracle's INNER JOIN part drops
+    lineitems with NULL or dangling l_partkey from BOTH sums — the share
+    denominator must not count them."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.tpch import q14_promo_revenue
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_type": pa.array(["PROMO", "STANDARD"]),
+        }
+    )
+    D = np.datetime64("1996-02-01", "us")
+    li = pa.table(
+        {
+            # key 99 dangles; one NULL key — both rows must vanish
+            "l_partkey": pa.array([1, 2, 99, None], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 70.0, 80.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+            "l_shipdate": pa.array([D, D, D, D], pa.timestamp("us")),
+        }
+    )
+    pq_.write_table(part, str(tmp_path / "part.parquet"))
+    pq_.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = q14_promo_revenue(str(tmp_path)).to_pandas()
+    assert got["total_rev_c4"].tolist() == [300000]  # 100000 + 200000
+    assert got["promo_rev_c4"].tolist() == [100000]
+    assert got["promo_bp"].tolist() == [3333]
