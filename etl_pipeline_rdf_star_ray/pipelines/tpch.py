@@ -238,21 +238,17 @@ def q10_returned_item_revenue(
     (``l_returnflag = 'R'``) for orders placed in one quarter, with their
     nation — the classic churn-investigation composite.
 
-    Plan (2 exchanges): lineitem (returned only) collapses map-side to
+    Plan (3 exchanges): lineitem (returned only) collapses map-side to
     per-block ``(l_orderkey, rev)`` partials; those join the quarter's
-    orders on the sharded plane carrying only ``o_custkey``; per-custkey
-    totals finish in a custkey-hash exchange whose per-shard LOCAL top-k
-    (a customer lives in one shard) leaves ≤ k·shards survivor rows for
-    the driver merge. Only the k winning keys ever touch the customer
-    dimension (predicate-pushdown point read), and nation is a 25-row
-    driver-side map — no dimension broadcast, no global sort.
-
-    Dimension join semantics: survivors INNER-join customer/nation BEFORE
-    the final top-k, so a custkey absent from the dimension drops and
-    promotes the next customer exactly like the oracle. Replacements are
-    bounded by the k survivors each shard keeps — enough for any data
-    where fewer than k of one shard's winners are FK-dangling (always,
-    on FK-clean TPC-H data)."""
+    orders on the sharded plane carrying only ``o_custkey``; the
+    per-custkey revenue partials then SEMI-join the customer table's keys
+    (the oracle's ``JOIN customer`` membership — a dangling custkey must
+    not consume a top-k slot; second review pass reproduced exactly that
+    divergence) before the custkey-hash exchange whose per-shard LOCAL
+    top-k (a customer lives in one shard) leaves ≤ k·shards survivor
+    rows for the driver merge. The survivor keys (≤ k·shards) point-read
+    the customer dimension columns, and nation is a 25-row driver-side
+    map — no dimension broadcast, no global sort."""
     from ..stages.join import hash_join_sharded
     from .dedup import sharded_groups
 
@@ -309,17 +305,27 @@ def q10_returned_item_revenue(
             kind="mergesort",
         ).head(k).astype({"o_custkey": np.int64, "revenue_c4": np.int64})
 
-    survivors = sharded_groups(
+    # the oracle's JOIN customer is a MEMBERSHIP filter before LIMIT: a
+    # dangling custkey must not consume a shard's top-k slot (second
+    # review pass reproduced the 21st customer being evicted) — semi-join
+    # the revenue partials against customer keys on the sharded plane
+    cust_keys = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    cust_rev = hash_join_sharded(
         joined.map_batches(cust_partial, batch_format="pyarrow"),
+        cust_keys,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="semi",
+    )
+
+    survivors = sharded_groups(
+        cust_rev,
         lambda b: _group_key_hash(b, ["o_custkey"]),
         shard_topk,
     ).to_pandas()
 
-    # INNER-join the dimensions over ALL survivors (≤ k·shards keys)
-    # BEFORE the final top-k: a custkey missing from the customer table
-    # must drop AND promote the next customer, exactly like the oracle's
-    # JOIN customer … LIMIT — a left merge here either crashed on the NaN
-    # acctbal cast or kept a row the oracle drops (review finding)
     keys = survivors["o_custkey"].astype(np.int64).tolist()
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
@@ -358,33 +364,47 @@ def q14_promo_revenue(
 
     The share is EXACT integer basis points (``promo·10000 // total``) so
     the oracle comparison needs no float convention at all. The sorted
-    part-key domain plus a parallel promo flag broadcast once via
-    ``ray.put`` (``searchsorted`` gather per batch) — the whole domain,
-    not just promo keys, because the inner join's membership semantics
-    (NULL / dangling ``l_partkey`` rows leave BOTH sums) must be testable
-    per row. At 100-TB scale, where part is fact-scaled past any
-    broadcast budget, the honest swap is a sharded join on ``l_partkey``
-    — the same documented budget trade as Q5's supplier map. Every block
-    contributes two scalars; the driver folds O(blocks) rows."""
+    deduplicated part-key domain plus per-key match/promo COUNTS
+    broadcast once via ``ray.put`` (``searchsorted`` gather per batch) —
+    the whole domain, not just promo keys, because the inner join's
+    semantics must be reproducible per row: NULL / dangling ``l_partkey``
+    rows leave BOTH sums, and a duplicated part key fans a lineitem out
+    once per matching part row. At 100-TB scale, where part is
+    fact-scaled past any broadcast budget, the honest swap is a sharded
+    join on ``l_partkey`` — the same documented budget trade as Q5's
+    supplier map. Every block contributes two scalars; the driver folds
+    O(blocks) rows."""
     lo = pa.scalar(np.datetime64(date_lo, "us"))
     hi = pa.scalar(np.datetime64(date_hi, "us"))
 
-    # broadcast the WHOLE part-key domain (sorted) plus a parallel promo
-    # flag, not just the promo keys: the oracle's INNER JOIN part excludes
-    # lineitems with a NULL or dangling l_partkey from BOTH sums, so
-    # membership in the part table must be testable per row (review
-    # finding: counting non-joined rows in the denominator diverged on
-    # any non-FK-clean data)
+    # broadcast the WHOLE part-key domain (sorted, deduplicated) with TWO
+    # parallel count columns — total matches m and promo matches p per
+    # key — not just the promo keys: the oracle's INNER JOIN part
+    # excludes lineitems with a NULL or dangling l_partkey from BOTH
+    # sums, and FANS OUT a lineitem once per matching part row when a
+    # key is duplicated (second review pass: single-flag membership
+    # under-counted duplicates nondeterministically). NULL p_partkey
+    # dimension rows drop like the join's null semantics.
     part = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     ).to_pandas()
-    order = np.argsort(part["p_partkey"].to_numpy(dtype=np.int64))
-    part_keys_ref = ray.put(
-        part["p_partkey"].to_numpy(dtype=np.int64)[order]
+    part = part[part["p_partkey"].notna()]
+    grp = (
+        pd.DataFrame(
+            {
+                "key": part["p_partkey"].to_numpy(dtype=np.int64),
+                "promo": (part["p_type"].to_numpy() == "PROMO").astype(
+                    np.int64
+                ),
+            }
+        )
+        .groupby("key", sort=True)
+        .agg(m=("promo", "size"), p=("promo", "sum"))
+        .reset_index()
     )
-    promo_flag_ref = ray.put(
-        (part["p_type"].to_numpy() == "PROMO")[order]
-    )
+    part_keys_ref = ray.put(grp["key"].to_numpy(dtype=np.int64))
+    match_counts_ref = ray.put(grp["m"].to_numpy(dtype=np.int64))
+    promo_counts_ref = ray.put(grp["p"].to_numpy(dtype=np.int64))
 
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
@@ -396,24 +416,31 @@ def q14_promo_revenue(
         # NULL l_partkey rows drop first (the inner join excludes them)
         batch = batch.filter(pc.is_valid(batch.column("l_partkey")))
         keys = ray.get(part_keys_ref)
-        promo = ray.get(promo_flag_ref)
-        rev = _rev_c4(batch).to_numpy(zero_copy_only=False)
+        m_cnt = ray.get(match_counts_ref)
+        p_cnt = ray.get(promo_counts_ref)
+        # NULL price/discount make the row's revenue NULL — SQL's sum
+        # skips it in both sums, so it must contribute exactly 0 here
+        rev = np.nan_to_num(
+            _rev_c4(batch).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         if len(keys):
             i = np.searchsorted(keys, pk)
             i[i == len(keys)] = 0
             joined = keys[i] == pk
-            is_promo = joined & promo[i]
+            # fan-out: a lineitem counts once per matching part row
+            m = np.where(joined, m_cnt[i], 0)
+            p = np.where(joined, p_cnt[i], 0)
         else:
-            joined = np.zeros(len(pk), bool)
-            is_promo = joined
+            m = np.zeros(len(pk), np.int64)
+            p = m
         return pa.table(
             {
                 "promo_rev_c4": pa.array(
-                    [np.int64(rev[is_promo].sum())], pa.int64()
+                    [np.int64((rev * p).sum())], pa.int64()
                 ),
                 "total_rev_c4": pa.array(
-                    [np.int64(rev[joined].sum())], pa.int64()
+                    [np.int64((rev * m).sum())], pa.int64()
                 ),
             }
         )

@@ -968,9 +968,12 @@ def test_key_skew_profile_string_key(ray_session, tmp_path):
 
 
 def test_q14_excludes_null_and_dangling_partkeys(ray_session, tmp_path):
-    """Regression (self-review): the oracle's INNER JOIN part drops
-    lineitems with NULL or dangling l_partkey from BOTH sums — the share
-    denominator must not count them."""
+    """Regression (self-review, two passes): the oracle's INNER JOIN part
+    drops lineitems with NULL or dangling l_partkey from BOTH sums, a
+    NULL p_partkey dimension row never matches, a DUPLICATED part key
+    fans a lineitem out once per matching part row (into total always,
+    into promo per promo-typed match), and a NULL price contributes
+    exactly 0 like SQL's null-skipping sum."""
     import numpy as np
     import pyarrow.parquet as pq_
 
@@ -978,23 +981,45 @@ def test_q14_excludes_null_and_dangling_partkeys(ray_session, tmp_path):
 
     part = pa.table(
         {
-            "p_partkey": pa.array([1, 2], pa.int64()),
-            "p_type": pa.array(["PROMO", "STANDARD"]),
+            # key 3 duplicated (PROMO + STANDARD); one NULL dimension row
+            "p_partkey": pa.array([1, 2, 3, 3, None], pa.int64()),
+            "p_type": pa.array(
+                ["PROMO", "STANDARD", "PROMO", "STANDARD", "PROMO"]
+            ),
         }
     )
     D = np.datetime64("1996-02-01", "us")
     li = pa.table(
         {
-            # key 99 dangles; one NULL key — both rows must vanish
-            "l_partkey": pa.array([1, 2, 99, None], pa.int64()),
-            "l_extendedprice": pa.array([10.0, 20.0, 70.0, 80.0]),
-            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
-            "l_shipdate": pa.array([D, D, D, D], pa.timestamp("us")),
+            # key 99 dangles; one NULL key; one NULL price on key 1
+            "l_partkey": pa.array([1, 2, 99, None, 3, 1], pa.int64()),
+            "l_extendedprice": pa.array(
+                [10.0, 20.0, 70.0, 80.0, 5.0, None]
+            ),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            "l_shipdate": pa.array([D] * 6, pa.timestamp("us")),
         }
     )
     pq_.write_table(part, str(tmp_path / "part.parquet"))
     pq_.write_table(li, str(tmp_path / "lineitem.parquet"))
     got = q14_promo_revenue(str(tmp_path)).to_pandas()
-    assert got["total_rev_c4"].tolist() == [300000]  # 100000 + 200000
-    assert got["promo_rev_c4"].tolist() == [100000]
-    assert got["promo_bp"].tolist() == [3333]
+    # total: 100000 (k1) + 200000 (k2) + 50000*2 (k3 fans out twice);
+    # the dangling/NULL-key/NULL-price rows contribute nothing
+    assert got["total_rev_c4"].tolist() == [400000]
+    # promo: k1 (PROMO) + k3 once (one of its two part rows is PROMO)
+    assert got["promo_rev_c4"].tolist() == [150000]
+    assert got["promo_bp"].tolist() == [3750]
+    # cross-check the exact same files against the committed oracle SQL
+    import duckdb as _duck
+    import __ray_entry__ as _e
+
+    con = _duck.connect()
+    for tname in ("part", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM '{tmp_path}/{tname}.parquet'"
+        )
+    want = con.sql(_e.oracle_sql()["q14_promo_share"]).df()
+    assert got["total_rev_c4"].tolist() == want["total_rev_c4"].tolist()
+    assert got["promo_rev_c4"].tolist() == want["promo_rev_c4"].tolist()
+    assert got["promo_bp"].tolist() == want["promo_bp"].tolist()
