@@ -1097,6 +1097,47 @@ FROM events e ASOF LEFT JOIN r
 """
 
 
+def q_asof_next_order(sf_dir: str):
+    """FORWARD as-of join (stages/asof.py direction='forward'): each event
+    picks up the customer's EARLIEST order at-or-after the event timestamp
+    — next-touch attribution, the mirror of the backward dimension-history
+    lookup. Beyond-window round-5 entry; pytest runs the driver-identical
+    comparison."""
+    from .stages.asof import asof_join_broadcast
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    return asof_join_broadcast(
+        events, orders,
+        on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        value_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+        direction="forward",
+    )
+
+
+ORACLE_ASOF_NEXT = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate),
+m AS (
+  SELECT e.event_id, min(r.o_orderdate) AS nxt
+  FROM events e JOIN r
+    ON e.user_id = r.o_custkey AND r.o_orderdate >= e.ts
+  GROUP BY 1)
+SELECT e.event_id, e.user_id, e.ts, r2.o_orderkey, r2.o_totalprice
+FROM events e
+LEFT JOIN m ON m.event_id = e.event_id
+LEFT JOIN r r2 ON r2.o_custkey = e.user_id AND r2.o_orderdate = m.nxt
+"""
+
+
 def q_text_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id < 50 act as the eval set;
     the rest of the corpus is checked for 3-gram overlap (broadcast bench
@@ -3341,6 +3382,7 @@ def build_queries() -> dict:
         "q14_promo_share": q14_promo_revenue,
         "winsorize_values": q_winsorize_values,
         "zscore_values": q_zscore_values,
+        "asof_next_order": q_asof_next_order,
     }
 
 
@@ -3461,6 +3503,7 @@ def build_oracles() -> dict[str, str]:
         "q14_promo_share": ORACLE_Q14,
         "winsorize_values": ORACLE_WINSORIZE_VALUES,
         "zscore_values": ORACLE_ZSCORE_VALUES,
+        "asof_next_order": ORACLE_ASOF_NEXT,
         "table_profile": ORACLE_TABLE_PROFILE,
         "hourly_gapfill": ORACLE_HOURLY_GAPFILL,
         "grouped_corr": ORACLE_GROUPED_CORR,

@@ -98,11 +98,20 @@ def asof_join_broadcast(
     right_by: str | None = None,
     value_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ):
     """Broadcast as-of join (right = small dimension history). Returns the
-    left dataset with ``value_cols`` attached (null where no right row has
-    ``right_on <= on`` for the key)."""
+    left dataset with ``value_cols`` attached (null where no right row
+    matches the key). ``direction="backward"`` (default) attaches the
+    LATEST right row with ``right_on <= on`` — events × dimension
+    history; ``direction="forward"`` attaches the EARLIEST right row with
+    ``right_on >= on`` — next-touch attribution (what did the user do
+    NEXT). Both are one binary search per unique batch key over the same
+    broadcast arrays."""
     import ray
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
 
     right_on = right_on or on
     right_by = right_by or by
@@ -135,8 +144,16 @@ def asof_join_broadcast(
             hi = np.searchsorted(keys, k, side="right")
             if lo == hi:
                 continue
-            pos = lo + np.searchsorted(ons[lo:hi], bt[rows], side="right") - 1
-            pos[pos < lo] = -1
+            if direction == "backward":
+                pos = (
+                    lo
+                    + np.searchsorted(ons[lo:hi], bt[rows], side="right")
+                    - 1
+                )
+                pos[pos < lo] = -1
+            else:
+                pos = lo + np.searchsorted(ons[lo:hi], bt[rows], side="left")
+                pos[pos >= hi] = -1
             match[rows] = pos
         out, _found = _attach_values(batch, vals, match, value_cols)
         return out

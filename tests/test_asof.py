@@ -255,3 +255,50 @@ def test_mismatched_timestamp_units_normalized(ray_session):
     # event at 10s predates the 20s history row; event at 30s matches it
     assert out["ver"].isna().tolist() == [True, False]
     assert out["ver"].dropna().tolist() == [7.0]
+
+
+def test_forward_asof_hand_case(ray_session):
+    """direction='forward' attaches the EARLIEST right row at-or-after the
+    left timestamp: exact-ts matches itself, a later event with no
+    following history row gets null, keys never cross."""
+    left = pa.table(
+        {
+            "eid": pa.array([0, 1, 2, 3], pa.int64()),
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([5, 20, 31, 5], pa.timestamp("s")),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 2], pa.int64()),
+            "rts": pa.array([10, 30, 50], pa.timestamp("s")),
+            "ver": pa.array([7.0, 9.0, 4.0]),
+        }
+    )
+    out = (
+        asof_join_broadcast(
+            rd.from_arrow(left), right,
+            on="ts", by="k", right_on="rts", right_by="rk",
+            value_cols=["ver"], tiebreak="ver", direction="forward",
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # eid0 (5s) → next row 10s ver 7; eid1 (20s) → 30s ver 9;
+    # eid2 (31s) → nothing after → null; eid3 (k2, 5s) → 50s ver 4
+    import pandas as pd
+
+    assert out["ver"].tolist()[:2] == [7.0, 9.0]
+    assert pd.isna(out["ver"][2])
+    assert out["ver"][3] == 4.0
+
+
+def test_forward_asof_driver_row(ray_session):
+    """Driver-identical comparison for the forward as-of driver query."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_harness import run as oracle_run
+
+    assert oracle_run("/root/testdata/sf0.001", ["asof_next_order"]) == 0
