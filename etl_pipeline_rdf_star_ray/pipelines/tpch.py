@@ -305,13 +305,25 @@ def q10_returned_item_revenue(
             kind="mergesort",
         ).head(k).astype({"o_custkey": np.int64, "revenue_c4": np.int64})
 
-    # the oracle's JOIN customer is a MEMBERSHIP filter before LIMIT: a
-    # dangling custkey must not consume a shard's top-k slot (second
-    # review pass reproduced the 21st customer being evicted) — semi-join
-    # the revenue partials against customer keys on the sharded plane
-    cust_keys = read_parquet_clean(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    # the oracle's JOIN customer (and JOIN nation) is a MEMBERSHIP filter
+    # before LIMIT: a dangling custkey — or a customer whose nationkey is
+    # NULL/dangling — must not consume a shard's top-k slot (second and
+    # third review passes reproduced the eviction) — semi-join the
+    # revenue partials against the nation-resolvable customer keys on the
+    # sharded plane (nation is 25 driver rows, filtered at the read)
+    nation_keys = (
+        read_parquet_clean(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+        )
+        .to_pandas()["n_nationkey"]
+        .astype(np.int64)
+        .tolist()
     )
+    cust_keys = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nation_keys),
+    ).drop_columns(["c_nationkey"])
     cust_rev = hash_join_sharded(
         joined.map_batches(cust_partial, batch_format="pyarrow"),
         cust_keys,
@@ -342,8 +354,10 @@ def q10_returned_item_revenue(
         ["revenue_c4", "o_custkey"], ascending=[False, True], kind="mergesort"
     ).head(k)
     out["c_custkey"] = out["o_custkey"].astype(np.int64)
+    # nullable Int64: a NULL c_acctbal stays NULL like the oracle's
+    # round(NULL) (third review pass: a plain int64 cast raised on NaN)
     out["acctbal_c"] = (
-        (out["c_acctbal"] * 100.0).round().astype(np.int64)
+        (out["c_acctbal"] * 100.0).round().astype("Int64")
     )
     out = out[["c_custkey", "c_name", "revenue_c4", "acctbal_c", "n_name"]]
     return rd.from_arrow(
@@ -419,10 +433,13 @@ def q14_promo_revenue(
         m_cnt = ray.get(match_counts_ref)
         p_cnt = ray.get(promo_counts_ref)
         # NULL price/discount make the row's revenue NULL — SQL's sum
-        # skips it in both sums, so it must contribute exactly 0 here
-        rev = np.nan_to_num(
-            _rev_c4(batch).to_numpy(zero_copy_only=False).astype(np.float64)
-        ).astype(np.int64)
+        # skips it in both sums, so it contributes 0 AND must not count
+        # as a non-null term (the NULL-iff-no-terms bookkeeping below)
+        raw = _rev_c4(batch).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        rev_valid = ~np.isnan(raw)
+        rev = np.nan_to_num(raw).astype(np.int64)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         if len(keys):
             i = np.searchsorted(keys, pk)
@@ -434,6 +451,14 @@ def q14_promo_revenue(
         else:
             m = np.zeros(len(pk), np.int64)
             p = m
+        # SQL sum() is NULL iff it saw ZERO non-null terms. total's terms
+        # are the fan-out copies with non-null revenue; promo's CASE adds
+        # a literal (non-null) 0 for every non-promo copy, so its terms
+        # are (m − p) for all joined rows plus p where revenue is valid.
+        t_terms = np.int64((np.where(rev_valid, m, 0)).sum())
+        p_terms = np.int64(
+            (m - p).sum() + (np.where(rev_valid, p, 0)).sum()
+        )
         return pa.table(
             {
                 "promo_rev_c4": pa.array(
@@ -442,18 +467,32 @@ def q14_promo_revenue(
                 "total_rev_c4": pa.array(
                     [np.int64((rev * m).sum())], pa.int64()
                 ),
+                "promo_terms": pa.array([p_terms], pa.int64()),
+                "total_terms": pa.array([t_terms], pa.int64()),
             }
         )
 
     parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
     promo = np.int64(parts["promo_rev_c4"].sum())
     total = np.int64(parts["total_rev_c4"].sum())
+    p_terms = int(parts["promo_terms"].sum())
+    t_terms = int(parts["total_terms"].sum())
+    # NULL propagation like the oracle: each sum is NULL when it saw no
+    # non-null term, and the integer division is NULL when either side is
+    # NULL or the divisor is 0 (DuckDB x // 0 → NULL)
+    promo_null = p_terms == 0
+    total_null = t_terms == 0
+    bp_null = promo_null or total_null or total == 0
     return pa.table(
         {
             "promo_bp": pa.array(
-                [promo * 10000 // max(total, 1)], pa.int64()
+                [None if bp_null else promo * 10000 // total], pa.int64()
             ),
-            "promo_rev_c4": pa.array([promo], pa.int64()),
-            "total_rev_c4": pa.array([total], pa.int64()),
+            "promo_rev_c4": pa.array(
+                [None if promo_null else promo], pa.int64()
+            ),
+            "total_rev_c4": pa.array(
+                [None if total_null else total], pa.int64()
+            ),
         }
     )

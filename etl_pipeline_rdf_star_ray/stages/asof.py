@@ -1,5 +1,9 @@
 """As-of join: attach to each left row the latest right row with the same
-key and ``right.on <= left.on`` (events × slowly-changing dimension history).
+key and ``right.on <= left.on`` (events × slowly-changing dimension
+history), or — ``direction="forward"`` on the broadcast path — the
+EARLIEST right row with ``right.on >= left.on`` (next-touch attribution).
+The sharded path is backward-only today; forward next-touch over two
+large sides would mirror it with ``merge_asof(direction="forward")``.
 
 The reference engine has no as-of operator (its joins are the annotation
 equality join, ``rdf_star_etl_yarrrml.py:451-530``); this is one of the
@@ -76,7 +80,12 @@ def _attach_values(batch: pa.Table, vals: pa.Table, match: np.ndarray, cols):
 
 
 def _dedupe_right(right: pa.Table, on: str, by: str, tiebreak: str) -> pa.Table:
-    """Last row per (by, on) under tiebreak ordering — deterministic ties."""
+    """Last row per (by, on) under tiebreak ordering — deterministic ties.
+    Rows with a NULL ``on`` drop first: SQL's ``right_on <= / >= left_on``
+    can never match them, and in the forward search a NULL would sort to
+    the end of its key slice as NaN and get matched by any left timestamp
+    past the key's last real one (third review pass)."""
+    right = right.filter(pc.is_valid(right.column(on)))
     r = right.sort_by(
         [(by, "ascending"), (on, "ascending"), (tiebreak, "ascending")]
     )

@@ -302,3 +302,38 @@ def test_forward_asof_driver_row(ray_session):
     from oracle_harness import run as oracle_run
 
     assert oracle_run("/root/testdata/sf0.001", ["asof_next_order"]) == 0
+
+
+def test_forward_asof_null_right_ts_never_matches(ray_session):
+    """Regression (third review pass): a right row with a NULL timestamp
+    sorts to the end of its key slice as NaN and used to be matched by
+    any left ts past the key's last real row — SQL's comparison can never
+    match a NULL, so it must be dropped for BOTH directions."""
+    import pandas as pd
+
+    left = pa.table(
+        {
+            "eid": pa.array([0], pa.int64()),
+            "k": pa.array([1], pa.int64()),
+            "ts": pa.array([31], pa.timestamp("s")),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 1], pa.int64()),
+            "rts": pa.array([10, 30, None], pa.timestamp("s")),
+            "ver": pa.array([7.0, 9.0, 5.0]),
+        }
+    )
+    fwd = asof_join_broadcast(
+        rd.from_arrow(left), right,
+        on="ts", by="k", right_on="rts", right_by="rk",
+        value_cols=["ver"], tiebreak="ver", direction="forward",
+    ).to_pandas()
+    assert pd.isna(fwd["ver"][0])  # nothing at/after 31s — NOT the NULL row
+    bwd = asof_join_broadcast(
+        rd.from_arrow(left), right,
+        on="ts", by="k", right_on="rts", right_by="rk",
+        value_cols=["ver"], tiebreak="ver",
+    ).to_pandas()
+    assert bwd["ver"][0] == 9.0  # latest REAL row at/before 31s

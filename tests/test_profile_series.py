@@ -292,3 +292,35 @@ def test_q14_promo_share_hand_values(ray_session, tmp_path):
     assert got["total_rev_c4"].tolist() == [500000]
     assert got["promo_rev_c4"].tolist() == [400000]
     assert got["promo_bp"].tolist() == [8000]
+
+
+def test_q14_all_dropped_rows_yield_nulls(ray_session, tmp_path):
+    """Regression (third review pass): when NO lineitem joins part, the
+    oracle's sums are NULL (sum over zero rows) and the division is NULL
+    — not a (0, 0, 0) row."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from etl_pipeline_rdf_star_ray.pipelines.tpch import q14_promo_revenue
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1], pa.int64()),
+            "p_type": pa.array(["PROMO"]),
+        }
+    )
+    D = np.datetime64("1996-02-01", "us")
+    li = pa.table(
+        {
+            "l_partkey": pa.array([99], pa.int64()),  # dangles
+            "l_extendedprice": pa.array([10.0]),
+            "l_discount": pa.array([0.0]),
+            "l_shipdate": pa.array([D], pa.timestamp("us")),
+        }
+    )
+    pq_.write_table(part, str(tmp_path / "part.parquet"))
+    pq_.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = q14_promo_revenue(str(tmp_path)).to_pandas()
+    assert got["promo_bp"].isna().tolist() == [True]
+    assert got["promo_rev_c4"].isna().tolist() == [True]
+    assert got["total_rev_c4"].isna().tolist() == [True]
